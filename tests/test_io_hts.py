@@ -1,0 +1,145 @@
+"""Tests for HTS label I/O and question sets (mirrors reference test_io.py)."""
+
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.frontend import merlin
+from ensemble_svs_with_interactions_tpu.io import hts
+
+
+@pytest.fixture
+def dev_hed_path(reference_data_dir):
+    p = reference_data_dir.parent.parent / "recipes/_common/hed/jp_dev_latest.hed"
+    if not p.exists():
+        pytest.skip("dev hed not available")
+    return p
+
+
+@pytest.fixture
+def fixture_labels(reference_data_dir):
+    return hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+
+
+def test_load_labels(fixture_labels):
+    labels = fixture_labels
+    assert len(labels) > 10
+    assert labels.start_times[0] == 0
+    assert labels.is_full_context()
+    # monotone non-decreasing start times
+    assert all(
+        s2 >= s1 for s1, s2 in zip(labels.start_times, labels.start_times[1:])
+    )
+    mono = hts.full_to_mono(labels)
+    assert mono.contexts[0] == "pau"
+
+
+def test_question_set_dims(dev_hed_path):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    # jp_dev_latest.hed: 86-dim acoustic / 82-dim timelag-duration input,
+    # in_rest_idx=0, in_lf0_idx=51 (hed header comment)
+    assert len(binary_dict) + len(numeric_dict) == 82
+    assert hts.get_pitch_index(binary_dict, numeric_dict) == 51
+    pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+    assert pitch_indices == [50, 51, 52]
+    assert binary_dict[0][0] == "C-Phone_Muon"
+
+
+def test_linguistic_features_phone_level(dev_hed_path, fixture_labels):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    feats = merlin.linguistic_features(fixture_labels, binary_dict, numeric_dict)
+    assert feats.shape == (len(fixture_labels), 82)
+    # first label is a pau -> rest flag set
+    assert feats[0, 0] == 1.0
+    # binary features are {0,1}
+    assert set(np.unique(feats[:, : len(binary_dict)])) <= {0.0, 1.0}
+    # pitch (E column, idx 51) of second label should be midi(F4) = 65
+    assert feats[1, 51] == 65.0
+
+
+def test_linguistic_features_frame_level(dev_hed_path, fixture_labels):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    feats = merlin.linguistic_features(
+        fixture_labels,
+        binary_dict,
+        numeric_dict,
+        add_frame_features=True,
+        subphone_features="coarse_coding",
+    )
+    assert feats.shape == (fixture_labels.num_frames(), 86)
+    # coarse coding features in [0, 1]
+    cc = feats[:, 82:85]
+    assert cc.min() >= 0.0 and cc.max() <= 1.0
+    # frame count feature is positive
+    assert (feats[:, 85] > 0).all()
+
+
+def test_duration_features(fixture_labels):
+    durs = merlin.duration_features(fixture_labels)
+    assert durs.shape == (len(fixture_labels), 1)
+    assert (durs > 0).all()
+    assert durs.sum() == fixture_labels.num_frames()
+
+
+def test_note_indices(fixture_labels):
+    idx = hts.get_note_indices(fixture_labels)
+    assert idx[0] == 0
+    assert len(idx) <= len(fixture_labels)
+    assert sorted(idx) == idx
+
+
+def test_note_name_to_midi():
+    assert hts.note_name_to_midi("A4") == 69
+    assert hts.note_name_to_midi("C4") == 60
+    assert hts.note_name_to_midi("Ab4") == 68
+    assert hts.note_name_to_midi("C#3") == 49
+    assert hts.note_name_to_midi("xx") == -1
+
+
+def test_segment_labels(fixture_labels):
+    segments = hts.segment_labels(
+        fixture_labels, silence_threshold=0.1, min_duration=1.0
+    )
+    assert len(segments) >= 1
+    for seg in segments:
+        assert seg.start_times[0] == 0
+        assert len(seg) > 0
+    # total phone count is preserved or reduced only by boundary bookkeeping
+    total = sum(len(s) for s in segments)
+    assert total >= len(fixture_labels) - 2
+
+
+def test_merge_sil():
+    labels = hts.HTSLabels()
+    for i, ph in enumerate(["sil", "sil", "a", "sil"]):
+        labels.append((i * 10, (i + 1) * 10, ph), strict=False)
+    merged = hts.merge_sil(labels)
+    assert len(merged) == 3
+    assert merged.end_times[0] == 20
+
+
+def test_label2phrases(fixture_labels):
+    phrases = hts.label2phrases(fixture_labels)
+    assert len(phrases) >= 2
+    # phrases alternate silence / voiced
+    sil_flags = [hts.is_silence_context(p.contexts[0]) for p in phrases]
+    for a, b in zip(sil_flags, sil_flags[1:]):
+        assert a != b
+
+
+def test_phrases_str(fixture_labels):
+    note_indices = hts.get_note_indices(fixture_labels)
+    text = hts.label2phrases_str(fixture_labels, note_indices)
+    lines = text.strip().split("\n")
+    assert len(lines) >= 2
+    for line in lines:
+        cols = line.split(" ", 3)
+        assert int(cols[0]) >= 0
+        assert int(cols[2]) in (0, 1)
+
+
+def test_roundtrip_save(tmp_path, fixture_labels):
+    out = tmp_path / "x.lab"
+    fixture_labels.save(out)
+    loaded = hts.load(out)
+    assert loaded.start_times == fixture_labels.start_times
+    assert loaded.contexts == fixture_labels.contexts
