@@ -1,0 +1,253 @@
+"""Tests for L2 primitives: MDN, MLPG, multistream, scalers, masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.ops import mdn, mlpg, multistream
+from ensemble_svs_with_interactions_tpu.utils import (
+    MinMaxScaler,
+    StandardScaler,
+    get_world_num_aperiodicities,
+    get_world_stream_info,
+    make_non_pad_mask,
+    make_pad_mask,
+)
+
+
+# ---------------------------------------------------------------- MDN
+@pytest.mark.parametrize("dim_wise", [False, True])
+def test_mdn_shapes(dim_wise):
+    B, T, Din, Dout, G = 4, 10, 8, 3, 5
+    layer = mdn.MDNLayer(out_dim=Dout, num_gaussians=G, dim_wise=dim_wise)
+    x = jnp.ones((B, T, Din))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    log_pi, log_sigma, mu = layer.apply(params, x)
+    if dim_wise:
+        assert log_pi.shape == (B, T, G, Dout)
+    else:
+        assert log_pi.shape == (B, T, G)
+    assert log_sigma.shape == (B, T, G, Dout)
+    assert mu.shape == (B, T, G, Dout)
+    # mixture weights normalized
+    assert np.allclose(np.exp(np.asarray(log_pi)).sum(axis=2), 1.0, atol=1e-4)
+
+    target = jnp.zeros((B, T, Dout))
+    loss = mdn.mdn_loss(log_pi, log_sigma, mu, target)
+    assert loss.shape == (B,)
+    assert np.isfinite(np.asarray(loss)).all()
+
+    sigma, mean = mdn.mdn_get_most_probable_sigma_and_mu(log_pi, log_sigma, mu)
+    assert sigma.shape == (B, T, Dout) and mean.shape == (B, T, Dout)
+    assert (np.asarray(sigma) > 0).all()
+
+    sample = mdn.mdn_get_sample(jax.random.PRNGKey(1), log_pi, log_sigma, mu)
+    assert sample.shape == (B, T, Dout)
+
+
+def test_mdn_learns_inverse_function():
+    """Behavioral test mirroring reference tests/test_mdn.py: a tiny MDN can
+    fit a one-to-many inverse mapping and the loss decreases."""
+    import optax
+    from flax import linen as nn
+
+    rng = np.random.default_rng(42)
+    # y = x + 0.3 sin(2 pi x) + noise; learn p(x | y): one-to-many
+    x_data = rng.uniform(0, 1, (1, 800, 1)).astype(np.float32)
+    y_data = (
+        x_data + 0.3 * np.sin(2 * np.pi * x_data)
+        + rng.uniform(-0.1, 0.1, x_data.shape)
+    ).astype(np.float32)
+
+    class TinyMDN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.tanh(nn.Dense(32)(x))
+            return mdn.MDNLayer(out_dim=1, num_gaussians=8)(h)
+
+    model = TinyMDN()
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(y_data))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            log_pi, log_sigma, mu = model.apply(p, jnp.asarray(y_data))
+            return jnp.mean(
+                mdn.mdn_loss(log_pi, log_sigma, mu, jnp.asarray(x_data))
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first_loss = None
+    for i in range(200):
+        params, opt_state, loss = step(params, opt_state)
+        if first_loss is None:
+            first_loss = float(loss)
+    assert float(loss) < first_loss - 0.3
+
+
+# ---------------------------------------------------------------- MLPG
+def _dense_mlpg(means, variances, windows):
+    """Dense reference implementation of MLPG for testing."""
+    T = means.shape[0]
+    W = len(windows)
+    D = means.shape[1] // W
+    coeffs = mlpg.window_coeffs(windows)
+    out = np.zeros((T, D))
+    for d in range(D):
+        rows = []
+        for w, full in enumerate(coeffs):
+            half = (len(full) - 1) // 2
+            Wm = np.zeros((T, T))
+            for t in range(T):
+                for j in range(-half, half + 1):
+                    if 0 <= t + j < T:
+                        Wm[t, t + j] = full[j + half]
+            rows.append(Wm)
+        Wfull = np.concatenate(rows, axis=0)  # (W*T, T)
+        u = np.concatenate([means[:, w * D + d] for w in range(W)])
+        p = np.concatenate([1.0 / variances[:, w * D + d] for w in range(W)])
+        A = Wfull.T @ np.diag(p) @ Wfull
+        b = Wfull.T @ (p * u)
+        out[:, d] = np.linalg.solve(A, b)
+    return out
+
+
+@pytest.mark.parametrize("num_windows", [2, 3])
+def test_mlpg_matches_dense_solve(rng, num_windows):
+    T, D = 50, 4
+    windows = mlpg.default_windows(num_windows)
+    means = rng.normal(size=(T, num_windows * D)).astype(np.float64)
+    variances = rng.uniform(0.5, 2.0, size=(T, num_windows * D))
+    expected = _dense_mlpg(means, variances, windows)
+    got = np.asarray(mlpg.mlpg(means, variances, windows))
+    assert np.allclose(got, expected, atol=1e-4), np.abs(got - expected).max()
+
+
+def test_mlpg_single_window_is_identity(rng):
+    means = rng.normal(size=(20, 3))
+    out = np.asarray(mlpg.mlpg(means, np.ones_like(means), 1))
+    assert np.allclose(out, means)
+
+
+def test_mlpg_global_variance(rng):
+    T, D, W = 30, 2, 3
+    windows = mlpg.default_windows(W)
+    means = rng.normal(size=(T, W * D))
+    gvar = rng.uniform(0.5, 2.0, size=(W * D,))
+    got = np.asarray(mlpg.mlpg(means, gvar, windows))
+    expected = _dense_mlpg(means, np.tile(gvar, (T, 1)), windows)
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_mlpg_recovers_smooth_trajectory(rng):
+    """MLPG on consistent static+delta observations recovers the trajectory."""
+    T, D = 80, 2
+    t = np.linspace(0, 4 * np.pi, T)
+    y = np.stack([np.sin(t), np.cos(t / 2)], axis=1)
+    windows = mlpg.default_windows(3)
+    means = mlpg.apply_delta_windows(y, windows)
+    var = np.ones_like(means) * 0.01
+    got = np.asarray(mlpg.mlpg(means, var, windows))
+    assert np.abs(got - y)[3:-3].max() < 0.05
+
+
+def test_apply_delta_windows(rng):
+    x = rng.normal(size=(10, 2))
+    out = mlpg.apply_delta_windows(x, mlpg.default_windows(3))
+    assert out.shape == (10, 6)
+    assert np.allclose(out[:, :2], x)
+    # delta of interior frames
+    assert np.allclose(out[5, 2:4], 0.5 * (x[6] - x[4]))
+    assert np.allclose(out[5, 4:6], x[6] - 2 * x[5] + x[4])
+
+
+# ---------------------------------------------------------------- streams
+def test_split_select_streams(rng):
+    x = rng.normal(size=(2, 7, 63 + 1 + 1 + 5)).astype(np.float32)
+    streams = multistream.split_streams(x, [63, 1, 1, 5])
+    assert [s.shape[-1] for s in streams] == [63, 1, 1, 5]
+    sel = multistream.select_streams(x, [63, 1, 1, 5], [True, False, False, True])
+    assert sel.shape[-1] == 68
+    assert np.allclose(sel[..., :63], x[..., :63])
+    assert np.allclose(sel[..., 63:], x[..., 65:])
+
+
+def test_static_stream_sizes():
+    sizes = multistream.get_static_stream_sizes(
+        [180, 3, 1, 15], [True, True, False, True], 3
+    )
+    assert list(sizes) == [60, 1, 1, 5]
+
+
+def test_get_static_features(rng):
+    x = rng.normal(size=(2, 7, 199)).astype(np.float32)
+    feats = multistream.get_static_features(
+        x, 3, [180, 3, 1, 15], [True, True, False, True]
+    )
+    assert [f.shape[-1] for f in feats] == [60, 1, 1, 5]
+    assert np.allclose(feats[0], x[..., :60])
+
+
+def test_multi_stream_mlpg(rng):
+    T = 40
+    stream_sizes = [9, 3, 1, 6]
+    has_dyn = [True, True, False, True]
+    x = rng.normal(size=(T, sum(stream_sizes)))
+    var = rng.uniform(0.5, 1.5, size=(sum(stream_sizes),))
+    windows = mlpg.default_windows(3)
+    out = multistream.multi_stream_mlpg(x, var, windows, stream_sizes, has_dyn)
+    assert out.shape == (T, 3 + 1 + 1 + 2)
+    with pytest.raises(RuntimeError):
+        multistream.multi_stream_mlpg(x, var, windows, [10, 3, 1, 6], has_dyn)
+
+
+# ---------------------------------------------------------------- scalers
+def test_standard_scaler_roundtrip(rng):
+    x = rng.normal(loc=3.0, scale=2.0, size=(100, 5))
+    sc = StandardScaler().fit(x)
+    z = sc.transform(x)
+    assert np.allclose(z.mean(axis=0), 0.0, atol=1e-8)
+    assert np.allclose(z.std(axis=0), 1.0, atol=1e-6)
+    assert np.allclose(sc.inverse_transform(z), x)
+
+
+def test_standard_scaler_partial_fit_matches_full(rng):
+    x = rng.normal(size=(90, 4))
+    full = StandardScaler().fit(x)
+    part = StandardScaler()
+    for chunk in np.split(x, 3):
+        part.partial_fit(chunk)
+    assert np.allclose(part.mean_, full.mean_)
+    assert np.allclose(part.var_, full.var_, atol=1e-10)
+
+
+def test_minmax_scaler(rng):
+    x = rng.uniform(-5, 5, size=(50, 3))
+    sc = MinMaxScaler().fit(x)
+    z = sc.transform(x)
+    assert z.min() >= -1e-9 and z.max() <= 1 + 1e-9
+    assert np.allclose(sc.inverse_transform(z), x)
+
+
+# ---------------------------------------------------------------- misc
+def test_masks():
+    m = make_pad_mask([3, 5], maxlen=6)
+    assert m.shape == (2, 6)
+    assert np.asarray(m)[0].tolist() == [False] * 3 + [True] * 3
+    nm = make_non_pad_mask([3, 5], maxlen=6)
+    assert bool((np.asarray(nm) == ~np.asarray(m)).all())
+
+
+def test_world_stream_info():
+    assert get_world_num_aperiodicities(48000) == 5
+    assert get_world_num_aperiodicities(24000) == 3
+    assert get_world_stream_info(48000, 59, 3) == [180, 3, 1, 15]
+    assert get_world_stream_info(48000, 59, 3, vibrato_mode="sine") == [
+        180, 3, 1, 15, 9, 1,
+    ]
