@@ -1,0 +1,24 @@
+from ensemble_svs_with_interactions_tpu.base import (  # noqa: F401
+    BaseModel,
+    PredictionType,
+)
+from ensemble_svs_with_interactions_tpu.models.generic import (  # noqa: F401
+    FFN,
+    LSTM,
+    MDN,
+    RMDN,
+    Conv1dResnet,
+    Conv1dResnetSAR,
+    FeedForwardNet,
+    FFConvLSTM,
+    LSTMEncoder,
+    LSTMRNN,
+    LSTMRNNSAR,
+    MDNv2,
+    MultiSpeakerFFConvLSTM,
+    MultiTrackLSTMEncoder,
+    MultiTrackVariancePredictor,
+    SpeakerEmbedding,
+    TransformerEncoder,
+    VariancePredictor,
+)

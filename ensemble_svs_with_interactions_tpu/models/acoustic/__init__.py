@@ -1,0 +1,10 @@
+from ensemble_svs_with_interactions_tpu.models.acoustic.resf0 import (  # noqa: F401
+    ResF0Conv1dResnet,
+    ResF0VariancePredictor,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.sinsy import (  # noqa: F401
+    ResSkipF0FFConvLSTM,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.util import (  # noqa: F401
+    predict_lf0_with_residual,
+)

@@ -1,0 +1,58 @@
+"""Residual-F0 machinery shared by acoustic models.
+
+Parity target: /root/reference/nnsvs/acoustic_models/util.py:8-57
+(predict_lf0_with_residual).  The reference's pad_inference
+(:60-151) is host-side plumbing around torch models; in this framework the
+equivalent reduction-factor padding happens in the generation pipeline
+(gen.py) with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def predict_lf0_with_residual(
+    in_feats,
+    out_feats,
+    in_lf0_idx: int = 300,
+    in_lf0_min: float = 5.3936276,
+    in_lf0_max: float = 6.491111,
+    out_lf0_idx: int = 180,
+    out_lf0_mean: float = 5.953093881972361,
+    out_lf0_scale: float = 0.23435173188961034,
+    residual_f0_max_cent: float = 600.0,
+):
+    """Compute lf0 = score_lf0 + scaled-tanh(residual), renormalized.
+
+    Args:
+        in_feats: (B, T, D_in) normalized (min-max) input features.
+        out_feats: (B, T, D_out) raw outputs or (B, T, G, D_out) MDN means.
+
+    Returns:
+        (lf0_pred, lf0_residual): lf0_pred is normalized to the output
+        scaler's domain; shapes (B, T, 1)/(B, T, G) matching out_feats.
+    """
+    lf0_score = in_feats[:, :, in_lf0_idx][..., None]
+    lf0_score_denorm = lf0_score * (in_lf0_max - in_lf0_min) + in_lf0_min
+
+    # bound the residual to +/- residual_f0_max_cent cents via scaled tanh
+    max_lf0_ratio = residual_f0_max_cent * np.log(2) / 1200.0
+
+    if out_feats.ndim == 4:
+        lf0_residual = out_feats[:, :, :, out_lf0_idx]  # (B, T, G)
+    else:
+        lf0_residual = out_feats[:, :, out_lf0_idx][..., None]  # (B, T, 1)
+    lf0_residual = max_lf0_ratio * jnp.tanh(lf0_residual)
+
+    lf0_pred_denorm = lf0_score_denorm + lf0_residual
+    lf0_pred = (lf0_pred_denorm - out_lf0_mean) / out_lf0_scale
+    return lf0_pred, lf0_residual
+
+
+def set_lf0_column(out_feats, lf0_pred, out_lf0_idx: int):
+    """Inject predicted lf0 into the lf0 column of (B,T,D) or (B,T,G,D)."""
+    if out_feats.ndim == 4:
+        return out_feats.at[:, :, :, out_lf0_idx].set(lf0_pred)
+    return out_feats.at[:, :, out_lf0_idx].set(lf0_pred[..., 0])
