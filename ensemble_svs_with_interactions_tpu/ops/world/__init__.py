@@ -1,0 +1,18 @@
+from ensemble_svs_with_interactions_tpu.ops.world.codec import (  # noqa: F401
+    code_aperiodicity,
+    code_spectral_envelope,
+    decode_aperiodicity,
+    decode_spectral_envelope,
+    get_cheaptrick_fft_size,
+    get_num_aperiodicities,
+)
+from ensemble_svs_with_interactions_tpu.ops.world.synthesis import (  # noqa: F401
+    synthesize,
+)
+from ensemble_svs_with_interactions_tpu.ops.world.analysis import (  # noqa: F401
+    cheaptrick,
+    d4c,
+    dio,
+    harvest,
+    stonemask,
+)

@@ -1,0 +1,371 @@
+"""WORLD-style speech analysis (host-side NumPy, vectorized across frames).
+
+First-party replacements for pyworld's analysis stack used by the
+reference's feature extraction (/root/reference/nnsvs/data/data_source.py:
+339-349 harvest/dio, :368 cheaptrick, :369 d4c).  Analysis runs at data-prep
+time on the host (SURVEY.md section 7 design stance), so NumPy + batched
+FFTs are the right tool; only synthesis is on the TPU inference hot path.
+
+Implementations:
+  * ``dio``/``harvest``: normalized-autocorrelation F0 estimation with
+    parabolic lag refinement, octave-error median correction and voicing
+    decision.  (Interface-compatible with pyworld; the estimator is a
+    fresh design optimized for vectorization, not a port of the interval-
+    based DIO algorithm.)
+  * ``stonemask``: harmonic instantaneous-frequency refinement of F0.
+  * ``cheaptrick``: faithful CheapTrick — pitch-adaptive Hanning windowing,
+    DC correction, rectangular spectral smoothing (width 2f0/3) and
+    cepstral liftering with the q1=-0.15 recovery lifter.
+  * ``d4c``: band aperiodicity via harmonic-peak / inter-harmonic-valley
+    envelope ratio per 3 kHz band, with a LoveTrain-style global
+    periodicity gate (``threshold``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.ndimage import median_filter
+
+from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+    FREQUENCY_INTERVAL,
+    get_cheaptrick_fft_size,
+    get_num_aperiodicities,
+)
+
+DEFAULT_F0 = 500.0  # WORLD's kDefaultF0 for unvoiced spectral analysis
+_EPS = 1e-12
+
+# Empirical calibration of the white-noise envelope level after windowing,
+# DC correction and liftering (see tests/test_world.py copy-synthesis).
+NOISE_CALIBRATION = 1.06
+# The harmonic-path envelope integral is inflated by ~1.73/1.06 relative to
+# the noise path by the smoothing+liftering chain; synthesis compensates in
+# the pulse amplitude (synthesis.PULSE_CALIBRATION).
+
+
+def _frame_positions(n_samples: int, fs: int, frame_period: float) -> np.ndarray:
+    hop = fs * frame_period / 1000.0
+    n_frames = int(n_samples / hop) + 1
+    return np.arange(n_frames) * frame_period / 1000.0
+
+
+def _gather_frames(x: np.ndarray, centers: np.ndarray, length: int) -> np.ndarray:
+    """(T, length) windows of x centered at given sample positions."""
+    half = length // 2
+    idx = centers[:, None] + np.arange(-half, length - half)[None, :]
+    idx = np.clip(idx, 0, len(x) - 1)
+    out = x[idx]
+    # zero out-of-range samples instead of replicating edges
+    valid = (idx >= 0) & (centers[:, None] + np.arange(-half, length - half) < len(x))
+    lo = centers[:, None] + np.arange(-half, length - half)[None, :]
+    out = np.where((lo >= 0) & (lo < len(x)), out, 0.0)
+    return out
+
+
+# --------------------------------------------------------------------------
+# F0 estimation
+# --------------------------------------------------------------------------
+
+
+def dio(
+    x: np.ndarray,
+    fs: int,
+    frame_period: float = 5.0,
+    f0_floor: float = 71.0,
+    f0_ceil: float = 800.0,
+    voicing_threshold: float = 0.55,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Estimate F0 with frame-level normalized autocorrelation.
+
+    Returns (f0, temporal_positions); f0 is 0 at unvoiced frames.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    t = _frame_positions(len(x), fs, frame_period)
+    centers = np.rint(t * fs).astype(np.int64)
+
+    max_lag = int(fs / f0_floor)
+    win_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
+    frames = _gather_frames(x, centers, win_len)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+
+    # autocorrelation via FFT
+    spec = np.fft.rfft(frames, n=2 * win_len, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), axis=1)[:, : max_lag + 1]
+    r0 = np.maximum(ac[:, 0], _EPS)
+
+    min_lag = max(2, int(fs / f0_ceil))
+    lag_slice = ac[:, min_lag : max_lag + 1] / r0[:, None]
+    best = np.argmax(lag_slice, axis=1) + min_lag
+    peak = lag_slice[np.arange(len(best)), best - min_lag]
+
+    # parabolic interpolation around the peak
+    li = np.clip(best, min_lag + 1, max_lag - 1)
+    ym1 = ac[np.arange(len(li)), li - 1] / r0
+    y0 = ac[np.arange(len(li)), li] / r0
+    yp1 = ac[np.arange(len(li)), li + 1] / r0
+    denom = ym1 - 2 * y0 + yp1
+    delta = np.where(np.abs(denom) > _EPS, 0.5 * (ym1 - yp1) / denom, 0.0)
+    delta = np.clip(delta, -1.0, 1.0)
+    lag_refined = li + delta
+
+    f0 = fs / lag_refined
+    energy = r0 / win_len
+    voiced = (peak > voicing_threshold) & (energy > 1e-8)
+    f0 = np.where(voiced, f0, 0.0)
+
+    # octave-error suppression: median filter on voiced log-f0
+    lf0 = np.where(f0 > 0, np.log(np.maximum(f0, _EPS)), 0.0)
+    med = median_filter(lf0, size=5, mode="nearest")
+    bad = (f0 > 0) & (np.abs(lf0 - med) > np.log(1.8)) & (med > 0)
+    f0 = np.where(bad, np.exp(med), f0)
+    f0 = np.where((f0 >= f0_floor) & (f0 <= f0_ceil), f0, 0.0)
+    return f0, t
+
+
+def harvest(
+    x, fs, frame_period: float = 5.0, f0_floor: float = 71.0, f0_ceil: float = 800.0
+):
+    """Harvest-compatible interface: same estimator with a laxer voicing gate."""
+    return dio(
+        x, fs, frame_period, f0_floor, f0_ceil, voicing_threshold=0.45
+    )
+
+
+def stonemask(x: np.ndarray, f0: np.ndarray, temporal_positions, fs: int):
+    """Refine F0 using harmonic instantaneous frequencies.
+
+    For each voiced frame, the instantaneous frequency at the first
+    harmonics is measured from the phase difference of two DFTs one sample
+    apart; the refined F0 is their amplitude-weighted mean.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    t = np.asarray(temporal_positions)
+    f0 = np.asarray(f0, dtype=np.float64)
+    voiced = f0 > 0
+    if not voiced.any():
+        return f0.copy()
+    centers = np.rint(t * fs).astype(np.int64)
+
+    f0_safe = np.where(voiced, f0, DEFAULT_F0)
+    win_len_f = 3.0 * fs / f0_safe
+    max_len = int(2 ** np.ceil(np.log2(win_len_f.max() + 2)))
+
+    seg0 = _gather_frames(x, centers, max_len)
+    seg1 = _gather_frames(x, centers + 1, max_len)
+    offs = np.arange(max_len) - max_len // 2
+    # per-frame Hanning over the pitch-adaptive length, zero outside
+    rel = offs[None, :] / (win_len_f[:, None] / 2.0)
+    win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
+
+    S0 = np.fft.rfft(seg0 * win, axis=1)
+    S1 = np.fft.rfft(seg1 * win, axis=1)
+    # instantaneous frequency per bin from cross-spectrum phase
+    cross = np.conj(S0) * S1
+    inst_cycles = np.angle(cross) / (2 * np.pi) * fs  # Hz per bin
+
+    n_harm = 3
+    num = np.zeros(len(f0))
+    den = np.zeros(len(f0))
+    freq_per_bin = fs / max_len
+    for k in range(1, n_harm + 1):
+        bins = np.rint(k * f0_safe / freq_per_bin).astype(np.int64)
+        bins = np.clip(bins, 0, S0.shape[1] - 1)
+        amp = np.abs(S0[np.arange(len(bins)), bins])
+        inst = inst_cycles[np.arange(len(bins)), bins] / k
+        ok = (inst > 0) & np.isfinite(inst)
+        num += np.where(ok, amp * inst, 0.0)
+        den += np.where(ok, amp, 0.0)
+    refined = np.where(den > _EPS, num / np.maximum(den, _EPS), f0_safe)
+    # reject wild refinements (> 20% off)
+    good = np.abs(refined - f0_safe) / f0_safe < 0.2
+    out = np.where(voiced & good, refined, f0)
+    return np.where(voiced, out, 0.0)
+
+
+# --------------------------------------------------------------------------
+# CheapTrick spectral envelope
+# --------------------------------------------------------------------------
+
+
+def cheaptrick(
+    x: np.ndarray,
+    f0: np.ndarray,
+    temporal_positions,
+    fs: int,
+    q1: float = -0.15,
+    f0_floor: Optional[float] = None,
+    fft_size: Optional[int] = None,
+):
+    """CheapTrick power spectral envelope, (T, fft_size//2+1)."""
+    x = np.asarray(x, dtype=np.float64)
+    f0 = np.asarray(f0, dtype=np.float64)
+    t = np.asarray(temporal_positions)
+    if fft_size is None:
+        fft_size = get_cheaptrick_fft_size(fs, f0_floor or 71.0)
+    half = fft_size // 2
+    centers = np.rint(t * fs).astype(np.int64)
+
+    f0_safe = np.where(f0 > 0, f0, DEFAULT_F0)
+    # lowest F0 CheapTrick can analyze with this FFT size
+    f0_safe = np.maximum(f0_safe, 3.0 * fs / (fft_size - 3.0))
+
+    # ---- 1. pitch-adaptive windowed waveform -----------------------------
+    half_win_f = 1.5 * fs / f0_safe
+    seg = _gather_frames(x, centers, fft_size)
+    offs = np.arange(fft_size) - fft_size // 2
+    rel = offs[None, :] / half_win_f[:, None]
+    win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
+    wsum = win.sum(axis=1, keepdims=True)
+    wave = seg * win
+    # remove window-weighted DC
+    wave = wave - win * (wave.sum(axis=1, keepdims=True) / np.maximum(wsum, _EPS))
+
+    # ---- 2. power spectrum with DC correction ----------------------------
+    # Normalize by the window energy so the envelope of white noise equals
+    # its variance (PSD semantics); the residual noise-path factor and the
+    # harmonic-path inflation are calibrated constants shared with
+    # synthesis.py (measured by the copy-synthesis invariance tests).
+    w2sum = np.maximum((win**2).sum(axis=1, keepdims=True), _EPS)
+    ps = np.abs(np.fft.rfft(wave, n=fft_size, axis=1)) ** 2 / w2sum
+    ps = ps / NOISE_CALIBRATION
+    freq_per_bin = fs / fft_size
+    f0_bin = (f0_safe / freq_per_bin)
+    # mirror-add components below f0 (compensates windowing loss at DC)
+    bin_idx = np.arange(half + 1)
+    mirror = np.rint(2 * f0_bin[:, None] - bin_idx[None, :]).astype(np.int64)
+    mirror = np.clip(mirror, 0, half)
+    below = bin_idx[None, :] < f0_bin[:, None]
+    ps = ps + np.where(below, np.take_along_axis(ps, mirror, axis=1), 0.0)
+
+    # ---- 3. rectangular smoothing, width 2 f0 / 3 -------------------------
+    width_bins = (2.0 * f0_safe / 3.0) / freq_per_bin  # (T,)
+    # integrate with reflected boundaries to avoid edge bias
+    ext = np.concatenate([ps[:, 1:2], ps, ps[:, half - 1 : half]], axis=1)
+    cum = np.cumsum(ext, axis=1)  # piecewise-constant integral, bin units
+
+    def interp_cum(pos):
+        # pos: (T, half+1) fractional positions into cum
+        p = np.clip(pos, 0.0, cum.shape[1] - 1.0)
+        i0 = np.floor(p).astype(np.int64)
+        i1 = np.minimum(i0 + 1, cum.shape[1] - 1)
+        w = p - i0
+        return (
+            np.take_along_axis(cum, i0, axis=1) * (1 - w)
+            + np.take_along_axis(cum, i1, axis=1) * w
+        )
+
+    center_pos = bin_idx[None, :] + 1.0  # +1 for the left reflection pad
+    hi = interp_cum(center_pos + width_bins[:, None] / 2.0)
+    lo = interp_cum(center_pos - width_bins[:, None] / 2.0)
+    smoothed = (hi - lo) / width_bins[:, None]
+    smoothed = np.maximum(smoothed, _EPS)
+
+    # ---- 4. cepstral liftering with spectral recovery ---------------------
+    log_s = np.log(smoothed)
+    cep = np.fft.irfft(log_s, n=fft_size, axis=1)  # (T, fft)
+    quef = np.arange(fft_size)
+    quef = np.minimum(quef, fft_size - quef) / fs  # symmetric quefrency (s)
+    arg = np.pi * f0_safe[:, None] * quef[None, :]
+    smoothing_lifter = np.where(arg < _EPS, 1.0, np.sin(arg) / np.maximum(arg, _EPS))
+    compensation_lifter = (1.0 - 2.0 * q1) + 2.0 * q1 * np.cos(2.0 * arg)
+    cep = cep * smoothing_lifter * compensation_lifter
+    env = np.exp(np.real(np.fft.rfft(cep, n=fft_size, axis=1)))
+    return env
+
+
+# --------------------------------------------------------------------------
+# D4C band aperiodicity
+# --------------------------------------------------------------------------
+
+
+def d4c(
+    x: np.ndarray,
+    f0: np.ndarray,
+    temporal_positions,
+    fs: int,
+    threshold: float = 0.85,
+    fft_size: Optional[int] = None,
+):
+    """Band aperiodicity, (T, fft_size//2+1), linear amplitude ratio [0, 1].
+
+    Per 3 kHz band, the aperiodic-to-total amplitude ratio is estimated from
+    the inter-harmonic valley level relative to the harmonic peak level of a
+    pitch-synchronous spectrum.  Frames whose overall periodicity (peak
+    normalized autocorrelation) is below ``threshold`` are treated as fully
+    aperiodic, mirroring D4C LoveTrain.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    f0 = np.asarray(f0, dtype=np.float64)
+    t = np.asarray(temporal_positions)
+    if fft_size is None:
+        fft_size = get_cheaptrick_fft_size(fs, 71.0)
+    half = fft_size // 2
+    T = len(f0)
+    n_bands = get_num_aperiodicities(fs)
+    centers = np.rint(t * fs).astype(np.int64)
+
+    voiced = f0 > 0
+    f0_safe = np.where(voiced, np.maximum(f0, 3.0 * fs / (fft_size - 3.0)), DEFAULT_F0)
+
+    # pitch-synchronous windowed spectrum (4 periods, Blackman-like Hann)
+    seg = _gather_frames(x, centers, fft_size)
+    offs = np.arange(fft_size) - fft_size // 2
+    half_win_f = 2.0 * fs / f0_safe
+    rel = offs[None, :] / half_win_f[:, None]
+    win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
+    wave = seg * win
+    wave = wave - win * (
+        wave.sum(axis=1, keepdims=True)
+        / np.maximum(win.sum(axis=1, keepdims=True), _EPS)
+    )
+    ps = np.abs(np.fft.rfft(wave, n=fft_size, axis=1)) ** 2  # (T, half+1)
+
+    freq_per_bin = fs / fft_size
+
+    # harmonic peak level / inter-harmonic valley level per band
+    coarse = np.zeros((T, n_bands))
+    bin_freqs = np.arange(half + 1) * freq_per_bin
+    for b in range(n_bands):
+        f_lo = FREQUENCY_INTERVAL * (b + 0.5)
+        f_hi = FREQUENCY_INTERVAL * (b + 1.5)
+        band = (bin_freqs >= f_lo) & (bin_freqs < f_hi)
+        band_ps = np.where(band[None, :], ps, 0.0)
+        nbins = band.sum()
+        if nbins == 0:
+            coarse[:, b] = 1.0
+            continue
+        # harmonic comb: distance (in cycles) of each bin from nearest harmonic
+        harm_pos = bin_freqs[None, :] / f0_safe[:, None]
+        dist = np.abs(harm_pos - np.rint(harm_pos))
+        near = dist < 0.2  # within 20% of a harmonic
+        far = dist > 0.35  # valley region
+        peak_level = np.where(band[None, :] & near, ps, 0.0).max(axis=1)
+        far_count = np.maximum((band[None, :] & far).sum(axis=1), 1)
+        valley_level = (
+            np.where(band[None, :] & far, ps, 0.0).sum(axis=1) / far_count
+        )
+        ratio = valley_level / np.maximum(peak_level, _EPS)
+        coarse[:, b] = np.clip(np.sqrt(ratio), 0.001, 1.0)
+
+    # LoveTrain-style gate: low-periodicity frames are fully aperiodic
+    max_lag = int(fs / 71.0)
+    ac_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
+    frames = _gather_frames(x, centers, ac_len)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    spec = np.fft.rfft(frames, n=2 * ac_len, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), axis=1)
+    r0 = np.maximum(ac[:, 0], _EPS)
+    lag = np.clip(np.rint(fs / f0_safe).astype(np.int64), 2, max_lag)
+    periodicity = ac[np.arange(T), lag] / r0
+    aperiodic_frame = (~voiced) | (periodicity < (1.0 - threshold))
+    coarse = np.where(aperiodic_frame[:, None], 1.0 - 1e-12, coarse)
+
+    # expand bands to the full frequency axis (linear interp in dB domain)
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        decode_aperiodicity,
+    )
+
+    coarse_db = 20.0 * np.log10(np.maximum(coarse, 1e-12))
+    return decode_aperiodicity(coarse_db, fs, fft_size)

@@ -1,0 +1,154 @@
+"""WORLD-style synthesis as a jitted TPU kernel.
+
+Replaces ``pyworld.synthesize`` on the inference hot path (reference call
+site: /root/reference/nnsvs/gen.py:1606-1612 — there it is native C++ running
+per-pulse on the CPU; here the whole vocoder is a single XLA program).
+
+Algorithm (batched over frames, no data-dependent control flow):
+  1. Split the envelope into periodic / aperiodic power using WORLD's
+     convention: periodic = sp * (1 - ap^2), aperiodic = sp * ap^2.
+  2. Per-frame minimum-phase impulse responses via the cepstrum method —
+     two batched (T, fft) FFTs, XLA-fused.
+  3. Excitation: a pulse train from the cumulative phase of the sample-rate
+     F0 track (pulse amplitude sqrt(fs/f0) for unit average PSD) plus unit
+     white noise.
+  4. Time-varying filtering: excitation chunked per frame, convolved with
+     that frame's IR via FFT, overlap-added with a static-shape shift-add
+     (no scatter).
+
+Everything is static-shape: jit recompiles only per (num_frames bucket,
+fft_size, hop).  Callers should pad frame counts to buckets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+# Compensates the harmonic-path envelope inflation of the analysis chain
+# (ops/world/analysis.py NOISE_CALIBRATION notes): pulse amplitude factor
+# sqrt(1.06 / 1.73), measured by the copy-synthesis invariance tests.
+PULSE_CALIBRATION = 0.783
+
+
+def minimum_phase_ir(power_spec, fft_size: int):
+    """(T, half+1) power spectrum -> (T, fft_size) causal min-phase IRs."""
+    half = fft_size // 2
+    logamp = 0.5 * jnp.log(jnp.maximum(power_spec, _EPS))
+    c = jnp.fft.irfft(logamp, n=fft_size, axis=-1)
+    # fold negative quefrencies onto positive ones (min-phase cepstrum)
+    fold = jnp.concatenate(
+        [
+            c[..., :1],
+            2.0 * c[..., 1:half],
+            c[..., half : half + 1],
+            jnp.zeros_like(c[..., half + 1 :]),
+        ],
+        axis=-1,
+    )
+    H = jnp.exp(jnp.fft.rfft(fold, n=fft_size, axis=-1))
+    return jnp.fft.irfft(H, n=fft_size, axis=-1)
+
+
+def _overlap_add(chunks, hop: int, out_len: int):
+    """OLA (T, L) chunks at stride ``hop`` into a length-out_len signal.
+
+    Static-shape shift-add: reshape each chunk into K hop-sized pieces and
+    accumulate K shifted (T, hop) planes — no scatter ops.
+    """
+    T, L = chunks.shape
+    K = -(-L // hop)  # ceil
+    pad = K * hop - L
+    chunks = jnp.pad(chunks, ((0, 0), (0, pad)))
+    pieces = chunks.reshape(T, K, hop)
+    acc = jnp.zeros((T + K, hop), chunks.dtype)
+    for k in range(K):
+        acc = acc.at[k : k + T].add(pieces[:, k, :])
+    return acc.reshape(-1)[:out_len]
+
+
+@partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))
+def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
+    T = f0.shape[0]
+    N = T * hop
+    half = fft_size // 2
+
+    voiced = f0 > 0.0
+    f0_safe = jnp.where(voiced, f0, 1.0)
+
+    # ---- excitation ------------------------------------------------------
+    # sample-rate f0 (frame hold)
+    f0_samples = jnp.repeat(jnp.where(voiced, f0, 0.0), hop)
+    phase = jnp.cumsum(f0_samples) / fs  # cycles
+    k = jnp.floor(phase)
+    new_pulse = jnp.concatenate([jnp.zeros((1,), k.dtype), jnp.diff(k)]) > 0
+    amp = PULSE_CALIBRATION * jnp.sqrt(fs / jnp.repeat(f0_safe, hop))
+    pulses = jnp.where(
+        new_pulse & (f0_samples > 0), amp, jnp.zeros_like(amp)
+    ).astype(jnp.float32)
+
+    # ---- per-frame responses --------------------------------------------
+    ap2 = jnp.clip(ap, 0.0, 1.0) ** 2
+    # unvoiced frames: everything is noise
+    ap2 = jnp.where(voiced[:, None], ap2, jnp.ones_like(ap2))
+    per_power = sp * (1.0 - ap2)
+    apr_power = sp * ap2
+    h_per = minimum_phase_ir(per_power, fft_size)
+    h_apr = minimum_phase_ir(apr_power, fft_size)
+
+    # ---- time-varying filtering (chunked FFT convolution + OLA) ----------
+    conv_len = fft_size + hop
+    Lfft = int(2 ** np.ceil(np.log2(conv_len)))
+
+    def filt(excitation, h):
+        chunks = excitation.reshape(T, hop)
+        X = jnp.fft.rfft(chunks, n=Lfft, axis=-1)
+        H = jnp.fft.rfft(h, n=Lfft, axis=-1)
+        y = jnp.fft.irfft(X * H, n=Lfft, axis=-1)[:, :conv_len]
+        return _overlap_add(y, hop, N)
+
+    y = filt(pulses, h_per) + filt(noise.astype(jnp.float32), h_apr)
+    return y
+
+
+def synthesize(
+    f0,
+    spectrogram,
+    aperiodicity,
+    fs: int,
+    frame_period: float = 5.0,
+    key=None,
+):
+    """Synthesize a waveform from WORLD parameters.
+
+    Args:
+        f0: (T,) fundamental frequency in Hz (0 = unvoiced).
+        spectrogram: (T, fft//2+1) power spectral envelope (CheapTrick).
+        aperiodicity: (T, fft//2+1) linear aperiodicity in [0, 1] (D4C).
+        fs: sampling rate.
+        frame_period: frame shift in ms.
+        key: PRNG key for the noise excitation (seeded default if None).
+
+    Returns:
+        (T * hop,) float32 waveform.
+    """
+    hop = int(fs * frame_period / 1000.0)
+    fft_size = (spectrogram.shape[-1] - 1) * 2
+    T = int(f0.shape[0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (T * hop,), dtype=jnp.float32)
+    return _synthesize_impl(
+        jnp.asarray(f0, jnp.float32),
+        jnp.asarray(spectrogram, jnp.float32),
+        jnp.asarray(aperiodicity, jnp.float32),
+        noise,
+        fs,
+        hop,
+        fft_size,
+    )

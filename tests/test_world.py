@@ -1,0 +1,193 @@
+"""Tests for the WORLD stack: analysis, codecs, SPTK ops, TPU synthesis."""
+
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.ops import sptk
+from ensemble_svs_with_interactions_tpu.ops import world
+
+FS = 24000  # smaller fs keeps tests fast (fft 1024)
+
+
+def make_harmonic_signal(fs, dur=1.0, f0_hz=220.0, n_harm=10, seed=0):
+    """A harmonic signal with a -6 dB/oct rolloff envelope."""
+    t = np.arange(int(fs * dur)) / fs
+    x = np.zeros_like(t)
+    for k in range(1, n_harm + 1):
+        x += (1.0 / k) * np.sin(2 * np.pi * k * f0_hz * t)
+    return 0.3 * x / np.abs(x).max()
+
+
+# ---------------------------------------------------------------- F0
+def test_dio_constant_f0():
+    f0_true = 220.0
+    x = make_harmonic_signal(FS, f0_hz=f0_true)
+    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
+    voiced = f0 > 0
+    # interior frames voiced, f0 accurate to ~1%
+    assert voiced[10:-10].mean() > 0.95
+    err = np.abs(f0[voiced] - f0_true) / f0_true
+    assert np.median(err) < 0.01
+
+
+def test_dio_silence_is_unvoiced():
+    x = np.random.default_rng(0).normal(size=FS) * 1e-6
+    f0, _ = world.dio(x, FS)
+    assert (f0 == 0).all()
+
+
+def test_dio_vibrato_tracking():
+    fs = FS
+    t = np.arange(fs) / fs
+    f0_curve = 220.0 * (1 + 0.03 * np.sin(2 * np.pi * 5.5 * t))  # 5.5 Hz vibrato
+    phase = 2 * np.pi * np.cumsum(f0_curve) / fs
+    x = 0.3 * (np.sin(phase) + 0.5 * np.sin(2 * phase) + 0.3 * np.sin(3 * phase))
+    f0, tt = world.dio(x, fs, f0_floor=100, f0_ceil=500)
+    f0 = world.stonemask(x, f0, tt, fs)
+    voiced = f0 > 0
+    interior = voiced.copy()
+    interior[:20] = interior[-20:] = False
+    f0_ref = np.interp(tt[interior], t, f0_curve)
+    err_cent = 1200 * np.abs(np.log2(f0[interior] / f0_ref))
+    assert np.median(err_cent) < 20  # track vibrato within 20 cents
+
+
+def test_stonemask_refines():
+    f0_true = 233.1
+    x = make_harmonic_signal(FS, f0_hz=f0_true)
+    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
+    f0r = world.stonemask(x, f0, t, FS)
+    v = f0r > 0
+    err = np.abs(f0r[v] - f0_true)
+    assert np.median(err) < 1.0  # sub-Hz accuracy after refinement
+
+
+# ---------------------------------------------------------------- envelope
+def test_cheaptrick_envelope_shape_and_level():
+    x = make_harmonic_signal(FS, f0_hz=220.0)
+    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
+    sp = world.cheaptrick(x, f0, t, FS)
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    assert sp.shape == (len(f0), fft_size // 2 + 1)
+    assert (sp > 0).all()
+    # envelope at the fundamental should dominate envelope at 10 kHz
+    bin_f0 = int(220.0 * fft_size / FS)
+    bin_hi = int(10000.0 * fft_size / FS)
+    mid = len(f0) // 2
+    assert sp[mid, bin_f0] > 100 * sp[mid, bin_hi]
+
+
+# ---------------------------------------------------------------- codecs
+def test_spectral_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    half = fft_size // 2 + 1
+    # smooth random log envelope
+    from scipy.ndimage import gaussian_filter1d
+
+    log_sp = gaussian_filter1d(rng.normal(size=(10, half)), sigma=30, axis=1)
+    sp = np.exp(log_sp)
+    coded = world.code_spectral_envelope(sp, FS, 60)
+    assert coded.shape == (10, 60)
+    dec = world.decode_spectral_envelope(coded, FS, fft_size)
+    assert dec.shape == (10, half)
+    err = np.abs(np.log(dec) - np.log(sp))
+    assert err.mean() < 0.1  # smooth envelopes survive the codec
+
+
+def test_aperiodicity_codec_roundtrip():
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    half = fft_size // 2 + 1
+    n = world.get_num_aperiodicities(FS)
+    assert n == 3  # 24 kHz -> 3 bands
+    rng = np.random.default_rng(0)
+    coded = rng.uniform(-50, -5, size=(7, n))
+    ap = world.decode_aperiodicity(coded, FS, fft_size)
+    assert ap.shape == (7, half)
+    assert (ap > 0).all() and (ap <= 1.0).all()
+    recoded = world.code_aperiodicity(ap, FS)
+    assert np.allclose(recoded, coded, atol=0.5)
+
+
+# ---------------------------------------------------------------- sptk
+def test_mcepalpha():
+    assert abs(sptk.mcepalpha(16000) - 0.41) < 0.015
+    assert abs(sptk.mcepalpha(48000) - 0.554) < 0.015
+
+
+def test_sp2mc_mc2sp_roundtrip():
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter1d
+
+    fftlen = 1024
+    log_sp = gaussian_filter1d(rng.normal(size=(5, fftlen // 2 + 1)), 20, axis=1)
+    sp = np.exp(log_sp)
+    alpha = sptk.mcepalpha(FS)
+    mc = sptk.sp2mc(sp, order=40, alpha=alpha)
+    assert mc.shape == (5, 41)
+    sp_rec = sptk.mc2sp(mc, alpha, fftlen)
+    err = np.abs(np.log(sp_rec) - np.log(sp))
+    assert err.mean() < 0.1
+
+
+# ---------------------------------------------------------------- synthesis
+def test_synthesize_shapes_and_sanity():
+    T = 100
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    half = fft_size // 2 + 1
+    f0 = np.full(T, 220.0)
+    f0[:10] = 0.0  # leading unvoiced
+    sp = np.full((T, half), 1e-4)
+    ap = np.full((T, half), 0.05)
+    y = np.asarray(world.synthesize(f0, sp, ap, FS, 5.0))
+    hop = FS * 5 // 1000
+    assert y.shape == (T * hop,)
+    assert np.isfinite(y).all()
+    # voiced region must be periodic at 1/f0 (unvoiced leading region is
+    # noise at full envelope power by design)
+    seg = y[30 * hop : 70 * hop].astype(np.float64)
+    seg -= seg.mean()
+    ac = np.correlate(seg, seg, "full")[len(seg) - 1 :]
+    lag = int(round(FS / 220.0))
+    assert ac[lag] / ac[0] > 0.5
+
+
+def test_copy_synthesis_preserves_f0_and_energy():
+    """Full analysis->synthesis loop: F0 and band energy must survive."""
+    f0_true = 220.0
+    x = make_harmonic_signal(FS, dur=1.0, f0_hz=f0_true)
+    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
+    f0 = world.stonemask(x, f0, t, FS)
+    sp = world.cheaptrick(x, f0, t, FS)
+    ap = world.d4c(x, f0, t, FS)
+    y = np.asarray(world.synthesize(f0, sp, ap, FS, 5.0))
+
+    # 1. F0 of the resynthesized signal matches
+    f0_resyn, _ = world.dio(y.astype(np.float64), FS, f0_floor=100, f0_ceil=500)
+    v = (f0_resyn > 0) & (np.resize(f0, len(f0_resyn)) > 0)
+    assert v.mean() > 0.5
+    err_cent = 1200 * np.abs(
+        np.log2(f0_resyn[v] / np.resize(f0, len(f0_resyn))[v])
+    )
+    assert np.median(err_cent) < 30
+
+    # 2. overall RMS within 3 dB
+    n = min(len(x), len(y))
+    rms_in = np.sqrt(np.mean(x[:n] ** 2))
+    rms_out = np.sqrt(np.mean(y[:n] ** 2))
+    assert abs(20 * np.log10(rms_out / rms_in)) < 3.0
+
+    # 3. spectral envelope similarity in the voiced band (0-4 kHz)
+    def band_spectrum(sig):
+        from scipy.signal import welch
+
+        fr, pxx = welch(sig[:n], FS, nperseg=1024)
+        return fr, pxx
+
+    fr, p_in = band_spectrum(x)
+    _, p_out = band_spectrum(y)
+    sel = (fr > 100) & (fr < 4000)
+    db_err = np.abs(
+        10 * np.log10(p_out[sel] + 1e-12) - 10 * np.log10(p_in[sel] + 1e-12)
+    )
+    assert np.median(db_err) < 6.0
