@@ -1,0 +1,806 @@
+"""Score-to-waveform generation pipeline.
+
+Re-design of the reference's nnsvs/gen.py (predict_timelag :53,
+predict_duration :432, postprocess_duration :723, predict_acoustic :1008,
+postprocess_acoustic :1313, gen_spsvs_static_features :1899,
+gen_world_params :2022, predict_waveform :1531, postprocess_waveform :1699).
+
+TPU design:
+  * Host (NumPy): linguistic featurization, note bookkeeping, duration
+    normalization loops — data-dependent control flow stays out of XLA.
+  * Device (jit): model inference (frame counts padded to buckets so XLA
+    compiles once per bucket), MLPG, WORLD synthesis.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.ops import world
+from ensemble_svs_with_interactions_tpu.ops.multistream import (
+    get_static_stream_sizes,
+    get_windows,
+    multi_stream_mlpg,
+    split_streams,
+)
+from ensemble_svs_with_interactions_tpu.ops.pitch import (
+    bandpass_filter,
+    gen_sine_vibrato,
+    interp1d,
+    lowpass_filter,
+)
+from ensemble_svs_with_interactions_tpu.ops.sptk import mc2sp, mcepalpha
+from ensemble_svs_with_interactions_tpu.models.postfilters import variance_scaling
+from ensemble_svs_with_interactions_tpu.utils.scalers import MinMaxScaler
+
+# frame-count buckets bound XLA recompilation: frame-level models pad to
+# multiples of 512 frames, note/phone-level models to multiples of 64
+FRAME_BUCKET = 512
+PHONE_BUCKET = 64
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return int(math.ceil(n / multiple) * multiple)
+
+
+def midi_to_hz(x: np.ndarray, idx: int, log_f0: bool = False) -> np.ndarray:
+    """MIDI note column -> Hz (0 stays 0), optionally log."""
+    z = np.zeros(len(x))
+    nz = x[:, idx] > 0
+    z[nz] = 440.0 * 2.0 ** ((x[nz, idx] - 69) / 12.0)
+    if log_f0:
+        z[nz] = np.log(z[nz])
+    return z
+
+
+@dataclass
+class ModelPack:
+    """A model + trained variables + stream config, with bucketed jit
+    inference.  The functional analogue of the reference's
+    (nn.Module, config, scalers) triples."""
+
+    module: Any
+    variables: dict
+    config: Any  # needs stream_sizes, has_dynamic_features, num_windows
+    bucket: int = FRAME_BUCKET
+
+    def __post_init__(self):
+        def _infer(variables, *args, **kwargs):
+            return self.module.apply(variables, *args, method="inference", **kwargs)
+
+        self._jit_infer = jax.jit(_infer)
+
+    def prediction_type(self):
+        return self.module.prediction_type()
+
+    def inference(self, x: np.ndarray, spks=None, x_sub: Optional[np.ndarray] = None):
+        """Run inference on a single (T, D) sequence with bucket padding."""
+        T = x.shape[0]
+        T_pad = _round_up(max(T, 1), self.bucket)
+        xb = np.zeros((1, T_pad, x.shape[1]), np.float32)
+        xb[0, :T] = x
+        lengths = jnp.asarray([T])
+        args = [jnp.asarray(xb)]
+        if x_sub is not None:
+            xsb = np.zeros((1, T_pad, x_sub.shape[1]), np.float32)
+            xsb[0, : x_sub.shape[0]] = x_sub
+            args.append(jnp.asarray(xsb))
+        if spks is not None:
+            args.append(spks)
+        out = self._jit_infer(self.variables, *args, lengths)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o)[0, :T] for o in out)
+        return np.asarray(out)[0, :T]
+
+
+def _prepare_linguistic_features(
+    labels,
+    binary_dict,
+    numeric_dict,
+    in_scaler,
+    pitch_indices,
+    add_frame_features: bool,
+    subphone_features: Optional[str],
+    log_f0_conditioning: bool,
+    force_clip_input_features: bool,
+    frame_shift: int,
+    f0_shift_in_cent: float = 0.0,
+) -> np.ndarray:
+    feats = fe.linguistic_features(
+        labels,
+        binary_dict,
+        numeric_dict,
+        add_frame_features=add_frame_features,
+        subphone_features=subphone_features,
+        frame_shift=frame_shift,
+    ).astype(np.float32)
+    if log_f0_conditioning:
+        for idx in pitch_indices:
+            feats[:, idx] = interp1d(midi_to_hz(feats, idx, True))
+            if f0_shift_in_cent != 0:
+                feats[:, idx] += f0_shift_in_cent * np.log(2) / 1200
+    feats = np.asarray(in_scaler.transform(feats), dtype=np.float32)
+    if force_clip_input_features and isinstance(in_scaler, MinMaxScaler):
+        non_pitch = [i for i in range(feats.shape[1]) if i not in pitch_indices]
+        lo, hi = in_scaler.feature_range
+        feats[:, non_pitch] = np.clip(feats[:, non_pitch], lo, hi)
+    return feats
+
+
+def _denorm_and_mlpg(pred, out_scaler, config, is_probabilistic: bool):
+    """Shared denormalization + optional per-stream MLPG."""
+    has_dyn = np.any(config.has_dynamic_features)
+    if is_probabilistic:
+        mu, sigma = pred
+        if has_dyn:
+            sigma_sq = np.maximum(
+                np.asarray(sigma) ** 2 * np.asarray(out_scaler.var_), 1e-14
+            )
+            mu = np.asarray(out_scaler.inverse_transform(mu))
+            return multi_stream_mlpg(
+                mu,
+                sigma_sq,
+                get_windows(config.num_windows),
+                list(config.stream_sizes),
+                list(config.has_dynamic_features),
+            )
+        return np.asarray(out_scaler.inverse_transform(mu))
+    out = np.asarray(out_scaler.inverse_transform(pred))
+    if has_dyn:
+        out = multi_stream_mlpg(
+            out,
+            np.asarray(out_scaler.var_),
+            get_windows(config.num_windows),
+            list(config.stream_sizes),
+            list(config.has_dynamic_features),
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Timing
+# --------------------------------------------------------------------------
+
+
+def predict_timelag(
+    labels,
+    timelag_model: ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    binary_dict,
+    numeric_dict,
+    spk=None,
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    allowed_range: Sequence[int] = (-20, 20),
+    allowed_range_rest: Sequence[int] = (-40, 40),
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+):
+    """Predict note-level time-lags.  Returns (lag_in_100ns, lag_in_frames)."""
+    hts_frame_shift = int(frame_period * 1e4)
+    labels.frame_shift = hts_frame_shift
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+    labels.round_()
+
+    note_indices = hts.get_note_indices(labels)
+    note_labels = labels[note_indices]
+
+    feats = _prepare_linguistic_features(
+        note_labels,
+        binary_dict,
+        numeric_dict,
+        timelag_in_scaler,
+        pitch_indices,
+        False,
+        None,
+        log_f0_conditioning,
+        force_clip_input_features,
+        hts_frame_shift,
+    )
+
+    pred = timelag_model.inference(feats, spks=spk)
+    is_prob = timelag_model.prediction_type() == PredictionType.PROBABILISTIC
+    pred_timelag = _denorm_and_mlpg(
+        pred, timelag_out_scaler, timelag_model.config, is_prob
+    )
+
+    pred_timelag = np.round(pred_timelag)
+    for idx in range(len(pred_timelag)):
+        rng = (
+            allowed_range_rest
+            if hts.is_silence_context(note_labels.contexts[idx])
+            else allowed_range
+        )
+        pred_timelag[idx] = np.clip(pred_timelag[idx], rng[0], rng[1])
+
+    return pred_timelag * hts_frame_shift, pred_timelag
+
+
+def predict_duration(
+    labels,
+    duration_model: ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    binary_dict,
+    numeric_dict,
+    spk=None,
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+):
+    """Predict phoneme durations.  MDN models return (mu, sigma_sq)."""
+    hts_frame_shift = int(frame_period * 1e4)
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    feats = _prepare_linguistic_features(
+        labels,
+        binary_dict,
+        numeric_dict,
+        duration_in_scaler,
+        pitch_indices,
+        False,
+        None,
+        log_f0_conditioning,
+        force_clip_input_features,
+        hts_frame_shift,
+    )
+
+    pred = duration_model.inference(feats, spks=spk)
+    if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
+        mu, sigma = pred
+        if np.any(duration_model.config.has_dynamic_features):
+            raise RuntimeError("dynamic features are not supported for durations")
+        sigma_sq = np.maximum(
+            np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_), 1e-14
+        )
+        mu = np.asarray(duration_out_scaler.inverse_transform(mu))
+        return mu, sigma_sq
+
+    out = _denorm_and_mlpg(pred, duration_out_scaler, duration_model.config, False)
+    out[out <= 0] = 1
+    return np.round(out)
+
+
+def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
+    """Adjust note/phoneme timing from predicted lags and durations.
+
+    Implements the note-level duration normalization of the reference
+    (nnsvs/gen.py:723-816, following arXiv:2108.02776 eqs. 11-17): per-note
+    lengths are corrected by the lag difference, MDN predictions use
+    variance scaling (rho) with a uniform-scaling fallback on negative
+    durations.  Host-side: per-note data-dependent loop.
+    """
+    hts_frame_shift = int(frame_period * 1e4)
+    note_indices = hts.get_note_indices(labels)
+    note_indices.append(len(labels))
+    is_mdn = isinstance(pred_durations, tuple) and len(pred_durations) == 2
+
+    output = hts.HTSLabels(frame_shift=labels.frame_shift)
+    d_norms = []
+    for i in range(1, len(note_indices)):
+        p = labels[note_indices[i - 1] : note_indices[i]]
+        L = int(fe.duration_features(p, frame_shift=hts_frame_shift)[0])
+        if i < len(note_indices) - 1:
+            L_hat = L - (lag[i - 1] - lag[i]) / hts_frame_shift
+        else:
+            L_hat = L - lag[i - 1] / hts_frame_shift
+        L_hat = max(float(L_hat), 1.0)
+
+        starts = np.minimum(
+            np.asarray(p.start_times) + int(np.asarray(lag[i - 1]).reshape(-1)[0]),
+            np.asarray(p.end_times) - hts_frame_shift * len(p),
+        )
+        starts = np.maximum(starts, 0)
+        if len(output) > 0:
+            starts = np.maximum(starts, output.start_times[-1] + hts_frame_shift)
+        p.start_times = [int(s) for s in starts]
+
+        if is_mdn:
+            mu = pred_durations[0][note_indices[i - 1] : note_indices[i]]
+            sigma_sq = pred_durations[1][note_indices[i - 1] : note_indices[i]]
+            rho = (L_hat - mu.sum()) / sigma_sq.sum()
+            d_norm = mu + rho * sigma_sq
+            if np.any(d_norm <= 0):
+                d_norm = L_hat * mu / mu.sum()
+        else:
+            d_hat = pred_durations[note_indices[i - 1] : note_indices[i]]
+            d_norm = L_hat * d_hat / d_hat.sum()
+
+        d_norm = np.round(d_norm)
+        d_norm[d_norm <= 0] = 1
+        d_norms += np.cumsum(d_norm.reshape(-1)).tolist()
+
+        # assign start/end times from the normalized durations
+        s0 = int(p.start_times[0])
+        offsets = np.concatenate([[0], np.cumsum(d_norm.reshape(-1))]).astype(np.int64)
+        p.start_times = [s0 + int(o) * hts_frame_shift for o in offsets[:-1]]
+        p.end_times = [s0 + int(o) * hts_frame_shift for o in offsets[1:]]
+
+        if len(output) > 0:
+            output.end_times[-1] = p.start_times[0]
+        for entry in p:
+            output.append(entry, strict=False)
+    return output, np.asarray(d_norms)
+
+
+def predict_timing(
+    labels,
+    binary_dict,
+    numeric_dict,
+    timelag_model: ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    duration_model: ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    spk=None,
+    log_f0_conditioning: bool = True,
+    allowed_range=(-20, 20),
+    allowed_range_rest=(-40, 40),
+    force_clip_input_features: bool = True,
+    frame_period: float = 5,
+):
+    """predict_timelag + predict_duration + postprocess_duration."""
+    hts_frame_shift = int(frame_period * 1e4)
+    labels.frame_shift = hts_frame_shift
+    pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    lag, lag_for_eval = predict_timelag(
+        labels,
+        timelag_model,
+        timelag_in_scaler,
+        timelag_out_scaler,
+        binary_dict,
+        numeric_dict,
+        spk=spk,
+        pitch_indices=pitch_indices,
+        log_f0_conditioning=log_f0_conditioning,
+        allowed_range=allowed_range,
+        allowed_range_rest=allowed_range_rest,
+        force_clip_input_features=force_clip_input_features,
+        frame_period=frame_period,
+    )
+    durations = predict_duration(
+        labels,
+        duration_model,
+        duration_in_scaler,
+        duration_out_scaler,
+        binary_dict,
+        numeric_dict,
+        spk=spk,
+        pitch_indices=pitch_indices,
+        log_f0_conditioning=log_f0_conditioning,
+        force_clip_input_features=force_clip_input_features,
+        frame_period=frame_period,
+    )
+    duration_modified_labels, d_norms = postprocess_duration(
+        labels, durations, lag, frame_period
+    )
+    return duration_modified_labels, lag_for_eval, d_norms
+
+
+# --------------------------------------------------------------------------
+# Acoustic
+# --------------------------------------------------------------------------
+
+
+def predict_acoustic(
+    labels,
+    acoustic_model: ModelPack,
+    acoustic_in_scaler,
+    acoustic_out_scaler,
+    binary_dict,
+    numeric_dict,
+    subphone_features: str = "coarse_coding",
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+    f0_shift_in_cent: float = 0,
+    spk=None,
+):
+    """Predict acoustic features (with MLPG when deltas are modeled)."""
+    hts_frame_shift = int(frame_period * 1e4)
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    feats = _prepare_linguistic_features(
+        labels,
+        binary_dict,
+        numeric_dict,
+        acoustic_in_scaler,
+        pitch_indices,
+        True,
+        subphone_features,
+        log_f0_conditioning,
+        force_clip_input_features,
+        hts_frame_shift,
+        f0_shift_in_cent,
+    )
+
+    pred = acoustic_model.inference(feats, spks=spk)
+    is_prob = acoustic_model.prediction_type() in (
+        PredictionType.PROBABILISTIC,
+        PredictionType.MULTISTREAM_HYBRID,
+    )
+    return _denorm_and_mlpg(pred, acoustic_out_scaler, acoustic_model.config, is_prob)
+
+
+def correct_vuv_by_phone(vuv, binary_dict, linguistic_features):
+    """Force V/UV using C-VUV_Voiced / C-VUV_Unvoiced / silence hed flags
+    (reference nnsvs/gen.py:1843-1896)."""
+    vuv = vuv.copy()
+    voiced_idx = -1
+    unvoiced_indices = []
+    sil_indices = []
+    for k, (name, _) in binary_dict.items():
+        if "C-VUV_Voiced" in name and voiced_idx < 0:
+            voiced_idx = k
+        if "C-VUV_Unvoiced" in name:
+            unvoiced_indices.append(k)
+        if "C-Phone_sil" in name or "C-Phone_pau" in name or "C-Phone_br" in name:
+            sil_indices.append(k)
+    if voiced_idx > 0:
+        vuv[linguistic_features[:, voiced_idx : voiced_idx + 1] > 0] = 1.0
+    for idx in unvoiced_indices:
+        vuv[linguistic_features[:, idx : idx + 1] > 0] = 0.0
+    for idx in sil_indices:
+        vuv[linguistic_features[:, idx : idx + 1] > 0] = 0.0
+    return vuv
+
+
+def gen_spsvs_static_features(
+    labels,
+    acoustic_features: np.ndarray,
+    binary_dict,
+    numeric_dict,
+    stream_sizes,
+    has_dynamic_features,
+    pitch_idx: Optional[int] = None,
+    num_windows: int = 3,
+    frame_period: float = 5,
+    relative_f0: bool = True,
+    vibrato_scale: float = 1.0,
+    vuv_threshold: float = 0.3,
+    force_fix_vuv: bool = True,
+):
+    """Split static streams and reconstruct (mgc, lf0, vuv, bap)
+    (reference nnsvs/gen.py:1899-2019): V/UV fixes, relative-F0 add-back,
+    optional vibrato re-synthesis."""
+    hts_frame_shift = int(frame_period * 1e4)
+    if pitch_idx is None:
+        pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+
+    if np.any(has_dynamic_features):
+        static_stream_sizes = get_static_stream_sizes(
+            stream_sizes, has_dynamic_features, num_windows
+        )
+    else:
+        static_stream_sizes = stream_sizes
+
+    acoustic_features = acoustic_features.copy()
+    streams = split_streams(acoustic_features, list(static_stream_sizes))
+    vib, vib_flags = None, None
+    if len(streams) == 4:
+        mgc, target_f0, vuv, bap = streams
+    elif len(streams) == 5:
+        mgc, target_f0, vuv, bap, vib = streams
+    elif len(streams) == 6:
+        mgc, target_f0, vuv, bap, vib, vib_flags = streams
+    else:
+        raise RuntimeError(f"unsupported number of streams: {len(streams)}")
+
+    linguistic_features = fe.linguistic_features(
+        labels,
+        binary_dict,
+        numeric_dict,
+        add_frame_features=True,
+        frame_shift=hts_frame_shift,
+    )
+    # align lengths defensively
+    n = min(len(linguistic_features), len(mgc))
+    linguistic_features = linguistic_features[:n]
+
+    if force_fix_vuv:
+        vuv = correct_vuv_by_phone(vuv, binary_dict, linguistic_features)
+
+    if relative_f0:
+        diff_lf0 = target_f0
+        f0_score = midi_to_hz(linguistic_features, pitch_idx, False)[:, None]
+        lf0_score = f0_score.copy()
+        nz = np.nonzero(lf0_score)
+        lf0_score[nz] = np.log(f0_score[nz])
+        lf0_score = interp1d(lf0_score)
+        f0 = diff_lf0[:n] + lf0_score
+        f0[vuv[:n] < vuv_threshold] = 0
+        f0[np.nonzero(f0)] = np.exp(f0[np.nonzero(f0)])
+    else:
+        f0 = target_f0.copy()
+        f0[vuv < vuv_threshold] = 0
+        f0[np.nonzero(f0)] = np.exp(f0[np.nonzero(f0)])
+
+    if vib is not None:
+        sr_f0 = int(1 / (frame_period * 0.001))
+        if vib_flags is not None:
+            flags = vib_flags.flatten()
+            m_a = vib[:, 0].copy()
+            m_f = vib[:, 1].copy()
+            m_a[flags < 0.5] = 0
+            m_f[flags < 0.5] = 0
+            f0 = gen_sine_vibrato(f0.flatten(), sr_f0, m_a, m_f, vibrato_scale)
+        else:
+            f0 = f0.flatten() + vibrato_scale * vib.flatten()
+
+    lf0 = f0.copy()
+    lf0[np.nonzero(lf0)] = np.log(f0[np.nonzero(lf0)])
+    lf0 = interp1d(lf0)
+    lf0 = lf0[:, None] if lf0.ndim == 1 else lf0
+    vuv = vuv[:, None] if vuv.ndim == 1 else vuv
+    return mgc, lf0, vuv, bap
+
+
+def postprocess_acoustic(
+    acoustic_features: np.ndarray,
+    duration_modified_labels,
+    binary_dict,
+    numeric_dict,
+    acoustic_config,
+    acoustic_out_static_scaler,
+    postfilter_model: Optional[ModelPack] = None,
+    postfilter_out_scaler=None,
+    sample_rate: int = 48000,
+    frame_period: float = 5,
+    relative_f0: bool = False,
+    feature_type: str = "world",
+    post_filter_type: str = "gv",
+    trajectory_smoothing: bool = True,
+    trajectory_smoothing_cutoff: float = 50,
+    trajectory_smoothing_cutoff_f0: float = 20,
+    vuv_threshold: float = 0.5,
+    f0_shift_in_cent: float = 0,
+    vibrato_scale: float = 1.0,
+    force_fix_vuv: bool = False,
+):
+    """Postfilter + stream reconstruction + trajectory smoothing."""
+    hts_frame_shift = int(frame_period * 1e4)
+    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+    static_stream_sizes = get_static_stream_sizes(
+        acoustic_config.stream_sizes,
+        acoustic_config.has_dynamic_features,
+        acoustic_config.num_windows,
+    )
+    linguistic_features = fe.linguistic_features(
+        duration_modified_labels,
+        binary_dict,
+        numeric_dict,
+        add_frame_features=True,
+        frame_shift=hts_frame_shift,
+    )
+
+    acoustic_features = np.asarray(acoustic_features).copy()
+    if post_filter_type == "gv" or (
+        post_filter_type == "nnsvs" and feature_type == "world"
+    ):
+        note_frame_indices = hts.get_note_frame_indices(
+            binary_dict, numeric_dict, linguistic_features
+        )
+        note_frame_indices = note_frame_indices[
+            note_frame_indices < len(acoustic_features)
+        ]
+        offset = 2
+        mgc_end_dim = int(static_stream_sizes[0])
+        acoustic_features[:, :mgc_end_dim] = variance_scaling(
+            np.asarray(acoustic_out_static_scaler.var_).reshape(-1)[:mgc_end_dim],
+            acoustic_features[:, :mgc_end_dim],
+            offset=offset,
+            note_frame_indices=note_frame_indices,
+        )
+
+    if post_filter_type == "nnsvs" and postfilter_model is not None:
+        normed = np.asarray(postfilter_out_scaler.transform(acoustic_features))
+        out = postfilter_model.inference(normed.astype(np.float32))
+        acoustic_features = np.asarray(
+            postfilter_out_scaler.inverse_transform(np.asarray(out))
+        )
+
+    if feature_type == "world":
+        mgc, lf0, vuv, bap = gen_spsvs_static_features(
+            labels=duration_modified_labels,
+            acoustic_features=acoustic_features,
+            binary_dict=binary_dict,
+            numeric_dict=numeric_dict,
+            stream_sizes=acoustic_config.stream_sizes,
+            has_dynamic_features=acoustic_config.has_dynamic_features,
+            pitch_idx=pitch_idx,
+            num_windows=acoustic_config.num_windows,
+            frame_period=frame_period,
+            relative_f0=relative_f0,
+            vibrato_scale=vibrato_scale,
+            vuv_threshold=vuv_threshold,
+            force_fix_vuv=force_fix_vuv,
+        )
+    elif feature_type == "melf0":
+        mel, lf0, vuv = split_streams(acoustic_features, [80, 1, 1])
+    else:
+        raise ValueError(f"unknown feature type: {feature_type}")
+
+    if f0_shift_in_cent != 0:
+        lf0 = lf0 + f0_shift_in_cent * np.log(2) / 1200
+
+    if trajectory_smoothing:
+        modfs = int(1 / (frame_period * 0.001))
+        lf0[:, 0] = lowpass_filter(lf0[:, 0], modfs, cutoff=trajectory_smoothing_cutoff_f0)
+        if feature_type == "world":
+            for d in range(mgc.shape[1]):
+                mgc[:, d] = lowpass_filter(
+                    mgc[:, d], modfs, cutoff=trajectory_smoothing_cutoff
+                )
+            for d in range(bap.shape[1]):
+                bap[:, d] = lowpass_filter(
+                    bap[:, d], modfs, cutoff=trajectory_smoothing_cutoff
+                )
+        else:
+            for d in range(mel.shape[1]):
+                mel[:, d] = lowpass_filter(
+                    mel[:, d], modfs, cutoff=trajectory_smoothing_cutoff
+                )
+
+    if feature_type == "world":
+        use_mcep_aperiodicity = bap.shape[-1] > 5
+        if not use_mcep_aperiodicity:
+            bap = np.clip(bap, -60, 0)
+        return mgc, lf0, vuv, bap
+    return mel, lf0, vuv
+
+
+# --------------------------------------------------------------------------
+# Waveform
+# --------------------------------------------------------------------------
+
+
+def gen_world_params(
+    mgc,
+    lf0,
+    vuv,
+    bap,
+    sample_rate: int,
+    vuv_threshold: float = 0.3,
+    use_world_codec: bool = False,
+):
+    """(mgc, lf0, vuv, bap) -> (f0, spectrogram, aperiodicity)."""
+    fftlen = world.get_cheaptrick_fft_size(sample_rate)
+    use_mcep_aperiodicity = bap.shape[-1] > 5
+
+    if use_world_codec:
+        spectrogram = np.asarray(
+            world.decode_spectral_envelope(
+                np.ascontiguousarray(mgc).astype(np.float64), sample_rate, fftlen
+            )
+        )
+    else:
+        alpha = mcepalpha(sample_rate)
+        spectrogram = np.asarray(mc2sp(np.ascontiguousarray(mgc), alpha, fftlen))
+
+    if use_mcep_aperiodicity:
+        alpha = mcepalpha(sample_rate)
+        aperiodicity = np.asarray(mc2sp(np.ascontiguousarray(bap), alpha, fftlen))
+    else:
+        aperiodicity = np.asarray(
+            world.decode_aperiodicity(
+                np.ascontiguousarray(bap).astype(np.float64), sample_rate, fftlen
+            )
+        )
+
+    aperiodicity[vuv.reshape(-1) < vuv_threshold, 0] = 1.0
+    aperiodicity = np.clip(aperiodicity, 0.0, 1.0)
+
+    f0 = lf0.copy()
+    f0[np.nonzero(f0)] = np.exp(f0[np.nonzero(f0)])
+    f0[vuv < vuv_threshold] = 0
+    return f0.flatten().astype(np.float64), spectrogram, aperiodicity
+
+
+def predict_waveform(
+    multistream_features,
+    vocoder: Optional[ModelPack] = None,
+    vocoder_in_scaler=None,
+    sample_rate: int = 48000,
+    frame_period: float = 5,
+    use_world_codec: bool = True,
+    feature_type: str = "world",
+    vocoder_type: str = "world",
+    vuv_threshold: float = 0.5,
+    key=None,
+):
+    """Synthesize a waveform with WORLD (TPU kernel) or a neural vocoder."""
+    if feature_type == "world":
+        mgc, lf0, vuv, bap = multistream_features
+    elif feature_type == "world_org":
+        f0, spectrogram, aperiodicity = multistream_features
+    elif feature_type == "melf0":
+        mel, lf0, vuv = multistream_features
+    else:
+        raise ValueError(f"unknown feature type: {feature_type}")
+
+    if vocoder_type == "world":
+        if feature_type not in ("world", "world_org"):
+            raise ValueError(f"invalid feature type for WORLD vocoder: {feature_type}")
+        if feature_type == "world":
+            f0, spectrogram, aperiodicity = gen_world_params(
+                mgc,
+                lf0,
+                vuv,
+                bap,
+                sample_rate,
+                vuv_threshold=vuv_threshold,
+                use_world_codec=use_world_codec,
+            )
+        # pad frame count to a bucket so XLA compiles once per bucket
+        T = len(f0)
+        T_pad = _round_up(max(T, 1), FRAME_BUCKET)
+        pad = T_pad - T
+        f0p = np.pad(f0, (0, pad))
+        spp = np.pad(spectrogram, ((0, pad), (0, 0)), mode="edge")
+        app = np.pad(aperiodicity, ((0, pad), (0, 0)), constant_values=1.0)
+        wav = np.asarray(
+            world.synthesize(f0p, spp, app, sample_rate, frame_period, key=key)
+        )
+        hop = int(sample_rate * frame_period / 1000)
+        return wav[: T * hop]
+    elif vocoder_type in ("pwg", "usfgan"):
+        if vocoder is None:
+            raise ValueError(f"a neural vocoder model is required for {vocoder_type}")
+        vuv_bin = (vuv > vuv_threshold).astype(np.float32)
+        if feature_type == "world":
+            voc_in = np.concatenate([mgc, lf0, vuv_bin, bap], axis=-1)
+        else:
+            voc_in = np.concatenate([mel, lf0, vuv_bin], axis=-1)
+        voc_in = np.asarray(vocoder_in_scaler.transform(voc_in), dtype=np.float32)
+        return np.asarray(vocoder.inference(voc_in)).reshape(-1)
+    raise ValueError(f"unknown vocoder type: {vocoder_type}")
+
+
+def postprocess_waveform(
+    wav: np.ndarray,
+    sample_rate: int,
+    dtype=np.int16,
+    peak_norm: bool = False,
+    loudness_norm: bool = False,
+    target_loudness: float = -20.0,
+):
+    """Bandpass + peak/loudness normalization + dtype conversion."""
+    wav = np.asarray(bandpass_filter(wav, sample_rate))
+
+    if peak_norm:
+        peak = np.max(np.abs(wav))
+        if peak > 0:
+            wav = wav / peak
+    if loudness_norm:
+        # simple RMS-based loudness normalization (pyloudnorm-free)
+        rms = np.sqrt(np.mean(wav**2))
+        if rms > 0:
+            current_db = 20 * np.log10(rms)
+            wav = wav * 10 ** ((target_loudness - current_db) / 20)
+
+    peak = np.max(np.abs(wav))
+    if peak > 0:
+        wav = wav / peak
+    if dtype in (np.int16, "int16"):
+        wav = (wav * 32767.0).astype(np.int16)
+    elif dtype is not None:
+        wav = wav.astype(dtype)
+    return wav

@@ -58,13 +58,19 @@ class HTSLabels:
 
     def __getitem__(self, idx):
         if isinstance(idx, slice):
-            out = HTSLabels(
+            return HTSLabels(
                 list(self.start_times[idx]),
                 list(self.end_times[idx]),
                 list(self.contexts[idx]),
                 self.frame_shift,
             )
-            return out
+        if isinstance(idx, (list, np.ndarray)):
+            return HTSLabels(
+                [self.start_times[int(i)] for i in idx],
+                [self.end_times[int(i)] for i in idx],
+                [self.contexts[int(i)] for i in idx],
+                self.frame_shift,
+            )
         return (self.start_times[idx], self.end_times[idx], self.contexts[idx])
 
     def append(self, entry: Tuple[int, int, str], strict: bool = True) -> "HTSLabels":

@@ -1,0 +1,274 @@
+"""Packaged-model SVS engines.
+
+Re-design of the reference's nnsvs/svs.py (BaseSVS :35, SPSVS :61): a
+packed-model directory holds everything needed for inference.
+
+Packed directory layout (mirrors the reference's pack_model.sh output,
+with flax msgpack parameters instead of torch .pth):
+
+    config.yaml                        # sample_rate, frame_period, ...
+    qst.hed                            # question set
+    {timelag,duration,acoustic}_model.yaml     # netG config + stream info
+    {timelag,duration,acoustic}_model.params   # flax msgpack variables
+    in_{phase}_scaler_{min,scale}.npy          # MinMax input scalers
+    out_{phase}_scaler_{mean,var,scale}.npy    # Standard output scalers
+    [postfilter_model.{yaml,params}, vocoder_model.{yaml,params}, ...]
+
+Real-time factors are logged per stage (the reference's headline metric,
+svs.py:327-345,448-452,578-582,743-745).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+from flax import serialization
+
+from ensemble_svs_with_interactions_tpu import gen
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.utils.config import (
+    Config,
+    instantiate,
+    load_config,
+)
+from ensemble_svs_with_interactions_tpu.utils.scalers import (
+    MinMaxScaler,
+    StandardScaler,
+    extract_static_scaler,
+)
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+
+
+def _load_variables(module, config, params_path: Path):
+    """Deserialize flax variables against a template built from the module."""
+    import jax
+    import jax.numpy as jnp
+
+    in_dim = config.netG.get("in_dim", 82)
+    x = jnp.zeros((1, 8, in_dim), jnp.float32)
+    kwargs = {}
+    init_args = [x]
+    # multi-speaker / multitrack modules need speaker ids (and a sub track)
+    import inspect
+
+    sig = inspect.signature(module.__call__)
+    params = list(sig.parameters)
+    if "x_sub" in params or ("spks" in params and "x_main" in str(sig)):
+        pass
+    if "spks" in params:
+        init_args.append((jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)))
+    template = module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *init_args,
+        jnp.asarray([8]),
+    )
+    with open(params_path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+class BaseSVS:
+    """All SVS engines accept HTS labels and return (waveform, sr)."""
+
+    def svs(self, labels, *args, **kwargs):
+        raise NotImplementedError
+
+
+class SPSVS(BaseSVS):
+    """Statistical-parametric SVS engine over a packed model directory."""
+
+    def __init__(self, model_dir, verbose: int = 0):
+        self.logger = getLogger(verbose=verbose)
+        model_dir = Path(model_dir)
+        self.model_dir = model_dir
+        self.config = load_config(model_dir / "config.yaml")
+        self.feature_type = self.config.get("feature_type", "world")
+        self.sample_rate = int(self.config.get("sample_rate", 48000))
+        self.frame_period = float(self.config.get("frame_period", 5))
+
+        self.binary_dict, self.numeric_dict = hts.load_question_set(
+            model_dir / "qst.hed"
+        )
+        self.pitch_idx = hts.get_pitch_index(self.binary_dict, self.numeric_dict)
+        self.pitch_indices = hts.get_pitch_indices(self.binary_dict, self.numeric_dict)
+
+        self.timelag_model = self._load_model("timelag", bucket=gen.PHONE_BUCKET)
+        self.duration_model = self._load_model("duration", bucket=gen.PHONE_BUCKET)
+        self.acoustic_model = self._load_model("acoustic", bucket=gen.FRAME_BUCKET)
+
+        self.in_timelag_scaler = self._load_minmax("in_timelag")
+        self.out_timelag_scaler = self._load_standard("out_timelag")
+        self.in_duration_scaler = self._load_minmax("in_duration")
+        self.out_duration_scaler = self._load_standard("out_duration")
+        self.in_acoustic_scaler = self._load_minmax("in_acoustic")
+        self.out_acoustic_scaler = self._load_standard("out_acoustic")
+
+        self.acoustic_out_static_scaler = extract_static_scaler(
+            self.out_acoustic_scaler,
+            self.acoustic_model.config.stream_sizes,
+            self.acoustic_model.config.has_dynamic_features,
+            self.acoustic_model.config.num_windows,
+        )
+
+        # optional postfilter
+        pf_yaml = model_dir / "postfilter_model.yaml"
+        if pf_yaml.exists():
+            self.postfilter_model = self._load_model("postfilter")
+            self.postfilter_out_scaler = self._load_standard("out_postfilter")
+        else:
+            self.postfilter_model = None
+            self.postfilter_out_scaler = None
+
+    # ------------------------------------------------------------- loading
+    def _load_model(self, phase: str, bucket: int = gen.FRAME_BUCKET) -> gen.ModelPack:
+        cfg = load_config(self.model_dir / f"{phase}_model.yaml")
+        module = instantiate(cfg.netG)
+        variables = _load_variables(
+            module, cfg, self.model_dir / f"{phase}_model.params"
+        )
+        return gen.ModelPack(module, variables, cfg, bucket=bucket)
+
+    def _load_minmax(self, prefix: str) -> MinMaxScaler:
+        return MinMaxScaler(
+            np.load(self.model_dir / f"{prefix}_scaler_min.npy"),
+            np.load(self.model_dir / f"{prefix}_scaler_scale.npy"),
+        )
+
+    def _load_standard(self, prefix: str) -> StandardScaler:
+        return StandardScaler(
+            np.load(self.model_dir / f"{prefix}_scaler_mean.npy"),
+            np.load(self.model_dir / f"{prefix}_scaler_var.npy"),
+            np.load(self.model_dir / f"{prefix}_scaler_scale.npy"),
+        )
+
+    # ----------------------------------------------------------- pipeline
+    def predict_timing(self, labels):
+        return gen.predict_timing(
+            labels,
+            self.binary_dict,
+            self.numeric_dict,
+            self.timelag_model,
+            self.in_timelag_scaler,
+            self.out_timelag_scaler,
+            self.duration_model,
+            self.in_duration_scaler,
+            self.out_duration_scaler,
+            frame_period=self.frame_period,
+        )[0]
+
+    def predict_acoustic(self, duration_modified_labels, f0_shift_in_cent: float = 0):
+        return gen.predict_acoustic(
+            duration_modified_labels,
+            self.acoustic_model,
+            self.in_acoustic_scaler,
+            self.out_acoustic_scaler,
+            self.binary_dict,
+            self.numeric_dict,
+            frame_period=self.frame_period,
+            f0_shift_in_cent=f0_shift_in_cent,
+        )
+
+    def postprocess_acoustic(self, acoustic_features, duration_modified_labels, **kw):
+        return gen.postprocess_acoustic(
+            acoustic_features,
+            duration_modified_labels,
+            self.binary_dict,
+            self.numeric_dict,
+            self.acoustic_model.config,
+            self.acoustic_out_static_scaler,
+            postfilter_model=self.postfilter_model,
+            postfilter_out_scaler=self.postfilter_out_scaler,
+            sample_rate=self.sample_rate,
+            frame_period=self.frame_period,
+            relative_f0=self.config.get("relative_f0", False),
+            feature_type=self.feature_type,
+            **kw,
+        )
+
+    def predict_waveform(self, multistream_features, vocoder_type="world", **kw):
+        return gen.predict_waveform(
+            multistream_features,
+            sample_rate=self.sample_rate,
+            frame_period=self.frame_period,
+            use_world_codec=self.config.get("use_world_codec", True),
+            feature_type=self.feature_type,
+            vocoder_type=vocoder_type,
+            **kw,
+        )
+
+    def postprocess_waveform(self, wav, **kw):
+        return gen.postprocess_waveform(wav, self.sample_rate, **kw)
+
+    def svs(
+        self,
+        labels,
+        vocoder_type: str = "world",
+        post_filter_type: str = "gv",
+        trajectory_smoothing: bool = True,
+        trajectory_smoothing_cutoff: float = 50,
+        trajectory_smoothing_cutoff_f0: float = 20,
+        vuv_threshold: float = 0.5,
+        style_shift: float = 0,
+        force_fix_vuv: bool = False,
+        dtype=np.int16,
+        peak_norm: bool = False,
+        loudness_norm: bool = False,
+        target_loudness: float = -20,
+        segmented_synthesis: bool = False,
+    ):
+        """Full score-to-waveform synthesis.  Returns (wav, sample_rate)."""
+        start = time.time()
+        duration_modified_labels = self.predict_timing(labels)
+
+        if segmented_synthesis:
+            segments = hts.segment_labels(duration_modified_labels)
+        else:
+            segments = [duration_modified_labels]
+
+        hts_frame_shift = int(self.frame_period * 1e4)
+        wavs = []
+        for seg in segments:
+            seg.frame_shift = hts_frame_shift
+            t0 = time.time()
+            acoustic = self.predict_acoustic(
+                seg, f0_shift_in_cent=style_shift * 100
+            )
+            t1 = time.time()
+            streams = self.postprocess_acoustic(
+                acoustic,
+                seg,
+                post_filter_type=post_filter_type,
+                trajectory_smoothing=trajectory_smoothing,
+                trajectory_smoothing_cutoff=trajectory_smoothing_cutoff,
+                trajectory_smoothing_cutoff_f0=trajectory_smoothing_cutoff_f0,
+                force_fix_vuv=force_fix_vuv,
+                f0_shift_in_cent=-style_shift * 100,
+            )
+            t2 = time.time()
+            wav = self.predict_waveform(
+                streams, vocoder_type=vocoder_type, vuv_threshold=vuv_threshold
+            )
+            t3 = time.time()
+            dur = len(wav) / self.sample_rate
+            self.logger.info(
+                "segment: acoustic RTF %.3f, vocoder RTF %.3f",
+                (t1 - t0) / max(dur, 1e-9),
+                (t3 - t2) / max(dur, 1e-9),
+            )
+            wavs.append(wav)
+
+        wav = np.concatenate(wavs).reshape(-1)
+        wav = self.postprocess_waveform(
+            wav,
+            dtype=dtype,
+            peak_norm=peak_norm,
+            loudness_norm=loudness_norm,
+            target_loudness=target_loudness,
+        )
+        total = time.time() - start
+        rtf = total / (len(wav) / self.sample_rate)
+        self.logger.info("total: %.3f sec, RTF %.3f", total, rtf)
+        self.last_rtf = rtf
+        return wav, self.sample_rate

@@ -1,0 +1,209 @@
+"""End-to-end SPSVS test: pack tiny random models, run full svs() on real
+reference labels (pattern from reference tests/test_svs.py, but offline —
+no pretrained download needed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu import gen
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.svs import SPSVS
+from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+from ensemble_svs_with_interactions_tpu.utils.scalers import (
+    MinMaxScaler,
+    StandardScaler,
+)
+
+SR = 24000
+MGC_DIM, BAP_DIM = 8, 3  # 24 kHz -> 3 aperiodicity bands
+STREAM_SIZES = [MGC_DIM * 3, 3, 1, BAP_DIM * 3]
+HAS_DYN = [True, True, False, True]
+OUT_DIM = sum(STREAM_SIZES)  # 37
+STATIC_DIM = MGC_DIM + 1 + 1 + BAP_DIM  # 13
+
+
+def _identity_minmax(dim):
+    return MinMaxScaler(np.zeros(dim), np.ones(dim))
+
+
+def _out_scaler(dim, lf0_slice):
+    mean = np.zeros(dim)
+    scale = np.ones(dim) * 0.1
+    # plausible lf0 statistics so exp() stays sane
+    mean[lf0_slice] = np.log(220.0)
+    var = scale**2
+    return StandardScaler(mean, var, scale)
+
+
+@pytest.fixture(scope="module")
+def packed_model_dir(tmp_path_factory):
+    reference_data = "/root/reference/tests/data"
+    import pathlib
+
+    if not pathlib.Path(reference_data).exists():
+        pytest.skip("reference fixtures unavailable")
+    hed = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
+
+    out = tmp_path_factory.mktemp("packed_model")
+    key = jax.random.PRNGKey(0)
+
+    def init_model(cfg, in_dim):
+        module = instantiate(cfg["netG"])
+        x = jnp.zeros((1, 8, in_dim))
+        variables = module.init(
+            {"params": key, "dropout": jax.random.PRNGKey(1)}, x, jnp.asarray([8])
+        )
+        return module, variables
+
+    timelag_cfg = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
+            "in_dim": 82,
+            "hidden_dim": 8,
+            "out_dim": 1,
+            "num_gaussians": 2,
+        },
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    duration_cfg = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
+            "in_dim": 82,
+            "hidden_dim": 8,
+            "out_dim": 1,
+            "num_gaussians": 2,
+        },
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    acoustic_cfg = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFConvLSTM",
+            "in_dim": 86,
+            "ff_hidden_dim": 8,
+            "conv_hidden_dim": 8,
+            "lstm_hidden_dim": 4,
+            "out_dim": OUT_DIM,
+        },
+        "stream_sizes": STREAM_SIZES,
+        "has_dynamic_features": HAS_DYN,
+        "num_windows": 3,
+    }
+
+    _, tl_vars = init_model(timelag_cfg, 82)
+    _, du_vars = init_model(duration_cfg, 82)
+    _, ac_vars = init_model(acoustic_cfg, 86)
+
+    # duration out scaler must yield positive durations: mean ~10 frames
+    dur_out = StandardScaler(np.array([10.0]), np.array([4.0]), np.array([2.0]))
+    tl_out = StandardScaler(np.array([0.0]), np.array([4.0]), np.array([2.0]))
+    lf0_slice = slice(MGC_DIM * 3, MGC_DIM * 3 + 1)
+    ac_out = _out_scaler(OUT_DIM, lf0_slice)
+
+    pack_model(
+        out,
+        {
+            "sample_rate": SR,
+            "frame_period": 5,
+            "feature_type": "world",
+            "use_world_codec": True,
+            "relative_f0": False,
+        },
+        hed,
+        {
+            "timelag": {
+                "model_config": timelag_cfg,
+                "variables": tl_vars,
+                "in_scaler": _identity_minmax(82),
+                "out_scaler": tl_out,
+            },
+            "duration": {
+                "model_config": duration_cfg,
+                "variables": du_vars,
+                "in_scaler": _identity_minmax(82),
+                "out_scaler": dur_out,
+            },
+            "acoustic": {
+                "model_config": acoustic_cfg,
+                "variables": ac_vars,
+                "in_scaler": _identity_minmax(86),
+                "out_scaler": ac_out,
+            },
+        },
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine(packed_model_dir):
+    return SPSVS(packed_model_dir, verbose=1)
+
+
+@pytest.fixture
+def short_labels(reference_data_dir):
+    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    # use a ~7 second prefix to keep the test fast
+    n = 0
+    for i, e in enumerate(labels.end_times):
+        if e > 7 * 1e7:
+            n = i
+            break
+    return labels[: max(n, 10)]
+
+
+def test_spsvs_svs_end_to_end(engine, short_labels):
+    wav, sr = engine.svs(short_labels, vocoder_type="world")
+    assert sr == SR
+    assert wav.dtype == np.int16
+    assert len(wav) > sr  # at least a second of audio
+    assert np.isfinite(wav.astype(np.float64)).all()
+    assert np.abs(wav.astype(np.int64)).max() > 0
+
+
+def test_spsvs_predict_timing(engine, short_labels):
+    duration_modified = engine.predict_timing(short_labels)
+    assert len(duration_modified) == len(short_labels)
+    # monotone non-decreasing, strictly positive durations
+    durs = np.asarray(duration_modified.end_times) - np.asarray(
+        duration_modified.start_times
+    )
+    assert (durs > 0).all()
+    starts = duration_modified.start_times
+    assert all(b >= a for a, b in zip(starts, starts[1:]))
+
+
+def test_spsvs_stage_by_stage(engine, short_labels):
+    duration_modified = engine.predict_timing(short_labels)
+    acoustic = engine.predict_acoustic(duration_modified)
+    assert acoustic.shape[1] == STATIC_DIM  # MLPG applied
+    streams = engine.postprocess_acoustic(acoustic, duration_modified)
+    mgc, lf0, vuv, bap = streams
+    assert mgc.shape[1] == MGC_DIM
+    assert lf0.shape[1] == 1
+    assert bap.shape[1] == BAP_DIM
+    assert (bap <= 0).all()  # clipped to [-60, 0]
+    wav = engine.predict_waveform(streams, vocoder_type="world")
+    hop = SR * 5 // 1000
+    assert len(wav) == len(mgc) * hop
+
+
+def test_postprocess_duration_mdn_fallback():
+    """Negative variance-scaled durations must fall back to uniform scaling."""
+    labels = hts.HTSLabels()
+    shift = 50000
+    for i, ph in enumerate(["a", "b", "c"]):
+        labels.append((i * 10 * shift, (i + 1) * 10 * shift, ph), strict=False)
+    mu = np.array([[5.0], [100.0], [5.0]])  # middle phone absurdly long
+    sigma_sq = np.array([[100.0], [0.01], [100.0]])
+    lag = np.zeros((3, 1))
+    out, d_norms = gen.postprocess_duration(labels, (mu, sigma_sq), lag)
+    durs = (
+        np.asarray(out.end_times) - np.asarray(out.start_times)
+    ) // shift
+    assert (durs > 0).all()
