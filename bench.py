@@ -1,0 +1,160 @@
+"""Headline benchmark: end-to-end 4-part ensemble synthesis RTF on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline target (BASELINE.md): RTF < 0.05 for a 4-part ensemble on one
+TPU v5e chip.  vs_baseline = 0.05 / measured_rtf (>1 means better than
+target).  The benchmark packs a full-size (48 kHz WORLD, mgc60/bap5)
+model with random weights — runtime cost does not depend on weight values —
+and synthesizes 4 tracks of the bundled ~31 s reference song.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+TARGET_RTF = 0.05
+
+
+def build_engine(tmpdir: str):
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.svs import SPSVS
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+    from ensemble_svs_with_interactions_tpu.utils.scalers import (
+        MinMaxScaler,
+        StandardScaler,
+    )
+
+    SR = 48000
+    MGC, BAP = 60, 5
+    SS = [MGC * 3, 3, 1, BAP * 3]
+    OUT = sum(SS)
+
+    def init(cfg, in_dim):
+        module = instantiate(cfg["netG"])
+        return module.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 8, in_dim)),
+            jnp.asarray([8]),
+        )
+
+    timing_net = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
+        "in_dim": 82,
+        "hidden_dim": 64,
+        "out_dim": 1,
+        "num_gaussians": 4,
+    }
+    tl = {
+        "netG": dict(timing_net),
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    du = {
+        "netG": dict(timing_net),
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    ac = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFConvLSTM",
+            "in_dim": 86,
+            "ff_hidden_dim": 2048,
+            "conv_hidden_dim": 1024,
+            "lstm_hidden_dim": 256,
+            "out_dim": OUT,
+        },
+        "stream_sizes": SS,
+        "has_dynamic_features": [True, True, False, True],
+        "num_windows": 3,
+    }
+    mean = np.zeros(OUT)
+    scale = np.ones(OUT) * 0.1
+    mean[MGC * 3] = np.log(260.0)
+    pack_model(
+        tmpdir,
+        {
+            "sample_rate": SR,
+            "frame_period": 5,
+            "feature_type": "world",
+            "use_world_codec": True,
+            "relative_f0": False,
+        },
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        {
+            "timelag": {
+                "model_config": tl,
+                "variables": init(tl, 82),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(
+                    np.zeros(1), np.ones(1) * 4, np.ones(1) * 2
+                ),
+            },
+            "duration": {
+                "model_config": du,
+                "variables": init(du, 82),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(
+                    np.ones(1) * 10, np.ones(1) * 4, np.ones(1) * 2
+                ),
+            },
+            "acoustic": {
+                "model_config": ac,
+                "variables": init(ac, 86),
+                "in_scaler": MinMaxScaler(np.zeros(86), np.ones(86)),
+                "out_scaler": StandardScaler(mean, scale**2, scale),
+            },
+        },
+    )
+    return SPSVS(tmpdir)
+
+
+def main():
+    from ensemble_svs_with_interactions_tpu.io import hts
+
+    labels_path = Path("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
+    if not labels_path.exists():
+        print(json.dumps({"metric": "rtf", "value": -1, "unit": "ratio",
+                          "vs_baseline": 0, "error": "fixture missing"}))
+        return 1
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        engine = build_engine(tmpdir)
+        labels = hts.load(labels_path)
+
+        # warmup: compile every jit in the pipeline
+        engine.svs(labels.copy())
+
+        # 4-part ensemble: 4 tracks of the same song (pipeline cost is
+        # identical to 4 distinct parts; multitrack conditioning models land
+        # in a later round and will be benchmarked the same way)
+        n_tracks = 4
+        t0 = time.time()
+        wavs = [engine.svs(labels.copy())[0] for _ in range(n_tracks)]
+        elapsed = time.time() - t0
+        audio_seconds = len(wavs[0]) / engine.sample_rate  # ensemble duration
+        rtf = elapsed / audio_seconds
+
+    result = {
+        "metric": "rtf_4part_ensemble_48k",
+        "value": round(rtf, 5),
+        "unit": "ratio",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""Device mesh and sharding utilities.
+
+The reference's only parallelism is DDP data parallelism over NCCL
+(/root/reference/nnsvs/train_util.py:1444-1446,
+nnsvs/bin/train_acoustic_multitrack.py:639-643).  The TPU-native equivalent
+(SURVEY.md section 5 item 8) is single-controller JAX: a 1-D ``data`` mesh
+axis, batches sharded over it with NamedSharding, parameters replicated, and
+gradients reduced by the XLA-inserted collectives over ICI — no manual rank
+logic, no process groups.
+
+These models are small (tens of M params), so a pure-DP mesh is the right
+layout; the helpers still accept extra axes for future model sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """Create a mesh over the first ``num_devices`` devices (all if None)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Device_put a dict of (B, ...) numpy arrays, batch-sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}

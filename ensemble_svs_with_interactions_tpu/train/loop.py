@@ -1,0 +1,343 @@
+"""Training loop: optimizer factory, jitted DP train step, checkpointing.
+
+Parity targets: /root/reference/nnsvs/train_util.py:1387-1518 (setup),
+:1290-1384 (save_checkpoint/_resume), nnsvs/bin/train.py and
+train_acoustic.py train steps.  TPU design:
+
+  * one jitted ``train_step`` per model covering forward, loss, grad,
+    clipping and the NaN-skip (a ``jnp.where`` on the global grad-norm
+    finiteness — no host round-trip);
+  * data parallelism by sharding the batch over a 1-D ``data`` mesh; XLA
+    inserts the gradient all-reduce over ICI;
+  * checkpoints are flax-msgpack pytrees with best/latest/epoch%04d
+    semantics and shape-filtered partial restore (warm starts from
+    single-track checkpoints into multitrack models).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from flax import traverse_util
+
+from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.train import losses as L
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+
+
+# --------------------------------------------------------------------------
+# Optimizers / schedulers from config (torch.optim-style names)
+# --------------------------------------------------------------------------
+
+
+def build_lr_schedule(optimizer_cfg: Dict, scheduler_cfg: Optional[Dict]):
+    base_lr = float(optimizer_cfg.get("params", {}).get("lr", 1e-3))
+    if not scheduler_cfg or not scheduler_cfg.get("name"):
+        return base_lr
+    name = scheduler_cfg["name"].lower()
+    p = scheduler_cfg.get("params", {})
+    if name == "steplr":
+        return optax.exponential_decay(
+            base_lr,
+            transition_steps=int(p.get("step_size", 10)),
+            decay_rate=float(p.get("gamma", 0.5)),
+            staircase=True,
+        )
+    if name == "exponentiallr":
+        return optax.exponential_decay(
+            base_lr, transition_steps=1, decay_rate=float(p.get("gamma", 0.99))
+        )
+    if name in ("cosineannealinglr", "cosine"):
+        return optax.cosine_decay_schedule(
+            base_lr, decay_steps=int(p.get("T_max", 100000))
+        )
+    if name in ("noamlr", "noam"):
+        warmup = int(p.get("warmup_steps", 4000))
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, base_lr, warmup),
+                lambda step: base_lr * (warmup**0.5) * ((step + warmup) ** -0.5),
+            ],
+            [warmup],
+        )
+    raise ValueError(f"unknown lr scheduler: {name}")
+
+
+def build_optimizer(optimizer_cfg: Dict, scheduler_cfg: Optional[Dict] = None):
+    name = optimizer_cfg.get("name", "Adam").lower()
+    p = dict(optimizer_cfg.get("params", {}))
+    lr = build_lr_schedule(optimizer_cfg, scheduler_cfg)
+    betas = tuple(p.get("betas", (0.9, 0.999)))
+    weight_decay = float(p.get("weight_decay", 0.0))
+    if name == "adam":
+        if weight_decay > 0:
+            return optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+        return optax.adam(lr, b1=betas[0], b2=betas[1])
+    if name == "adamw":
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    if name == "sgd":
+        return optax.sgd(lr, momentum=float(p.get("momentum", 0.0)))
+    if name == "radam":
+        return optax.radam(lr)
+    raise ValueError(f"unknown optimizer: {name}")
+
+
+# --------------------------------------------------------------------------
+# Train state + checkpointing
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+    def as_pytree(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "step": jnp.asarray(self.step),
+        }
+
+
+def save_checkpoint(
+    out_dir,
+    state: TrainState,
+    epoch: int,
+    is_best: bool = False,
+    postfix: str = "",
+    save_interval: int = 0,
+):
+    """best_loss / latest / epoch%04d checkpoint files
+    (reference train_util.py:1290-1335 semantics)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    blob = serialization.to_bytes(state.as_pytree())
+    (out_dir / f"latest{postfix}.ckpt").write_bytes(blob)
+    if is_best:
+        (out_dir / f"best_loss{postfix}.ckpt").write_bytes(blob)
+    if save_interval > 0 and epoch % save_interval == 0:
+        (out_dir / f"epoch{epoch:04d}{postfix}.ckpt").write_bytes(blob)
+
+
+def load_checkpoint(path, template: TrainState) -> TrainState:
+    tree = serialization.from_bytes(
+        template.as_pytree(), Path(path).read_bytes()
+    )
+    return TrainState(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        step=int(tree["step"]),
+    )
+
+
+def load_params_shape_filtered(path, template_variables) -> Any:
+    """Partial restore: copy only params whose path+shape match the template
+    (reference _resume train_util.py:1360-1384 — enables warm-starting
+    multitrack models from single-track checkpoints)."""
+    raw = Path(path).read_bytes()
+    loaded = serialization.msgpack_restore(raw)
+    loaded_params = loaded.get("params", loaded)
+    flat_t = traverse_util.flatten_dict(template_variables["params"])
+    flat_l = traverse_util.flatten_dict(loaded_params)
+    out = {}
+    copied = 0
+    for k, v in flat_t.items():
+        if k in flat_l and np.asarray(flat_l[k]).shape == np.asarray(v).shape:
+            out[k] = jnp.asarray(flat_l[k])
+            copied += 1
+        else:
+            out[k] = v
+    params = traverse_util.unflatten_dict(out)
+    return {**template_variables, "params": params}, copied
+
+
+# --------------------------------------------------------------------------
+# Train step factory
+# --------------------------------------------------------------------------
+
+
+def create_train_step(
+    module,
+    optimizer,
+    model_config: Dict,
+    clip_norm: float = 1.0,
+    feats_criterion: str = "mse",
+    pitch_reg_weight: float = 1.0,
+    stream_wise_loss: bool = False,
+    stream_weights=None,
+    axis: Optional[str] = None,
+):
+    """Build a jitted train/eval step for a single-track model.
+
+    The returned step takes (state, batch, rng, train) where batch contains
+    in_feats (B,T,Din), out_feats (B,T,Dout), lengths (B,), optional spks
+    and pitch_reg_dyn_ws (B,T,1); ``train`` is a static python bool.
+    """
+    prediction_type = module.prediction_type()
+    has_res_lf0 = module.has_residual_lf0_prediction()
+    stream_sizes = list(model_config.get("stream_sizes", []))
+
+    def loss_fn(params, batch_stats, batch, rng, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        in_feats = batch["in_feats"]
+        out_feats = batch["out_feats"]
+        lengths = batch["lengths"]
+        T = in_feats.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[
+            :, :, None
+        ]
+
+        kwargs = dict(train=train)
+        args = [in_feats]
+        if "spks" in batch:
+            args.append(batch["spks"])
+        args.append(lengths)
+
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        rngs = {"dropout": rng} if train else None
+        outs = module.apply(
+            variables, *args, out_feats, rngs=rngs, mutable=mutable, **kwargs
+        )
+        if mutable:
+            outs, updates = outs
+            new_batch_stats = updates.get("batch_stats", batch_stats)
+        else:
+            new_batch_stats = batch_stats
+
+        if has_res_lf0:
+            pred_out, lf0_residual = outs
+        else:
+            pred_out, lf0_residual = outs, None
+
+        if prediction_type == PredictionType.MULTISTREAM_HYBRID:
+            loss_feats = L.multistream_loss(
+                pred_out,
+                out_feats,
+                mask,
+                stream_sizes,
+                criterion=feats_criterion,
+                stream_wise=stream_wise_loss,
+                stream_weights=stream_weights,
+            )
+        elif prediction_type == PredictionType.PROBABILISTIC:
+            loss_feats = L.mdn_stream_loss(pred_out, out_feats, mask)
+        else:
+            loss_feats = L.feats_criterion(
+                pred_out, out_feats, mask, feats_criterion
+            )
+
+        if pitch_reg_weight > 0 and lf0_residual is not None:
+            dyn_ws = batch.get("pitch_reg_dyn_ws", 1.0)
+            loss_pitch = L.pitch_regularization_loss(lf0_residual, mask, dyn_ws)
+        else:
+            loss_pitch = jnp.asarray(0.0)
+
+        loss = loss_feats + pitch_reg_weight * loss_pitch
+        aux = {
+            "loss_feats": loss_feats,
+            "loss_pitch": loss_pitch,
+            "batch_stats": new_batch_stats,
+            "pred_out": pred_out,
+        }
+        return loss, aux
+
+    def train_step(state: Dict, batch: Dict, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], state["batch_stats"], batch, rng, True
+        )
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        clip = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
+        updates, new_opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        new_params = optax.apply_updates(state["params"], updates)
+        # NaN-skip: keep old params/opt state when gradients are not finite
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_params, state["params"]
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state,
+            state["opt_state"],
+        )
+        new_state = {
+            "params": new_params,
+            "batch_stats": aux["batch_stats"],
+            "opt_state": new_opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "Loss": loss,
+            "Loss_Feats": aux["loss_feats"],
+            "Loss_Pitch": aux["loss_pitch"],
+            "GradNorm": gnorm,
+        }
+        return new_state, metrics
+
+    def eval_step(state: Dict, batch: Dict):
+        loss, aux = loss_fn(
+            state["params"], state["batch_stats"], batch, jax.random.PRNGKey(0), False
+        )
+        return (
+            {
+                "Loss": loss,
+                "Loss_Feats": aux["loss_feats"],
+                "Loss_Pitch": aux["loss_pitch"],
+            },
+            aux["pred_out"],
+        )
+
+    return jax.jit(train_step), jax.jit(eval_step)
+
+
+# --------------------------------------------------------------------------
+# Metrics writer
+# --------------------------------------------------------------------------
+
+
+class MetricsWriter:
+    """JSONL metrics log + optional TensorBoard."""
+
+    def __init__(self, out_dir, use_tensorboard: bool = True):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(self.out_dir / "metrics.jsonl", "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.out_dir / "tensorboard"))
+            except Exception:
+                self.tb = None
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
+        rec = {"step": step, **{f"{prefix}{k}": float(v) for k, v in metrics.items()}}
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f"{prefix}{k}", float(v), step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()

@@ -1,0 +1,221 @@
+"""High-level training orchestration used by the CLI apps.
+
+The functional analogue of the reference's setup() + train_loop()
+(nnsvs/train_util.py:1387-1518, nnsvs/bin/train.py:150-320,
+train_acoustic.py:278-480): builds the model/optimizer from YAML, iterates
+length-bucketed batches with the jitted DP train step, evaluates with
+objective distortions, and keeps best/latest checkpoints.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.data.dataset import (
+    BucketedBatchIterator,
+    FeatsDataset,
+)
+from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
+from ensemble_svs_with_interactions_tpu.train import metrics as M
+from ensemble_svs_with_interactions_tpu.train.loop import (
+    MetricsWriter,
+    build_optimizer,
+    create_train_step,
+    load_params_shape_filtered,
+    save_checkpoint,
+    TrainState,
+)
+from ensemble_svs_with_interactions_tpu.train.losses import (
+    compute_pitch_regularization_weight,
+)
+from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+from ensemble_svs_with_interactions_tpu.utils.misc import init_seed
+from ensemble_svs_with_interactions_tpu.utils.scalers import StandardScaler
+
+
+def _init_variables(module, config: Config, rng_seed: int = 0):
+    in_dim = config.model.netG.get("in_dim", 82)
+    x = jnp.zeros((2, 16, in_dim), jnp.float32)
+    lengths = jnp.asarray([16, 16])
+    args = [x]
+    import inspect
+
+    sig_params = list(inspect.signature(module.__call__).parameters)
+    if "spks" in sig_params:
+        args.append(jnp.zeros((2,), jnp.int32))
+    return module.init(
+        {
+            "params": jax.random.PRNGKey(rng_seed),
+            "dropout": jax.random.PRNGKey(rng_seed + 1),
+        },
+        *args,
+        lengths,
+        train=True,
+    )
+
+
+def load_out_scaler(path_prefix) -> StandardScaler:
+    return StandardScaler(
+        np.load(f"{path_prefix}_scaler_mean.npy"),
+        np.load(f"{path_prefix}_scaler_var.npy"),
+        np.load(f"{path_prefix}_scaler_scale.npy"),
+    )
+
+
+def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
+    """Train a single-track model from a config tree.
+
+    Expected config keys (mirroring the reference's hydra trees):
+      data.train_no_dev.{in_dir,out_dir}, data.dev.{in_dir,out_dir},
+      data.batch_max_frames, data.filter_num_frames,
+      model.netG (with _target_), model.stream_sizes etc.,
+      train.optim.{optimizer,lr_scheduler}, train.nepochs, train.out_dir,
+      train.pitch_reg_weight (acoustic), train.feats_criterion.
+    """
+    logger = getLogger(verbose=config.get("verbose", 1), name="train")
+    init_seed(int(config.get("seed", 1234)))
+
+    mesh = make_mesh()
+    n_dev = int(np.prod([s for s in mesh.devices.shape]))
+    logger.info("devices: %d (%s)", n_dev, mesh)
+
+    module = instantiate(config.model.netG)
+    variables = _init_variables(module, config)
+
+    out_dir = Path(config.train.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # warm-start / resume
+    resume_path = config.get_path("train.resume.checkpoint")
+    if resume_path:
+        variables, copied = load_params_shape_filtered(resume_path, variables)
+        logger.info("warm-started %d tensors from %s", copied, resume_path)
+
+    optimizer = build_optimizer(
+        dict(config.train.optim.optimizer),
+        dict(config.train.optim.get("lr_scheduler", {}) or {}),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = {
+        "params": params,
+        "batch_stats": batch_stats,
+        "opt_state": optimizer.init(params),
+        "step": jnp.asarray(0),
+    }
+
+    pitch_reg_weight = float(config.train.get("pitch_reg_weight", 1.0)) if is_acoustic else 0.0
+    train_step, eval_step = create_train_step(
+        module,
+        optimizer,
+        dict(config.model),
+        clip_norm=float(config.train.optim.get("clip_norm", 1.0)),
+        feats_criterion=config.train.get("feats_criterion", "mse"),
+        pitch_reg_weight=pitch_reg_weight,
+        stream_wise_loss=bool(config.train.get("stream_wise_loss", False)),
+        stream_weights=config.train.get("stream_weights"),
+    )
+
+    max_frames = int(config.data.get("filter_num_frames", 6000))
+    batch_max_frames = int(config.data.get("batch_max_frames", 32000))
+    datasets = {}
+    for split in ("train_no_dev", "dev"):
+        d = config.data[split]
+        datasets[split] = FeatsDataset(
+            d["in_dir"], d["out_dir"], max_frames=max_frames
+        )
+        logger.info("%s: %d utterances", split, len(datasets[split]))
+
+    out_scaler = None
+    scaler_prefix = config.data.get("out_scaler_prefix")
+    if scaler_prefix:
+        out_scaler = load_out_scaler(scaler_prefix)
+
+    # pitch-regularization dynamic weights need denormalized score lf0
+    in_lf0_idx = int(config.data.get("in_lf0_idx", -1))
+    in_lf0_min = float(config.data.get("in_lf0_min", 0.0))
+    in_lf0_max = float(config.data.get("in_lf0_max", 1.0))
+    decay_size = int(config.train.get("pitch_reg_decay_size", 25))
+
+    writer = MetricsWriter(out_dir, use_tensorboard=config.train.get("use_tensorboard", False))
+    nepochs = int(config.train.get("nepochs", 10))
+    best_dev_loss = float("inf")
+    rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
+    step = 0
+    last_metrics: Dict[str, float] = {}
+
+    for epoch in range(1, nepochs + 1):
+        for split in ("train_no_dev", "dev"):
+            train = split == "train_no_dev"
+            it = BucketedBatchIterator(
+                datasets[split],
+                max_tokens=batch_max_frames,
+                time_multiple=int(config.data.get("time_multiple", 32)),
+                batch_multiple=n_dev,
+                shuffle=train,
+                seed=epoch,
+            )
+            epoch_metrics: Dict[str, list] = {}
+            for batch in it:
+                if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
+                    lf0_denorm = (
+                        batch["in_feats"][:, :, in_lf0_idx]
+                        * (in_lf0_max - in_lf0_min)
+                        + in_lf0_min
+                    )
+                    # zero at padded/rest frames so note segmentation works
+                    T = batch["in_feats"].shape[1]
+                    valid = np.arange(T)[None, :] < batch["lengths"][:, None]
+                    batch["pitch_reg_dyn_ws"] = compute_pitch_regularization_weight(
+                        np.where(valid, lf0_denorm, 0.0), decay_size
+                    )
+                sharded = shard_batch(batch, mesh)
+                if train:
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = train_step(state, sharded, step_rng)
+                    step += 1
+                else:
+                    metrics, pred_out = eval_step(state, sharded)
+                    if out_scaler is not None and not isinstance(pred_out, tuple):
+                        dist = M.compute_distortions(
+                            pred_out,
+                            batch["out_feats"],
+                            batch["lengths"],
+                            out_scaler,
+                            list(config.model.stream_sizes),
+                            list(config.model.has_dynamic_features),
+                            int(config.model.num_windows),
+                        )
+                        metrics = {**metrics, **dist}
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(float(v))
+            means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            writer.log(epoch, means, prefix=f"{split}/")
+            logger.info("epoch %d [%s] %s", epoch, split,
+                        {k: round(v, 4) for k, v in means.items()})
+            if not train:
+                dev_loss = means.get("Loss", float("inf"))
+                is_best = dev_loss < best_dev_loss
+                best_dev_loss = min(best_dev_loss, dev_loss)
+                save_checkpoint(
+                    out_dir,
+                    TrainState(
+                        state["params"],
+                        state["batch_stats"],
+                        state["opt_state"],
+                        int(state["step"]),
+                    ),
+                    epoch,
+                    is_best=is_best,
+                    save_interval=int(config.train.get("checkpoint_interval", 0)),
+                )
+                last_metrics = means
+    writer.close()
+    return last_metrics

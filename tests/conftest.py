@@ -14,6 +14,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize imports jax and registers the TPU (axon)
+# backend before this conftest runs, so the env var alone is too late —
+# force the platform through the live config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,223 @@
+"""Training-stack tests: datasets/bucketing, metrics parity, losses, and a
+mini distributed (8 virtual devices) end-to-end training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from ensemble_svs_with_interactions_tpu.data.dataset import (
+    BucketedBatchIterator,
+    FeatsDataset,
+    batch_by_size,
+    pad_batch,
+)
+from ensemble_svs_with_interactions_tpu.train import metrics as M
+from ensemble_svs_with_interactions_tpu.train import losses as L
+from ensemble_svs_with_interactions_tpu.train.loop import (
+    build_optimizer,
+    load_params_shape_filtered,
+)
+from ensemble_svs_with_interactions_tpu.train.trainer import train_model
+from ensemble_svs_with_interactions_tpu.utils.config import Config, _wrap
+from ensemble_svs_with_interactions_tpu.utils.scalers import StandardScaler
+
+
+# ---------------------------------------------------------------- batching
+def test_batch_by_size():
+    lengths = np.array([10, 50, 20, 45, 30, 100])
+    batches = batch_by_size(lengths, max_tokens=100)
+    all_idx = sorted(i for b in batches for i in b)
+    assert all_idx == list(range(6))
+    for b in batches:
+        T = max(lengths[i] for i in b)
+        assert T * len(b) <= 100 or len(b) == 1
+
+
+def test_pad_batch():
+    arrays = [np.ones((10, 3)), np.ones((17, 3))]
+    out, lengths = pad_batch(arrays, time_multiple=8, batch_multiple=4)
+    assert out.shape == (4, 24, 3)
+    assert lengths.tolist() == [10, 17, 0, 0]
+    assert out[0, 10:].sum() == 0
+
+
+@pytest.fixture
+def feature_dumps(tmp_path, rng):
+    """Synthetic in/out feature dumps with a learnable linear mapping."""
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    D_in, D_out = 8, 3
+    W = rng.normal(size=(D_in, D_out)) * 0.5
+    for i in range(12):
+        T = int(rng.integers(20, 60))
+        x = rng.normal(size=(T, D_in)).astype(np.float32)
+        y = (x @ W + 0.01 * rng.normal(size=(T, D_out))).astype(np.float32)
+        np.save(in_dir / f"utt{i:02d}-feats.npy", x)
+        np.save(out_dir / f"utt{i:02d}-feats.npy", y)
+    return in_dir, out_dir
+
+
+def test_feats_dataset_and_iterator(feature_dumps):
+    in_dir, out_dir = feature_dumps
+    ds = FeatsDataset(in_dir, out_dir)
+    assert len(ds) == 12
+    it = BucketedBatchIterator(ds, max_tokens=500, time_multiple=16, batch_multiple=4)
+    seen = 0
+    for batch in it:
+        B, T, D = batch["in_feats"].shape
+        assert B % 4 == 0 and T % 16 == 0
+        assert batch["out_feats"].shape[:2] == (B, T)
+        seen += int((batch["lengths"] > 0).sum())
+    assert seen == 12
+
+
+def test_max_frames_filter(feature_dumps):
+    in_dir, out_dir = feature_dumps
+    ds = FeatsDataset(in_dir, out_dir, max_frames=40)
+    assert 0 < len(ds) < 12
+
+
+# ---------------------------------------------------------------- metrics
+def test_melcd_formula():
+    x = np.zeros((1, 4, 3))
+    y = np.ones((1, 4, 3))
+    expected = 10 * np.sqrt(2) / np.log(10) * np.sqrt(3.0)
+    assert np.isclose(M.melcd(x, y, [4]), expected)
+
+
+def test_vuv_and_f0_metrics():
+    vuv = np.array([[[1.0], [1.0], [0.0], [1.0]]])
+    pred_vuv = np.array([[[1.0], [0.0], [0.0], [1.0]]])
+    assert np.isclose(M.vuv_error(vuv, pred_vuv, [4]), 0.25)
+    lf0 = np.log(np.array([[[220.0], [220.0], [1.0], [220.0]]]))
+    pred_lf0 = np.log(np.array([[[230.0], [220.0], [1.0], [220.0]]]))
+    mse = M.lf0_mean_squared_error(
+        lf0, vuv, pred_lf0, pred_vuv, [4], linear_domain=True
+    )
+    assert np.isclose(mse, 100.0 / 2)  # only frames 0 and 3 voiced in both
+
+
+def test_compute_distortions_shapes():
+    B, T = 2, 10
+    ss = [9, 3, 1, 6]
+    D = sum(ss)
+    rng = np.random.default_rng(0)
+    scaler = StandardScaler(np.zeros(D), np.ones(D), np.ones(D))
+    pred = rng.normal(size=(B, T, D))
+    target = rng.normal(size=(B, T, D))
+    dist = M.compute_distortions(
+        pred, target, [10, 8], scaler, ss, [True, True, False, True], 3
+    )
+    assert "ObjEval_MGC_MCD" in dist and "ObjEval_BAP_MCD" in dist
+    assert "ObjEval_VUV_ERR" in dist
+    assert all(np.isfinite(v) for v in dist.values())
+
+
+def test_pitch_reg_weight():
+    lf0 = np.zeros((1, 100))
+    lf0[0, 10:90] = 5.3  # one long note
+    w = L.compute_pitch_regularization_weight(lf0, decay_size=10, max_w=0.5)
+    assert w.shape == (1, 100, 1)
+    assert w[0, 50, 0] == 0.5  # center full weight
+    assert w[0, 10, 0] == 0.0  # edge decayed
+    assert w[0, 5, 0] == 0.0  # outside note
+
+
+# ---------------------------------------------------------------- training
+def _train_config(in_dir, out_dir, exp_dir, netG, nepochs=12, **train_extra):
+    return _wrap(
+        {
+            "seed": 1234,
+            "verbose": 0,
+            "data": {
+                "train_no_dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "batch_max_frames": 400,
+                "time_multiple": 16,
+            },
+            "model": {
+                "netG": netG,
+                "stream_sizes": [3],
+                "has_dynamic_features": [False],
+                "num_windows": 1,
+            },
+            "train": {
+                "out_dir": str(exp_dir),
+                "nepochs": nepochs,
+                "optim": {
+                    "optimizer": {"name": "Adam", "params": {"lr": 0.03}},
+                    "clip_norm": 5.0,
+                },
+                **train_extra,
+            },
+        }
+    )
+
+
+def test_train_model_deterministic_loss_decreases(feature_dumps, tmp_path):
+    """Mini e2e training on the 8-device CPU mesh: loss must decrease and
+    checkpoints must be written."""
+    in_dir, out_dir = feature_dumps
+    exp = tmp_path / "exp"
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_layers": 1,
+    }
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=15)
+    metrics = train_model(cfg)
+    assert metrics["Loss"] < 0.5  # linear map is learnable
+    assert (exp / "latest.ckpt").exists()
+    assert (exp / "best_loss.ckpt").exists()
+    assert (exp / "metrics.jsonl").exists()
+
+
+def test_train_model_mdn(feature_dumps, tmp_path):
+    in_dir, out_dir = feature_dumps
+    exp = tmp_path / "exp_mdn"
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_gaussians": 2,
+    }
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=8)
+    metrics = train_model(cfg)
+    assert np.isfinite(metrics["Loss"])
+    assert (exp / "best_loss.ckpt").exists()
+
+
+def test_shape_filtered_warm_start(feature_dumps, tmp_path):
+    """A checkpoint from one model warm-starts a differently-shaped one."""
+    in_dir, out_dir = feature_dumps
+    exp = tmp_path / "exp_ws"
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_layers": 1,
+    }
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=2)
+    train_model(cfg)
+
+    from ensemble_svs_with_interactions_tpu.models import FFN
+
+    bigger = FFN(in_dim=8, hidden_dim=32, out_dim=3, num_layers=1)
+    template = bigger.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4, 8)),
+        jnp.asarray([4]),
+    )
+    restored, copied = load_params_shape_filtered(exp / "latest.ckpt", template)
+    assert copied > 0  # at least some tensors matched
+    # the mismatched hidden layers kept their fresh shapes
+    chex_shapes = jax.tree_util.tree_map(lambda x: x.shape, restored["params"])
+    assert chex_shapes == jax.tree_util.tree_map(lambda x: x.shape, template["params"])
