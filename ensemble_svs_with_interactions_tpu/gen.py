@@ -75,10 +75,19 @@ class ModelPack:
     bucket: int = FRAME_BUCKET
 
     def __post_init__(self):
-        def _infer(variables, *args, **kwargs):
-            return self.module.apply(variables, *args, method="inference", **kwargs)
+        def _infer(variables, rng, *args, **kwargs):
+            # AR decoders use prenet dropout at inference (stochastic
+            # sampling); deterministic models ignore the rng
+            return self.module.apply(
+                variables,
+                *args,
+                method="inference",
+                rngs={"prenet": rng},
+                **kwargs,
+            )
 
         self._jit_infer = jax.jit(_infer)
+        self._rng = jax.random.PRNGKey(1234)
 
     def prediction_type(self):
         return self.module.prediction_type()
@@ -97,7 +106,7 @@ class ModelPack:
             args.append(jnp.asarray(xsb))
         if spks is not None:
             args.append(spks)
-        out = self._jit_infer(self.variables, *args, lengths)
+        out = self._jit_infer(self.variables, self._rng, *args, lengths)
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[0, :T] for o in out)
         return np.asarray(out)[0, :T]

@@ -1,0 +1,303 @@
+"""Multi-track generation pipeline: cross-singer timing and acoustics.
+
+Parity targets: /root/reference/nnsvs/gen.py predict_timelag_multitrack
+(:215-428, with the two-pointer note merge at :317-356),
+predict_duration_multitrack (:551-720), predict_timing_multitrack
+(:912-1005), predict_acoustic_multitrack (:1160-1310).
+
+The note merge is shared with training
+(data/multitrack.merge_tracks_by_notes); inference merges the two tracks'
+note-level features into a common timeline, runs the joint model on
+``concat(x_main, x_sub)``, and un-merges via the main-track presence mask.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu import gen
+from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.data.multitrack import (
+    merge_tracks_by_notes,
+)
+from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.ops.pitch import interp1d
+
+
+def _note_level_features(
+    labels,
+    binary_dict,
+    numeric_dict,
+    in_scaler,
+    pitch_indices,
+    log_f0_conditioning,
+    force_clip,
+    frame_shift,
+):
+    note_indices = hts.get_note_indices(labels)
+    note_labels = labels[note_indices]
+    feats = gen._prepare_linguistic_features(
+        note_labels,
+        binary_dict,
+        numeric_dict,
+        in_scaler,
+        pitch_indices,
+        False,
+        None,
+        log_f0_conditioning,
+        force_clip,
+        frame_shift,
+    )
+    times = np.asarray(note_labels.start_times)
+    return feats, times, note_labels
+
+
+def _merged_timing_inference(
+    labels_list,
+    spks_list,
+    model: gen.ModelPack,
+    in_scaler,
+    out_scaler,
+    binary_dict,
+    numeric_dict,
+    pitch_indices,
+    log_f0_conditioning,
+    force_clip,
+    frame_shift,
+):
+    """Shared note-merge + joint MDN inference for timelag/duration.
+
+    Returns (mu, sigma_sq, mask0, note_labels_main): mu/sigma over the MAIN
+    track's note positions only.
+    """
+    feats0, times0, note_labels0 = _note_level_features(
+        labels_list[0], binary_dict, numeric_dict, in_scaler, pitch_indices,
+        log_f0_conditioning, force_clip, frame_shift,
+    )
+    feats1, times1, _ = _note_level_features(
+        labels_list[1], binary_dict, numeric_dict, in_scaler, pitch_indices,
+        log_f0_conditioning, force_clip, frame_shift,
+    )
+    dummy0 = np.zeros((len(feats0), 1), np.float32)
+    dummy1 = np.zeros((len(feats1), 1), np.float32)
+    mx0, _, mask0, mx1, _, _ = merge_tracks_by_notes(
+        feats0, dummy0, times0, feats1, dummy1, times1
+    )
+    x = np.concatenate([mx0, mx1], axis=-1)
+    spks = (
+        jnp.asarray([spks_list[0]], jnp.int32),
+        jnp.asarray([spks_list[1]], jnp.int32),
+    )
+    pred = model.inference(x, spks=spks)
+    if model.prediction_type() == PredictionType.PROBABILISTIC:
+        mu, sigma = pred
+        sigma_sq = np.maximum(
+            np.asarray(sigma) ** 2 * np.asarray(out_scaler.var_), 1e-14
+        )
+        mu = np.asarray(out_scaler.inverse_transform(np.asarray(mu)))
+        return mu[mask0], sigma_sq[mask0], mask0, note_labels0
+    out = np.asarray(out_scaler.inverse_transform(np.asarray(pred)))
+    return out[mask0], None, mask0, note_labels0
+
+
+def predict_timelag_multitrack(
+    labels_list,
+    spks_list,
+    timelag_model: gen.ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    binary_dict,
+    numeric_dict,
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    allowed_range: Sequence[int] = (-20, 20),
+    allowed_range_rest: Sequence[int] = (-40, 40),
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+):
+    """Note-level time-lag for the main track, conditioned on both tracks."""
+    hts_frame_shift = int(frame_period * 1e4)
+    for labels in labels_list:
+        labels.frame_shift = hts_frame_shift
+        labels.round_()
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    mu, sigma_sq, mask0, note_labels = _merged_timing_inference(
+        labels_list, spks_list, timelag_model, timelag_in_scaler,
+        timelag_out_scaler, binary_dict, numeric_dict, pitch_indices,
+        log_f0_conditioning, force_clip_input_features, hts_frame_shift,
+    )
+    pred = np.round(mu)
+    for idx in range(len(pred)):
+        rng = (
+            allowed_range_rest
+            if hts.is_silence_context(note_labels.contexts[idx])
+            else allowed_range
+        )
+        pred[idx] = np.clip(pred[idx], rng[0], rng[1])
+    return pred * hts_frame_shift, pred, mask0
+
+
+def predict_duration_multitrack(
+    labels_list,
+    spks_list,
+    duration_model: gen.ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    binary_dict,
+    numeric_dict,
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+):
+    """Phone-level durations for the main track (joint two-track model)."""
+    hts_frame_shift = int(frame_period * 1e4)
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    # durations are phone-level: merge over phone start times
+    feats0 = gen._prepare_linguistic_features(
+        labels_list[0], binary_dict, numeric_dict, duration_in_scaler,
+        pitch_indices, False, None, log_f0_conditioning,
+        force_clip_input_features, hts_frame_shift,
+    )
+    feats1 = gen._prepare_linguistic_features(
+        labels_list[1], binary_dict, numeric_dict, duration_in_scaler,
+        pitch_indices, False, None, log_f0_conditioning,
+        force_clip_input_features, hts_frame_shift,
+    )
+    times0 = np.asarray(labels_list[0].start_times)
+    times1 = np.asarray(labels_list[1].start_times)
+    d0 = np.zeros((len(feats0), 1), np.float32)
+    d1 = np.zeros((len(feats1), 1), np.float32)
+    mx0, _, mask0, mx1, _, _ = merge_tracks_by_notes(
+        feats0, d0, times0, feats1, d1, times1
+    )
+    x = np.concatenate([mx0, mx1], axis=-1)
+    spks = (
+        jnp.asarray([spks_list[0]], jnp.int32),
+        jnp.asarray([spks_list[1]], jnp.int32),
+    )
+    pred = duration_model.inference(x, spks=spks)
+    if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
+        mu, sigma = pred
+        sigma_sq = np.maximum(
+            np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_), 1e-14
+        )
+        mu = np.asarray(duration_out_scaler.inverse_transform(np.asarray(mu)))
+        return mu[mask0], sigma_sq[mask0]
+    out = np.asarray(duration_out_scaler.inverse_transform(np.asarray(pred)))
+    out = out[mask0]
+    out[out <= 0] = 1
+    return np.round(out)
+
+
+def predict_timing_multitrack(
+    labels_list,
+    spks_list,
+    binary_dict,
+    numeric_dict,
+    timelag_model: gen.ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    duration_model: gen.ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    log_f0_conditioning: bool = True,
+    allowed_range=(-20, 20),
+    allowed_range_rest=(-40, 40),
+    force_clip_input_features: bool = True,
+    frame_period: float = 5,
+):
+    """timelag + duration + duration normalization on the main track."""
+    hts_frame_shift = int(frame_period * 1e4)
+    for labels in labels_list:
+        labels.frame_shift = hts_frame_shift
+    pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    lag, lag_for_eval, mask = predict_timelag_multitrack(
+        labels_list, spks_list, timelag_model, timelag_in_scaler,
+        timelag_out_scaler, binary_dict, numeric_dict,
+        pitch_indices=pitch_indices,
+        log_f0_conditioning=log_f0_conditioning,
+        allowed_range=allowed_range,
+        allowed_range_rest=allowed_range_rest,
+        force_clip_input_features=force_clip_input_features,
+        frame_period=frame_period,
+    )
+    durations = predict_duration_multitrack(
+        labels_list, spks_list, duration_model, duration_in_scaler,
+        duration_out_scaler, binary_dict, numeric_dict,
+        pitch_indices=pitch_indices,
+        log_f0_conditioning=log_f0_conditioning,
+        force_clip_input_features=force_clip_input_features,
+        frame_period=frame_period,
+    )
+    duration_modified_labels, d_norms = gen.postprocess_duration(
+        labels_list[0], durations, lag, frame_period
+    )
+    return duration_modified_labels, lag_for_eval, d_norms, mask
+
+
+def predict_acoustic_multitrack(
+    labels_list,
+    spks_list,
+    acoustic_model: gen.ModelPack,
+    acoustic_in_scaler,
+    acoustic_out_scaler,
+    binary_dict,
+    numeric_dict,
+    subphone_features: str = "coarse_coding",
+    pitch_indices=None,
+    log_f0_conditioning: bool = True,
+    force_clip_input_features: bool = False,
+    frame_period: float = 5,
+    f0_shift_in_cent: float = 0,
+):
+    """Frame-level acoustic features for the main track, conditioned on the
+    sub track.  Tracks are padded to a common frame count."""
+    hts_frame_shift = int(frame_period * 1e4)
+    if pitch_indices is None:
+        pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    feats = []
+    for labels in labels_list:
+        f = gen._prepare_linguistic_features(
+            labels, binary_dict, numeric_dict, acoustic_in_scaler,
+            pitch_indices, True, subphone_features, log_f0_conditioning,
+            force_clip_input_features, hts_frame_shift, f0_shift_in_cent,
+        )
+        feats.append(f)
+    T = max(len(f) for f in feats)
+    x0 = np.pad(feats[0], ((0, T - len(feats[0])), (0, 0)))
+    x1 = np.pad(feats[1], ((0, T - len(feats[1])), (0, 0)))
+
+    spks = (
+        jnp.asarray([spks_list[0]], jnp.int32),
+        jnp.asarray([spks_list[1]], jnp.int32),
+    )
+    pred = acoustic_model.inference(x0, spks=spks, x_sub=x1)
+    if isinstance(pred, tuple):
+        pred = pred[0]  # (out_main, out_sub) -> main
+    pred = np.asarray(pred)[: len(feats[0])]
+    out = np.asarray(acoustic_out_scaler.inverse_transform(pred))
+    if np.any(acoustic_model.config.has_dynamic_features):
+        from ensemble_svs_with_interactions_tpu.ops.multistream import (
+            get_windows,
+            multi_stream_mlpg,
+        )
+
+        out = multi_stream_mlpg(
+            out,
+            np.asarray(acoustic_out_scaler.var_),
+            get_windows(acoustic_model.config.num_windows),
+            list(acoustic_model.config.stream_sizes),
+            list(acoustic_model.config.has_dynamic_features),
+        )
+    return out

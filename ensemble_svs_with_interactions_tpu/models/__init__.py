@@ -22,3 +22,13 @@ from ensemble_svs_with_interactions_tpu.models.generic import (  # noqa: F401
     TransformerEncoder,
     VariancePredictor,
 )
+from ensemble_svs_with_interactions_tpu.models.tacotron import (  # noqa: F401
+    NonAttentiveDecoder,
+    Prenet,
+)
+from ensemble_svs_with_interactions_tpu.models import acoustic  # noqa: F401
+from ensemble_svs_with_interactions_tpu.models.postfilters import (  # noqa: F401
+    Conv2dPostFilter,
+    MultistreamPostFilter,
+    variance_scaling,
+)

@@ -1,0 +1,283 @@
+"""Duration-informed Tacotron decoder machinery (autoregressive, lax.scan).
+
+Parity targets: /root/reference/nnsvs/tacotron/decoder.py (Prenet :50,
+ZoneOutCell :20, NonAttentiveDecoder :91-264).
+
+TPU design: the per-frame autoregressive loop is one ``nn.scan`` over T/r
+steps of an ``_ARDecoderCore`` module.  Teacher forcing feeds targets as
+scan inputs (XLA pipelines the cells); inference feeds back the previous
+output through the carry.  Prenet dropout is active at inference too
+(matching the reference's ``eval_dropout=True``, decoder.py:84-87) via the
+"prenet" RNG stream; zoneout uses bernoulli masks in training and
+deterministic blending at inference (decoder.py:39-47).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.base import BaseModel
+
+_MAX_LF0_RATIO = 600.0 * np.log(2) / 1200.0
+
+
+class Prenet(nn.Module):
+    """Tacotron pre-net; dropout stays on at inference (a stochastic AR
+    regularizer, not a training-only one)."""
+
+    layers: int = 2
+    hidden_dim: int = 256
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f"fc{i}")(x))
+            if self.dropout > 0:
+                sub = self.make_rng("prenet")
+                keep = jax.random.bernoulli(sub, 1.0 - self.dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - self.dropout), 0.0)
+        return x
+
+
+def zoneout_blend(prev_state, new_state, prob: float, train: bool, rng):
+    """Zoneout on an LSTM (c, h) state tuple."""
+    if prob <= 0.0:
+        return new_state
+
+    def _one(p, n, key):
+        if train:
+            mask = jax.random.bernoulli(key, prob, p.shape)
+            return jnp.where(mask, p, n)
+        return prob * p + (1.0 - prob) * n
+
+    k1, k2 = jax.random.split(rng) if rng is not None else (None, None)
+    return (_one(prev_state[0], new_state[0], k1), _one(prev_state[1], new_state[1], k2))
+
+
+class _ARDecoderCore(nn.Module):
+    """One autoregressive decoder step (scanned over time with nn.scan).
+
+    carry: (lstm_states, prev_out); xs: (enc_t, target_t, lf0_den_t).
+    """
+
+    out_dim: int
+    layers: int
+    hidden_dim: int
+    prenet_layers: int
+    prenet_hidden_dim: int
+    prenet_dropout: float
+    zoneout: float
+    reduction_factor: int
+    train: bool
+    is_inference: bool
+    residual_f0: bool
+    scaled_tanh: bool = True
+    out_lf0_idx: int = 0
+    out_lf0_mean: float = 0.0
+    out_lf0_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        states, prev_out = carry
+        enc_t, tgt_t, lf0_den_t = xs
+        B = enc_t.shape[0]
+        r = self.reduction_factor
+
+        if self.prenet_layers > 0:
+            prenet_out = Prenet(
+                self.prenet_layers,
+                self.prenet_hidden_dim,
+                self.prenet_dropout,
+                name="prenet",
+            )(prev_out)
+        else:
+            rng = self.make_rng("prenet")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.prenet_dropout, prev_out.shape
+            )
+            prenet_out = jnp.where(
+                keep, prev_out / (1.0 - self.prenet_dropout), 0.0
+            )
+
+        h = jnp.concatenate([enc_t, prenet_out], axis=-1)
+        new_states = []
+        for i in range(self.layers):
+            cell = nn.OptimizedLSTMCell(self.hidden_dim, name=f"cell{i}")
+            new_state, h = cell(states[i], h)
+            if self.zoneout > 0:
+                rng = self.make_rng("zoneout") if self.train else None
+                new_state = zoneout_blend(
+                    states[i], new_state, self.zoneout, self.train, rng
+                )
+                h = new_state[1]
+            new_states.append(new_state)
+
+        hcs = jnp.concatenate([h, enc_t], axis=-1)
+        out = nn.Dense(self.out_dim * r, use_bias=False, name="feat_out")(
+            hcs
+        ).reshape(B, r, self.out_dim)
+
+        if self.residual_f0:
+            raw = out[:, :, self.out_lf0_idx]
+            res = _MAX_LF0_RATIO * jnp.tanh(raw) if self.scaled_tanh else raw
+            lf0_pred = (lf0_den_t + res - self.out_lf0_mean) / self.out_lf0_scale
+            out = out.at[:, :, self.out_lf0_idx].set(lf0_pred)
+        else:
+            res = jnp.zeros((B, r), out.dtype)
+
+        prev = out[:, -1, :] if self.is_inference else tgt_t
+        return (tuple(new_states), prev), (out, res)
+
+
+def ar_decode(
+    parent,
+    encoder_outs,
+    decoder_targets,
+    train: bool,
+    residual_f0: bool = False,
+    in_lf0_idx: int = -1,
+    lf0_params: Optional[Tuple[float, float, float, float]] = None,
+    scaled_tanh: bool = True,
+    out_lf0_idx: int = 0,
+    initial_value: float = 0.0,
+):
+    """Run the scanned AR decode for a decoder module ``parent``.
+
+    ``parent`` provides hyperparameters (out_dim, layers, hidden_dim,
+    prenet_*, zoneout, reduction_factor, downsample_by_conv).  Must be
+    called inside ``parent``'s @nn.compact __call__.
+
+    Returns (outs (B, T_full, D), lf0_residual (B, T_full, 1) | None).
+    """
+    is_inference = decoder_targets is None
+    r = parent.reduction_factor
+    B, T_full, _ = encoder_outs.shape
+
+    if residual_f0:
+        in_lf0_min, in_lf0_max, out_lf0_mean, out_lf0_scale = lf0_params
+        lf0_score = encoder_outs[:, :, in_lf0_idx]
+        lf0_denorm = lf0_score * (in_lf0_max - in_lf0_min) + in_lf0_min
+        lf0_den_steps = lf0_denorm.reshape(B, -1, r)
+    else:
+        out_lf0_mean, out_lf0_scale = 0.0, 1.0
+
+    if r > 1 and parent.downsample_by_conv:
+        C = encoder_outs.shape[-1]
+        enc = nn.Conv(
+            C,
+            (r,),
+            strides=(r,),
+            feature_group_count=C,
+            padding="VALID",
+            name="conv_downsample",
+        )(encoder_outs)
+    elif r > 1:
+        enc = encoder_outs[:, r - 1 :: r]
+    else:
+        enc = encoder_outs
+    T = enc.shape[1]
+
+    if decoder_targets is not None and r > 1:
+        decoder_targets = decoder_targets[:, r - 1 :: r]
+    tgt = (
+        decoder_targets
+        if decoder_targets is not None
+        else jnp.zeros((B, T, parent.out_dim), enc.dtype)
+    )
+    lf0_in = (
+        lf0_den_steps[:, :T]
+        if residual_f0
+        else jnp.zeros((B, T, r), enc.dtype)
+    )
+
+    core = nn.scan(
+        _ARDecoderCore,
+        variable_broadcast="params",
+        split_rngs={"prenet": True, "zoneout": True, "params": False},
+        in_axes=1,
+        out_axes=1,
+    )(
+        out_dim=parent.out_dim,
+        layers=parent.layers if hasattr(parent, "layers") else parent.decoder_layers,
+        hidden_dim=(
+            parent.hidden_dim
+            if hasattr(parent, "hidden_dim")
+            else parent.decoder_hidden_dim
+        ),
+        prenet_layers=parent.prenet_layers,
+        prenet_hidden_dim=parent.prenet_hidden_dim,
+        prenet_dropout=parent.prenet_dropout,
+        zoneout=parent.zoneout,
+        reduction_factor=r,
+        train=train,
+        is_inference=is_inference,
+        residual_f0=residual_f0,
+        scaled_tanh=scaled_tanh,
+        out_lf0_idx=out_lf0_idx,
+        out_lf0_mean=float(out_lf0_mean),
+        out_lf0_scale=float(out_lf0_scale),
+        name="ar_core",
+    )
+
+    hidden = (
+        parent.hidden_dim
+        if hasattr(parent, "hidden_dim")
+        else parent.decoder_hidden_dim
+    )
+    layers = parent.layers if hasattr(parent, "layers") else parent.decoder_layers
+    init_states = tuple(
+        (
+            jnp.zeros((B, hidden), enc.dtype),
+            jnp.zeros((B, hidden), enc.dtype),
+        )
+        for _ in range(layers)
+    )
+    go_frame = jnp.full((B, parent.out_dim), initial_value, enc.dtype)
+
+    (_, _), (outs, res) = core((init_states, go_frame), (enc, tgt, lf0_in))
+    outs = outs.reshape(B, T * r, parent.out_dim)
+    if residual_f0:
+        return outs, res.reshape(B, T * r, 1)
+    return outs, None
+
+
+class NonAttentiveDecoder(BaseModel):
+    """Duration-informed Tacotron decoder without attention
+    (reference nnsvs/tacotron/decoder.py:91)."""
+
+    in_dim: int = 512
+    out_dim: int = 80
+    layers: int = 2
+    hidden_dim: int = 1024
+    prenet_layers: int = 2
+    prenet_hidden_dim: int = 256
+    prenet_dropout: float = 0.5
+    zoneout: float = 0.1
+    reduction_factor: int = 1
+    downsample_by_conv: bool = False
+    init_type: str = "none"
+    initial_value: float = 0.0
+
+    def is_autoregressive(self) -> bool:
+        return True
+
+    @nn.compact
+    def __call__(self, encoder_outs, lengths=None, y=None, train: bool = False):
+        outs, _ = ar_decode(
+            self,
+            encoder_outs,
+            y,
+            train,
+            residual_f0=False,
+            initial_value=self.initial_value,
+        )
+        return outs
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)

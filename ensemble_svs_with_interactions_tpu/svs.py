@@ -43,28 +43,46 @@ from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
 
 
 def _load_variables(module, config, params_path: Path):
-    """Deserialize flax variables against a template built from the module."""
+    """Deserialize flax variables against a template built from the module.
+
+    Builds init args from the module's __call__ signature: plain (x,
+    lengths), speaker-conditioned (x, spks, lengths), multitrack timing
+    (concat-x, spks tuple, lengths) or multitrack acoustic (x_main, x_sub,
+    spks_list, lengths, ys).
+    """
+    import inspect
+
     import jax
     import jax.numpy as jnp
 
     in_dim = config.netG.get("in_dim", 82)
-    x = jnp.zeros((1, 8, in_dim), jnp.float32)
-    kwargs = {}
-    init_args = [x]
-    # multi-speaker / multitrack modules need speaker ids (and a sub track)
-    import inspect
+    out_dim = config.netG.get("out_dim", 1)
+    T = 8
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2),
+        "zoneout": jax.random.PRNGKey(3),
+    }
+    lengths = jnp.asarray([T])
+    sig_params = list(inspect.signature(module.__call__).parameters)
 
-    sig = inspect.signature(module.__call__)
-    params = list(sig.parameters)
-    if "x_sub" in params or ("spks" in params and "x_main" in str(sig)):
-        pass
-    if "spks" in params:
-        init_args.append((jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)))
-    template = module.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        *init_args,
-        jnp.asarray([8]),
-    )
+    if "x_main" in sig_params:  # multitrack acoustic
+        x0 = jnp.zeros((1, T, in_dim), jnp.float32)
+        x1 = jnp.zeros((1, T, in_dim), jnp.float32)
+        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+        ys = (
+            jnp.zeros((1, T, out_dim), jnp.float32),
+            jnp.zeros((1, T, out_dim), jnp.float32),
+        )
+        template = module.init(rngs, x0, x1, spks, lengths, ys, train=True)
+    elif "spks" in sig_params:
+        x = jnp.zeros((1, T, in_dim), jnp.float32)
+        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+        template = module.init(rngs, x, spks, lengths, train=True)
+    else:
+        x = jnp.zeros((1, T, in_dim), jnp.float32)
+        template = module.init(rngs, x, lengths, train=True)
     with open(params_path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 

@@ -1,0 +1,212 @@
+"""Multi-track training orchestration (timing + acoustic).
+
+Mirrors the reference's bin/train_multitrack.py and
+bin/train_acoustic_multitrack.py train loops on top of the multitrack
+datasets and jitted steps.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.data.multitrack import (
+    MultiTrackBatchIterator,
+    MultiTrackFeatsDataset,
+)
+from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
+from ensemble_svs_with_interactions_tpu.train import metrics as M
+from ensemble_svs_with_interactions_tpu.train.loop import (
+    MetricsWriter,
+    build_optimizer,
+    load_params_shape_filtered,
+    save_checkpoint,
+    TrainState,
+)
+from ensemble_svs_with_interactions_tpu.train.multitrack import (
+    create_multitrack_acoustic_train_step,
+    create_multitrack_timing_train_step,
+    interaction_weight,
+)
+from ensemble_svs_with_interactions_tpu.train.trainer import load_out_scaler
+from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+from ensemble_svs_with_interactions_tpu.utils.misc import init_seed
+
+
+def _init_multitrack_variables(module, config, acoustic: bool, seed: int = 0):
+    in_dim = config.model.netG.get("in_dim", 86)
+    out_dim = config.model.netG.get("out_dim", 67)
+    B, T = 2, 16
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "dropout": jax.random.PRNGKey(seed + 1),
+        "prenet": jax.random.PRNGKey(seed + 2),
+        "zoneout": jax.random.PRNGKey(seed + 3),
+    }
+    lengths = jnp.asarray([T, T])
+    spks = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    if acoustic:
+        x0 = jnp.zeros((B, T, in_dim))
+        x1 = jnp.zeros((B, T, in_dim))
+        ys = (jnp.zeros((B, T, out_dim)), jnp.zeros((B, T, out_dim)))
+        return module.init(rngs, x0, x1, spks, lengths, ys, train=True)
+    # timing models consume concat(x0, x1)
+    x = jnp.zeros((B, T, in_dim))
+    return module.init(rngs, x, spks, lengths, train=True)
+
+
+def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float]:
+    logger = getLogger(verbose=config.get("verbose", 1), name="train_mt")
+    init_seed(int(config.get("seed", 1234)))
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    module = instantiate(config.model.netG)
+    variables = _init_multitrack_variables(module, config, is_acoustic)
+
+    resume_path = config.get_path("train.resume.checkpoint")
+    if resume_path:
+        variables, copied = load_params_shape_filtered(resume_path, variables)
+        logger.info("warm-started %d tensors from %s", copied, resume_path)
+
+    optimizer = build_optimizer(
+        dict(config.train.optim.optimizer),
+        dict(config.train.optim.get("lr_scheduler", {}) or {}),
+    )
+    state = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": optimizer.init(variables["params"]),
+        "step": jnp.asarray(0),
+    }
+
+    clip_norm = float(config.train.optim.get("clip_norm", 1.0))
+    if is_acoustic:
+        train_step, eval_step = create_multitrack_acoustic_train_step(
+            module,
+            optimizer,
+            dict(config.model),
+            clip_norm=clip_norm,
+            feats_criterion=config.train.get("feats_criterion", "mse"),
+            pitch_reg_weight=float(config.train.get("pitch_reg_weight", 1.0)),
+            sub_require_grad=bool(config.train.get("sub_require_grad", True)),
+        )
+    else:
+        train_step, eval_step = create_multitrack_timing_train_step(
+            module, optimizer, clip_norm=clip_norm
+        )
+
+    spk_names = list(config.data.get("spk_names", []))
+    datasets = {}
+    for split in ("train_no_dev", "dev"):
+        d = config.data[split]
+        datasets[split] = MultiTrackFeatsDataset(
+            d["in_dir"],
+            d["out_dir"],
+            spk_names,
+            max_frames=int(config.data.get("filter_num_frames", 6000)),
+            load_times=not is_acoustic,
+        )
+        logger.info("%s: %d track pairs", split, len(datasets[split]))
+
+    out_scaler = None
+    prefix = config.data.get("out_scaler_prefix")
+    if prefix and is_acoustic:
+        out_scaler = load_out_scaler(prefix)
+
+    out_dir = Path(config.train.out_dir)
+    writer = MetricsWriter(out_dir, use_tensorboard=config.train.get("use_tensorboard", False))
+    nepochs = int(config.train.get("nepochs", 10))
+    best_dev = float("inf")
+    rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
+    last_metrics: Dict[str, float] = {}
+
+    reduction = int(config.model.netG.get("reduction_factor", 1)) if is_acoustic else 1
+    time_multiple = max(int(config.data.get("time_multiple", 32)), reduction)
+    # time padding must stay divisible by the AR reduction factor
+    while time_multiple % reduction != 0:
+        time_multiple += 1
+
+    for epoch in range(1, nepochs + 1):
+        weights = {
+            "logf0_diff": jnp.asarray(
+                interaction_weight(
+                    config.train.get("logf0_diff_weight", 1.0), epoch, nepochs
+                )
+            ),
+            "mgc_diff": jnp.asarray(
+                interaction_weight(
+                    config.train.get("mgc_diff_weight", 1.0), epoch, nepochs
+                )
+            ),
+        }
+        for split in ("train_no_dev", "dev"):
+            train = split == "train_no_dev"
+            it = MultiTrackBatchIterator(
+                datasets[split],
+                sync="frames" if is_acoustic else "notes",
+                max_tokens=int(config.data.get("batch_max_frames", 32000)),
+                time_multiple=time_multiple,
+                batch_multiple=n_dev,
+                shuffle=train,
+                seed=epoch,
+            )
+            epoch_metrics: Dict[str, list] = {}
+            for batch in it:
+                sharded = shard_batch(batch, mesh)
+                if train:
+                    rng, step_rng = jax.random.split(rng)
+                    if is_acoustic:
+                        state, metrics = train_step(state, sharded, weights, step_rng)
+                    else:
+                        state, metrics = train_step(state, sharded, step_rng)
+                else:
+                    if is_acoustic:
+                        metrics, pred_main = eval_step(state, sharded, weights)
+                        if out_scaler is not None and not isinstance(
+                            pred_main, (tuple, list)
+                        ):
+                            dist = M.compute_distortions(
+                                pred_main,
+                                batch["out_feats0"],
+                                batch["lengths"],
+                                out_scaler,
+                                list(config.model.stream_sizes),
+                                list(config.model.has_dynamic_features),
+                                int(config.model.num_windows),
+                            )
+                            metrics = {**metrics, **dist}
+                    else:
+                        metrics = eval_step(state, sharded)
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(float(v))
+            means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            writer.log(epoch, means, prefix=f"{split}/")
+            logger.info(
+                "epoch %d [%s] %s", epoch, split,
+                {k: round(v, 4) for k, v in means.items()},
+            )
+            if not train:
+                dev_loss = means.get("Loss", float("inf"))
+                is_best = dev_loss < best_dev
+                best_dev = min(best_dev, dev_loss)
+                save_checkpoint(
+                    out_dir,
+                    TrainState(
+                        state["params"],
+                        state["batch_stats"],
+                        state["opt_state"],
+                        int(state["step"]),
+                    ),
+                    epoch,
+                    is_best=is_best,
+                    save_interval=int(config.train.get("checkpoint_interval", 0)),
+                )
+                last_metrics = means
+    writer.close()
+    return last_metrics
