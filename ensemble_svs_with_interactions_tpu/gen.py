@@ -92,6 +92,31 @@ class ModelPack:
     def prediction_type(self):
         return self.module.prediction_type()
 
+    def inference_batch(self, xs, spks=None):
+        """Batched inference over a list of (T_i, D) sequences.
+
+        All sequences are padded to a common bucketed length and run as one
+        (B, T, D) batch — on TPU this amortizes the scan-latency of
+        LSTM/AR decoders across the whole ensemble.
+        """
+        B = len(xs)
+        T_pad = _round_up(max(len(x) for x in xs), self.bucket)
+        xb = np.zeros((B, T_pad, xs[0].shape[1]), np.float32)
+        lengths = np.zeros((B,), np.int32)
+        for i, x in enumerate(xs):
+            xb[i, : len(x)] = x
+            lengths[i] = len(x)
+        args = [jnp.asarray(xb)]
+        if spks is not None:
+            args.append(spks)
+        out = self._jit_infer(self.variables, self._rng, *args, jnp.asarray(lengths))
+        if isinstance(out, tuple):
+            return [
+                tuple(np.asarray(o)[i, : lengths[i]] for o in out) for i in range(B)
+            ]
+        out = np.asarray(out)
+        return [out[i, : lengths[i]] for i in range(B)]
+
     def inference(self, x: np.ndarray, spks=None, x_sub: Optional[np.ndarray] = None):
         """Run inference on a single (T, D) sequence with bucket padding."""
         T = x.shape[0]
@@ -654,19 +679,16 @@ def postprocess_acoustic(
         modfs = int(1 / (frame_period * 0.001))
         lf0[:, 0] = lowpass_filter(lf0[:, 0], modfs, cutoff=trajectory_smoothing_cutoff_f0)
         if feature_type == "world":
-            for d in range(mgc.shape[1]):
-                mgc[:, d] = lowpass_filter(
-                    mgc[:, d], modfs, cutoff=trajectory_smoothing_cutoff
-                )
-            for d in range(bap.shape[1]):
-                bap[:, d] = lowpass_filter(
-                    bap[:, d], modfs, cutoff=trajectory_smoothing_cutoff
-                )
+            mgc = np.ascontiguousarray(
+                lowpass_filter(mgc, modfs, cutoff=trajectory_smoothing_cutoff, axis=0)
+            )
+            bap = np.ascontiguousarray(
+                lowpass_filter(bap, modfs, cutoff=trajectory_smoothing_cutoff, axis=0)
+            )
         else:
-            for d in range(mel.shape[1]):
-                mel[:, d] = lowpass_filter(
-                    mel[:, d], modfs, cutoff=trajectory_smoothing_cutoff
-                )
+            mel = np.ascontiguousarray(
+                lowpass_filter(mel, modfs, cutoff=trajectory_smoothing_cutoff, axis=0)
+            )
 
     if feature_type == "world":
         use_mcep_aperiodicity = bap.shape[-1] > 5
@@ -748,6 +770,24 @@ def predict_waveform(
     if vocoder_type == "world":
         if feature_type not in ("world", "world_org"):
             raise ValueError(f"invalid feature type for WORLD vocoder: {feature_type}")
+        use_mcep_ap = feature_type == "world" and bap.shape[-1] > 5
+        if feature_type == "world" and use_world_codec and not use_mcep_ap:
+            # fused device path: codecs + V/UV gating + synthesis in one jit
+            T = len(lf0)
+            T_pad = _round_up(max(T, 1), FRAME_BUCKET)
+            pad = T_pad - T
+            mgc_p = np.pad(mgc, ((0, pad), (0, 0)), mode="edge")
+            lf0_p = np.pad(lf0, ((0, pad), (0, 0)), mode="edge")
+            vuv_p = np.pad(vuv, ((0, pad), (0, 0)))
+            bap_p = np.pad(bap, ((0, pad), (0, 0)), mode="edge")
+            wav = np.asarray(
+                world.synthesize_from_streams(
+                    mgc_p, lf0_p, vuv_p, bap_p, sample_rate, frame_period,
+                    vuv_threshold=vuv_threshold, key=key,
+                )
+            )
+            hop = int(sample_rate * frame_period / 1000)
+            return wav[: T * hop]
         if feature_type == "world":
             f0, spectrogram, aperiodicity = gen_world_params(
                 mgc,

@@ -18,3 +18,9 @@ from ensemble_svs_with_interactions_tpu.models.acoustic.tacotron_f0 import (  # 
 from ensemble_svs_with_interactions_tpu.models.acoustic.util import (  # noqa: F401
     predict_lf0_with_residual,
 )
+from ensemble_svs_with_interactions_tpu.models.acoustic.npss import (  # noqa: F401
+    MultiSpeakerNPSSMDNMultistreamParametricModel,
+    MultiTrackNPSSMDNMultistreamParametricModel,
+    NPSSMDNMultistreamParametricModel,
+    NPSSMultistreamParametricModel,
+)

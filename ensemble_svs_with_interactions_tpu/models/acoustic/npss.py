@@ -1,0 +1,258 @@
+"""NPSS-style cascaded multi-stream models.
+
+Parity targets: /root/reference/nnsvs/acoustic_models/multistream.py
+(NPSSMultistreamParametricModel :813, NPSSMDNMultistreamParametricModel
+:1025, MultiSpeakerNPSSMDNMultistreamParametricModel :1245,
+MultiTrackNPSSMDNMultistreamParametricModel :1482).
+
+Cascaded factorization (Blaauw & Bonada 2017, adapted):
+  p(MGC, LF0, VUV, BAP | C)
+    = p(LF0|C) p(MGC|LF0,C) p(BAP|LF0,C) p(VUV|LF0,BAP,C)
+with teacher-forced conditioning during training and configurable V/UV
+conditioning (bap / bap0 / lf0 / mgc flags).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ensemble_svs_with_interactions_tpu.base import BaseModel, PredictionType
+from ensemble_svs_with_interactions_tpu.models.acoustic.multistream import (
+    _maybe_instantiate,
+)
+from ensemble_svs_with_interactions_tpu.ops.mdn import (
+    mdn_get_most_probable_sigma_and_mu,
+)
+from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
+
+
+def _point(pred):
+    """Point estimate of a sub-model output (mu for MDN 3-tuples)."""
+    if isinstance(pred, tuple) and len(pred) == 3:
+        return mdn_get_most_probable_sigma_and_mu(*pred)[1]
+    if isinstance(pred, tuple) and len(pred) == 2:
+        return pred[0]
+    return pred
+
+
+class _NPSSBase(BaseModel):
+    """Shared cascade logic; subclasses set ``use_mdn_streams``."""
+
+    in_dim: int = 0
+    out_dim: int = 0
+    stream_sizes: Sequence[int] = (60, 1, 1, 5)
+    reduction_factor: int = 1
+    lf0_model: Any = None
+    mgc_model: Any = None
+    bap_model: Any = None
+    vuv_model: Any = None
+    in_rest_idx: int = 0
+    in_lf0_idx: int = 51
+    in_lf0_min: float = 5.3936276
+    in_lf0_max: float = 6.491111
+    out_lf0_idx: int = 60
+    out_lf0_mean: float = 5.953093881972361
+    out_lf0_scale: float = 0.23435173188961034
+    vuv_model_bap_conditioning: bool = True
+    vuv_model_bap0_conditioning: bool = False
+    vuv_model_lf0_conditioning: bool = True
+    vuv_model_mgc_conditioning: bool = False
+
+    def setup(self):
+        self._lf0 = _maybe_instantiate(self.lf0_model)
+        self._mgc = _maybe_instantiate(self.mgc_model)
+        self._bap = _maybe_instantiate(self.bap_model)
+        self._vuv = _maybe_instantiate(self.vuv_model)
+
+    def has_residual_lf0_prediction(self):
+        return True
+
+    def _vuv_inputs(self, x, mgc, bap, lf0):
+        bap_cond = bap[..., 0:1] if self.vuv_model_bap0_conditioning else bap
+        parts = [x]
+        if self.vuv_model_mgc_conditioning:
+            parts.append(mgc)
+        if self.vuv_model_bap_conditioning:
+            parts.append(bap_cond)
+        if self.vuv_model_lf0_conditioning:
+            parts.append(lf0)
+        return jnp.concatenate(parts, axis=-1)
+
+    def _cascade(self, x, lengths, y, spk_embs=None, train: bool = False):
+        is_inference = y is None
+        if is_inference:
+            y_mgc = y_lf0 = y_vuv = y_bap = None
+        else:
+            y_mgc, y_lf0, y_vuv, y_bap = split_streams(y, list(self.stream_sizes))
+
+        kwargs = {"train": train}
+        if spk_embs is not None:
+            kwargs["spk_embs"] = spk_embs
+
+        lf0_out = self._lf0(x, lengths, y_lf0, **kwargs)
+        if isinstance(lf0_out, tuple) and len(lf0_out) == 2:
+            lf0, lf0_residual = lf0_out
+        else:
+            lf0, lf0_residual = lf0_out, None
+
+        cond_lf0 = lf0 if is_inference else y_lf0
+        mgc = self._mgc(jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, **kwargs)
+        bap = self._bap(jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, **kwargs)
+
+        if is_inference:
+            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), lf0)
+        else:
+            vuv_inp = self._vuv_inputs(x, y_mgc, y_bap, y_lf0)
+        vuv = self._vuv(vuv_inp, lengths, y_vuv, **kwargs)
+        return mgc, lf0, vuv, bap, lf0_residual
+
+
+class NPSSMultistreamParametricModel(_NPSSBase):
+    """Deterministic NPSS cascade (multistream.py:813)."""
+
+    def prediction_type(self):
+        return PredictionType.DETERMINISTIC
+
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        assert x.shape[-1] == self.in_dim
+        mgc, lf0, vuv, bap, lf0_residual = self._cascade(x, lengths, y, train=train)
+        out = jnp.concatenate([mgc, lf0, vuv, bap], axis=-1)
+        assert out.shape[-1] == self.out_dim
+        return out, lf0_residual
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)[0]
+
+
+class NPSSMDNMultistreamParametricModel(_NPSSBase):
+    """NPSS cascade with MDN spectral models (multistream.py:1025);
+    training returns per-stream outputs (MULTISTREAM_HYBRID)."""
+
+    def prediction_type(self):
+        return PredictionType.MULTISTREAM_HYBRID
+
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        assert x.shape[-1] == self.in_dim
+        mgc, lf0, vuv, bap, lf0_residual = self._cascade(x, lengths, y, train=train)
+        if y is None:
+            out = jnp.concatenate(
+                [_point(mgc), lf0, vuv, _point(bap)], axis=-1
+            )
+            return out, lf0_residual
+        return (mgc, lf0, vuv, bap), lf0_residual
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)[0]
+
+
+class MultiSpeakerNPSSMDNMultistreamParametricModel(_NPSSBase):
+    """+ speaker embedding (multistream.py:1245)."""
+
+    speaker_embedding: Any = None
+
+    def setup(self):
+        super().setup()
+        self._spk = _maybe_instantiate(self.speaker_embedding)
+
+    def prediction_type(self):
+        return PredictionType.MULTISTREAM_HYBRID
+
+    def __call__(self, x, spks, lengths=None, y=None, train: bool = False):
+        embs = self._spk(spks)
+        if embs.ndim == 2:
+            embs = embs[:, None, :]
+        embs = jnp.broadcast_to(embs, (x.shape[0], x.shape[1], embs.shape[-1]))
+        mgc, lf0, vuv, bap, lf0_residual = self._cascade(
+            x, lengths, y, spk_embs=embs, train=train
+        )
+        if y is None:
+            return (
+                jnp.concatenate([_point(mgc), lf0, vuv, _point(bap)], -1),
+                lf0_residual,
+            )
+        return (mgc, lf0, vuv, bap), lf0_residual
+
+    def inference(self, x, spks, lengths=None):
+        return self(x, spks, lengths)[0]
+
+
+class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
+    """Multitrack NPSS cascade with a cross-track lf0 model and an
+    ``output_subtrack`` flag controlling whether sub-track predictions are
+    produced for the interaction losses (multistream.py:1482,
+    forward :1594-1768)."""
+
+    speaker_embedding: Any = None
+    output_subtrack: bool = True
+
+    def setup(self):
+        super().setup()
+        self._spk = _maybe_instantiate(self.speaker_embedding)
+
+    def prediction_type(self):
+        return PredictionType.MULTISTREAM_HYBRID
+
+    def _expand(self, spk, T):
+        e = self._spk(spk)
+        if e.ndim == 2:
+            e = e[:, None, :]
+        return jnp.broadcast_to(e, (e.shape[0], T, e.shape[-1]))
+
+    def _one_track(self, x, x_other, spk_e, spk_e_other, lengths, y, train):
+        is_inference = y is None
+        if is_inference:
+            y_mgc = y_lf0 = y_vuv = y_bap = None
+        else:
+            y_mgc, y_lf0, y_vuv, y_bap = split_streams(y, list(self.stream_sizes))
+        lf0, lf0_residual = self._lf0(
+            x, x_other, spk_e, spk_e_other, lengths, y_lf0, train=train
+        )
+        cond_lf0 = lf0 if is_inference else y_lf0
+        mgc = self._mgc(
+            jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, train=train
+        )
+        bap = self._bap(
+            jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, train=train
+        )
+        if is_inference:
+            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), lf0)
+        else:
+            vuv_inp = self._vuv_inputs(x, y_mgc, y_bap, y_lf0)
+        vuv = self._vuv(vuv_inp, lengths, y_vuv, train=train)
+        return mgc, lf0, vuv, bap, lf0_residual
+
+    def __call__(
+        self, x_main, x_sub, spks_list, lengths=None, ys=None, train: bool = False
+    ):
+        is_inference = ys is None
+        T = x_main.shape[1]
+        e_m = self._expand(spks_list[0], T)
+        e_s = self._expand(spks_list[1], T)
+        y_m = None if ys is None else ys[0]
+        mgc, lf0, vuv, bap, res_m = self._one_track(
+            x_main, x_sub, e_m, e_s, lengths, y_m, train
+        )
+        if is_inference:
+            out_m = jnp.concatenate([_point(mgc), lf0, vuv, _point(bap)], -1)
+            if not self.output_subtrack:
+                return out_m, None
+            mgc_s, lf0_s, vuv_s, bap_s, _ = self._one_track(
+                x_sub, x_main, e_s, e_m, lengths, None, train
+            )
+            out_s = jnp.concatenate(
+                [_point(mgc_s), lf0_s, vuv_s, _point(bap_s)], -1
+            )
+            return out_m, out_s
+        if not self.output_subtrack:
+            return ((mgc, lf0, vuv, bap), res_m), (None, None)
+        y_s = ys[1]
+        mgc_s, lf0_s, vuv_s, bap_s, res_s = self._one_track(
+            x_sub, x_main, e_s, e_m, lengths, y_s, train
+        )
+        return ((mgc, lf0, vuv, bap), res_m), ((mgc_s, lf0_s, vuv_s, bap_s), res_s)
+
+    def inference(self, x_main, x_sub, spks=None, lengths=None):
+        return self(x_main, x_sub, spks, lengths)

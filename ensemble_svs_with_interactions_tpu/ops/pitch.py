@@ -19,14 +19,21 @@ _C4_HZ = 440.0 * 2 ** (3 / 12 - 1)
 _C4_CENT = 4800.0
 
 
-def lowpass_filter(x: np.ndarray, fs: int, cutoff: float = 5, N: int = 5):
-    """Zero-phase Butterworth lowpass (reference nnsvs/dsp.py:10-33)."""
+def lowpass_filter(x: np.ndarray, fs: int, cutoff: float = 5, N: int = 5, axis: int = -1):
+    """Zero-phase Butterworth lowpass (reference nnsvs/dsp.py:10-33).
+
+    Accepts 1-D signals or N-D arrays filtered along ``axis`` (vectorized —
+    the reference loops over feature dims at gen.py:1506-1518; here one
+    filtfilt call smooths a whole (T, D) trajectory matrix).
+    """
     nyquist = fs // 2
     norm_cutoff = cutoff / nyquist
     b, a = butter(N, float(norm_cutoff), "lowpass")
-    if len(x) <= max(len(a), len(b)) * (N // 2 + 1):
+    if x.shape[axis if axis >= 0 else x.ndim + axis] <= max(len(a), len(b)) * (
+        N // 2 + 1
+    ):
         return x
-    return filtfilt(b, a, x)
+    return filtfilt(b, a, x, axis=axis)
 
 
 def bandpass_filter(x: np.ndarray, sr: int, cutoff: float = 70, N: int = 5):

@@ -8,6 +8,7 @@ from ensemble_svs_with_interactions_tpu.ops.world.codec import (  # noqa: F401
 )
 from ensemble_svs_with_interactions_tpu.ops.world.synthesis import (  # noqa: F401
     synthesize,
+    synthesize_from_streams,
 )
 from ensemble_svs_with_interactions_tpu.ops.world.analysis import (  # noqa: F401
     cheaptrick,

@@ -116,6 +116,74 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     return y
 
 
+@partial(
+    jax.jit, static_argnames=("fs", "hop", "fft_size", "vuv_threshold")
+)
+def _synthesize_from_streams_impl(
+    mgc, lf0, vuv, bap, noise, fs: int, hop: int, fft_size: int,
+    vuv_threshold: float,
+):
+    """Batched fused vocoder: coded streams -> waveforms, all on device.
+
+    mgc (B, T, M), lf0 (B, T, 1), vuv (B, T, 1), bap (B, T, A) ->
+    (B, T*hop).  Fuses the WORLD codecs (device matmuls/gathers), V/UV
+    gating and the synthesis kernel into one XLA program — the reference's
+    equivalent path crosses host/native boundaries three times
+    (gen.py:2022-2080 + pyworld.synthesize).
+    """
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        decode_aperiodicity,
+        decode_spectral_envelope,
+    )
+
+    B, T = lf0.shape[0], lf0.shape[1]
+    sp = decode_spectral_envelope(mgc, fs, fft_size)  # (B, T, half+1)
+    ap = decode_aperiodicity(
+        bap.reshape(B * T, -1), fs, fft_size
+    ).reshape(B, T, -1)
+    voiced = vuv[..., 0] > vuv_threshold
+    ap = jnp.where(voiced[..., None], ap, jnp.maximum(ap, 1.0 - 1e-7))
+    ap = jnp.clip(ap, 0.0, 1.0)
+    f0 = jnp.where(voiced, jnp.exp(lf0[..., 0]), 0.0)
+
+    def one(f0_b, sp_b, ap_b, noise_b):
+        return _synthesize_impl(f0_b, sp_b, ap_b, noise_b, fs, hop, fft_size)
+
+    return jax.vmap(one)(f0, sp, ap, noise)
+
+
+def synthesize_from_streams(
+    mgc,
+    lf0,
+    vuv,
+    bap,
+    fs: int,
+    frame_period: float = 5.0,
+    vuv_threshold: float = 0.5,
+    key=None,
+):
+    """Batched coded-stream synthesis.  Accepts (T, D) or (B, T, D)."""
+    single = jnp.ndim(mgc) == 2
+    arrs = [jnp.asarray(a, jnp.float32) for a in (mgc, lf0, vuv, bap)]
+    if single:
+        arrs = [a[None] for a in arrs]
+    mgc, lf0, vuv, bap = arrs
+    hop = int(fs * frame_period / 1000.0)
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        get_cheaptrick_fft_size,
+    )
+
+    fft_size = get_cheaptrick_fft_size(fs)
+    B, T = lf0.shape[0], lf0.shape[1]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (B, T * hop), dtype=jnp.float32)
+    wav = _synthesize_from_streams_impl(
+        mgc, lf0, vuv, bap, noise, fs, hop, fft_size, float(vuv_threshold)
+    )
+    return wav[0] if single else wav
+
+
 def synthesize(
     f0,
     spectrogram,

@@ -290,3 +290,114 @@ class SPSVS(BaseSVS):
         self.logger.info("total: %.3f sec, RTF %.3f", total, rtf)
         self.last_rtf = rtf
         return wav, self.sample_rate
+
+    def svs_ensemble(
+        self,
+        labels_list,
+        vocoder_type: str = "world",
+        post_filter_type: str = "gv",
+        vuv_threshold: float = 0.5,
+        dtype=np.int16,
+    ):
+        """Synthesize an N-part ensemble with batched device inference.
+
+        Timing prediction runs per track (host-dominated, cheap); acoustic
+        inference and the vocoder run as one (N, T, D) batch so the
+        LSTM/AR scan latency is amortized over all parts.
+
+        Returns (list of wavs, sample_rate).
+        """
+        import jax
+
+        from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+        from ensemble_svs_with_interactions_tpu.ops import world
+        from ensemble_svs_with_interactions_tpu.ops.pitch import interp1d
+
+        start = time.time()
+        duration_modified = [self.predict_timing(lab) for lab in labels_list]
+
+        # batched acoustic inference
+        hts_frame_shift = int(self.frame_period * 1e4)
+        feats = []
+        for lab in duration_modified:
+            lab.frame_shift = hts_frame_shift
+            feats.append(
+                gen._prepare_linguistic_features(
+                    lab,
+                    self.binary_dict,
+                    self.numeric_dict,
+                    self.in_acoustic_scaler,
+                    self.pitch_indices,
+                    True,
+                    "coarse_coding",
+                    True,
+                    False,
+                    hts_frame_shift,
+                )
+            )
+        preds = self.acoustic_model.inference_batch(feats)
+        is_prob = self.acoustic_model.prediction_type().name in (
+            "PROBABILISTIC",
+            "MULTISTREAM_HYBRID",
+        )
+        streams_list = []
+        for lab, pred in zip(duration_modified, preds):
+            acoustic = gen._denorm_and_mlpg(
+                pred, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
+            )
+            streams_list.append(
+                self.postprocess_acoustic(
+                    acoustic, lab, post_filter_type=post_filter_type
+                )
+            )
+
+        # batched vocoder
+        if vocoder_type == "world" and self.config.get("use_world_codec", True):
+            T_max = max(len(s[0]) for s in streams_list)
+            T_pad = gen._round_up(T_max, gen.FRAME_BUCKET)
+            packed = []
+            for mgc, lf0, vuv, bap in streams_list:
+                pad = T_pad - len(mgc)
+                packed.append(
+                    [
+                        np.pad(mgc, ((0, pad), (0, 0)), mode="edge"),
+                        np.pad(lf0, ((0, pad), (0, 0)), mode="edge"),
+                        np.pad(vuv, ((0, pad), (0, 0))),
+                        np.pad(bap, ((0, pad), (0, 0)), mode="edge"),
+                    ]
+                )
+            batch = [np.stack([p[i] for p in packed]) for i in range(4)]
+            wavs = np.asarray(
+                world.synthesize_from_streams(
+                    *batch,
+                    self.sample_rate,
+                    self.frame_period,
+                    vuv_threshold=vuv_threshold,
+                )
+            )
+            hop = int(self.sample_rate * self.frame_period / 1000)
+            outs = [
+                self.postprocess_waveform(
+                    wavs[i, : len(streams_list[i][0]) * hop], dtype=dtype
+                )
+                for i in range(len(streams_list))
+            ]
+        else:
+            outs = [
+                self.postprocess_waveform(
+                    self.predict_waveform(
+                        s, vocoder_type=vocoder_type, vuv_threshold=vuv_threshold
+                    ),
+                    dtype=dtype,
+                )
+                for s in streams_list
+            ]
+
+        total = time.time() - start
+        dur = max(len(w) for w in outs) / self.sample_rate
+        self.last_rtf = total / dur
+        self.logger.info(
+            "ensemble: %d parts, %.2f s audio, total %.3f s, RTF %.4f",
+            len(outs), dur, total, self.last_rtf,
+        )
+        return outs, self.sample_rate

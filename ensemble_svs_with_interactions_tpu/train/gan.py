@@ -1,0 +1,116 @@
+"""GAN training for learned postfilters.
+
+Parity targets: /root/reference/nnsvs/train_util.py:1521 (setup_gan) and
+nnsvs/bin/train_postfilter.py (LSGAN adversarial + feature-matching losses
+over Conv2dPostFilter / Conv2dD pairs).
+
+One jitted step updates both netG and netD: D with the LSGAN real/fake
+losses, G with reconstruction + adversarial + feature matching.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ensemble_svs_with_interactions_tpu.train.losses import masked_mean
+
+
+def create_gan_train_step(
+    netG,
+    netD,
+    optG,
+    optD,
+    adv_weight: float = 1.0,
+    fm_weight: float = 2.0,
+    recon_weight: float = 1.0,
+    clip_norm: float = 1.0,
+):
+    """Build a jitted GAN train step.
+
+    netG: postfilter module (in: normalized features, out: enhanced);
+    netD: discriminator returning a list of feature maps (logits last).
+    Batch: in_feats (B, T, D) degraded, out_feats (B, T, D) target,
+    lengths (B,).
+    """
+
+    def g_loss_fn(paramsG, paramsD, batch, rng):
+        x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
+        T = x.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[
+            :, :, None
+        ]
+        fake = netG.apply(
+            {"params": paramsG}, x, lengths, train=True,
+            rngs={"dropout": rng, "noise": rng},
+        )
+        loss_recon = masked_mean((fake - y) ** 2, mask)
+        d_fake = netD.apply({"params": paramsD}, fake * mask)
+        d_real = netD.apply({"params": paramsD}, y * mask)
+        loss_adv = jnp.mean((d_fake[-1] - 1.0) ** 2)
+        loss_fm = sum(
+            jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+            for f, r in zip(d_fake[:-1], d_real[:-1])
+        ) / max(len(d_fake) - 1, 1)
+        loss = (
+            recon_weight * loss_recon
+            + adv_weight * loss_adv
+            + fm_weight * loss_fm
+        )
+        return loss, {
+            "Loss_G": loss,
+            "Loss_Recon": loss_recon,
+            "Loss_Adv": loss_adv,
+            "Loss_FM": loss_fm,
+            "fake": fake,
+        }
+
+    def d_loss_fn(paramsD, batch, fake):
+        x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
+        T = x.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[
+            :, :, None
+        ]
+        d_real = netD.apply({"params": paramsD}, y * mask)
+        d_fake = netD.apply({"params": paramsD}, jax.lax.stop_gradient(fake) * mask)
+        loss_real = jnp.mean((d_real[-1] - 1.0) ** 2)
+        loss_fake = jnp.mean(d_fake[-1] ** 2)
+        loss = loss_real + loss_fake
+        return loss, {"Loss_D": loss, "Loss_D_Real": loss_real, "Loss_D_Fake": loss_fake}
+
+    def train_step(state: Dict, batch: Dict, rng):
+        (lossG, auxG), gradsG = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state["paramsG"], state["paramsD"], batch, rng
+        )
+        fake = auxG.pop("fake")
+        (lossD, auxD), gradsD = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state["paramsD"], batch, fake
+        )
+
+        def apply(grads, params, opt_state, opt):
+            gnorm = optax.global_norm(grads)
+            clip = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, gnorm
+
+        newG, optG_state, gnormG = apply(
+            gradsG, state["paramsG"], state["optG_state"], optG
+        )
+        newD, optD_state, gnormD = apply(
+            gradsD, state["paramsD"], state["optD_state"], optD
+        )
+        new_state = {
+            "paramsG": newG,
+            "paramsD": newD,
+            "optG_state": optG_state,
+            "optD_state": optD_state,
+            "step": state["step"] + 1,
+        }
+        metrics = {**auxG, **auxD, "GradNorm_G": gnormG, "GradNorm_D": gnormD}
+        return new_state, metrics
+
+    return jax.jit(train_step)

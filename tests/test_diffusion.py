@@ -1,0 +1,165 @@
+"""Tests for the DiffSinger diffusion stack (mirrors reference
+tests/test_diffusion.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.models.diffsinger import (
+    DiffNet,
+    GaussianDiffusion,
+    cosine_beta_schedule,
+    linear_beta_schedule,
+)
+
+B, T, M, E = 2, 16, 5, 8
+
+
+def test_beta_schedules():
+    lin = linear_beta_schedule(100)
+    cos = cosine_beta_schedule(100)
+    assert len(lin) == len(cos) == 100
+    assert (lin > 0).all() and (lin < 1).all()
+    assert (cos >= 0).all() and (cos < 1).all()
+
+
+def test_diffnet_shapes():
+    net = DiffNet(in_dim=M, encoder_hidden_dim=E, residual_layers=2,
+                  residual_channels=8)
+    spec = jnp.zeros((B, T, M))
+    t = jnp.zeros((B,), jnp.int32)
+    cond = jnp.zeros((B, T, E))
+    v = net.init(jax.random.PRNGKey(0), spec, t, cond)
+    out = net.apply(v, spec, t, cond)
+    assert out.shape == (B, T, M)
+    # zero-initialized output projection -> zero output at init
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+@pytest.fixture
+def diffusion():
+    return GaussianDiffusion(
+        in_dim=E,
+        out_dim=M,
+        denoise_fn={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": M,
+            "encoder_hidden_dim": E,
+            "residual_layers": 2,
+            "residual_channels": 8,
+        },
+        K_step=10,
+    )
+
+
+def test_diffusion_training_forward(diffusion):
+    cond = jnp.zeros((B, T, E))
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, M)), jnp.float32)
+    v = diffusion.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        cond, jnp.asarray([T, T]), y, train=True,
+    )
+    noise, x_recon = diffusion.apply(
+        v, cond, jnp.asarray([T, T]), y, train=True,
+        rngs={"diffusion": jax.random.PRNGKey(2)},
+    )
+    assert noise.shape == (B, T, M)
+    assert x_recon.shape == (B, T, M)
+    assert diffusion.prediction_type() == PredictionType.DIFFUSION
+
+
+def test_diffusion_ancestral_sampling(diffusion):
+    cond = jnp.zeros((B, T, E))
+    y = jnp.zeros((B, T, M))
+    v = diffusion.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        cond, jnp.asarray([T, T]), y, train=True,
+    )
+    out = diffusion.apply(
+        v, cond, jnp.asarray([T, T]), method="inference",
+        rngs={"diffusion": jax.random.PRNGKey(3)},
+    )
+    assert out.shape == (B, T, M)
+    assert np.isfinite(np.asarray(out)).all()
+    # denormalized by norm_scale; magnitude should be O(norm_scale)
+    assert np.abs(np.asarray(out)).max() < 100
+
+
+def test_diffusion_plms_sampling():
+    diffusion = GaussianDiffusion(
+        in_dim=E,
+        out_dim=M,
+        denoise_fn={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": M,
+            "encoder_hidden_dim": E,
+            "residual_layers": 2,
+            "residual_channels": 8,
+        },
+        K_step=12,
+        pndm_speedup=4,
+    )
+    cond = jnp.zeros((B, T, E))
+    y = jnp.zeros((B, T, M))
+    v = diffusion.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        cond, jnp.asarray([T, T]), y, train=True,
+    )
+    out = diffusion.apply(
+        v, cond, jnp.asarray([T, T]), method="inference",
+        rngs={"diffusion": jax.random.PRNGKey(3)},
+    )
+    assert out.shape == (B, T, M)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_diffusion_denoises_constant_signal():
+    """After a few training steps on a constant target, sampling should move
+    toward that constant (behavioral sanity)."""
+    import optax
+
+    diffusion = GaussianDiffusion(
+        in_dim=E,
+        out_dim=M,
+        denoise_fn={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": M,
+            "encoder_hidden_dim": E,
+            "residual_layers": 2,
+            "residual_channels": 16,
+        },
+        K_step=10,
+        norm_scale=1.0,
+    )
+    cond = jnp.ones((B, T, E))
+    y = jnp.full((B, T, M), 0.5)
+    v = diffusion.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        cond, None, y, train=True,
+    )
+    tx = optax.adam(5e-3)
+    opt = tx.init(v["params"])
+
+    @jax.jit
+    def step(params, opt, key):
+        def loss_fn(p):
+            noise, x_recon = diffusion.apply(
+                {"params": p}, cond, None, y, train=True, rngs={"diffusion": key}
+            )
+            return jnp.mean((noise - x_recon) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt2 = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt2, loss
+
+    params = v["params"]
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(60):
+        key, k = jax.random.split(key)
+        params, opt, loss = step(params, opt, k)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
