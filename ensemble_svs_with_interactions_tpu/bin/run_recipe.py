@@ -1,0 +1,332 @@
+"""Staged recipe runner: data prep -> features -> scalers -> training ->
+packing -> synthesis, driven by one YAML config.
+
+Python re-design of the reference's bash orchestration
+(recipes/jaCappella_ritsu/dev-48k-world-multitrack/run.sh:40-74 +
+recipes/_common/spsvs/run_common_steps_dev.sh:5-109).  Stages:
+
+  0  split utterance lists (train_no_dev / dev / eval)
+  1  feature extraction (prepare_features; multitrack adds note times)
+  2  fit scalers + normalize features
+  3  train time-lag model
+  4  train duration model
+  5  train acoustic model
+  6  pack models into an SPSVS directory
+  7  synthesis smoke run on eval utterances
+
+Usage: python -m ...bin.run_recipe recipe.yaml [--stage N] [--stop-stage M]
+       [key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.utils.config import (
+    Config,
+    load_config,
+    merge,
+    parse_overrides,
+    save_config,
+)
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+
+logger = getLogger(verbose=1, name="recipe")
+
+
+def stage0_utt_lists(cfg: Config, work: Path):
+    """Split the utterance list into train_no_dev / dev / eval."""
+    utts = [
+        line.strip()
+        for line in open(cfg.data.utt_list)
+        if line.strip()
+    ]
+    n_dev = int(cfg.data.get("n_dev", max(1, len(utts) // 10)))
+    n_eval = int(cfg.data.get("n_eval", max(1, len(utts) // 10)))
+    rng = np.random.default_rng(int(cfg.get("seed", 1234)))
+    order = list(utts)
+    if cfg.data.get("shuffle_utt_list", False):
+        rng.shuffle(order)
+    eval_utts = order[:n_eval]
+    dev_utts = order[n_eval : n_eval + n_dev]
+    train_utts = order[n_eval + n_dev :]
+    lists = work / "lists"
+    lists.mkdir(parents=True, exist_ok=True)
+    for name, items in (
+        ("train_no_dev", train_utts),
+        ("dev", dev_utts),
+        ("eval", eval_utts),
+    ):
+        (lists / f"{name}.list").write_text("\n".join(items) + "\n")
+    logger.info(
+        "stage 0: %d train / %d dev / %d eval",
+        len(train_utts), len(dev_utts), len(eval_utts),
+    )
+
+
+def stage1_features(cfg: Config, work: Path):
+    from ensemble_svs_with_interactions_tpu.bin import prepare_features
+
+    for split in ("train_no_dev", "dev", "eval"):
+        feat_cfg = merge(
+            cfg.features,
+            {
+                "utt_list": str(work / "lists" / f"{split}.list"),
+                "out_dir": str(work / "dump" / split / "org"),
+                "question_path": cfg.question_path,
+                "save_note_times": bool(cfg.get("multitrack", False)),
+            },
+        )
+        prepare_features.run(feat_cfg)
+    logger.info("stage 1: features extracted")
+
+
+def stage2_scalers(cfg: Config, work: Path):
+    from ensemble_svs_with_interactions_tpu.bin import (
+        fit_scaler,
+        preprocess_normalize,
+    )
+
+    dump = work / "dump"
+    scaler_types = {
+        "in_timelag": "minmax",
+        "out_timelag": "standard",
+        "in_duration": "minmax",
+        "out_duration": "standard",
+        "in_acoustic": "minmax",
+        "out_acoustic": "standard",
+    }
+    for phase, kind in scaler_types.items():
+        src = dump / "train_no_dev" / "org" / phase
+        prefix = work / "scalers" / f"{phase}_scaler"
+        prefix.parent.mkdir(parents=True, exist_ok=True)
+        fit_scaler.main([str(src), str(prefix), "--type", kind])
+        for split in ("train_no_dev", "dev", "eval"):
+            in_dir = dump / split / "org" / phase
+            out_dir = dump / split / "norm" / phase
+            preprocess_normalize.main(
+                [str(in_dir), str(prefix), str(out_dir), "--type", kind]
+            )
+    logger.info("stage 2: scalers fit + features normalized")
+
+
+def _train_cfg(cfg, work, phase: str) -> Config:
+    dump = work / "dump"
+    model_cfg = load_config(cfg[phase].model_config)
+    train_cfg = dict(cfg[phase].get("train", {}))
+    data_over = {
+        "train_no_dev": {
+            "in_dir": str(dump / "train_no_dev" / "norm" / f"in_{phase}"),
+            "out_dir": str(dump / "train_no_dev" / "norm" / f"out_{phase}"),
+        },
+        "dev": {
+            "in_dir": str(dump / "dev" / "norm" / f"in_{phase}"),
+            "out_dir": str(dump / "dev" / "norm" / f"out_{phase}"),
+        },
+        "out_scaler_prefix": str(work / "scalers" / f"out_{phase}_scaler"),
+    }
+    data_over.update(dict(cfg[phase].get("data", {})))
+    return merge(
+        {"seed": cfg.get("seed", 1234), "verbose": cfg.get("verbose", 1)},
+        {
+            "model": dict(model_cfg),
+            "data": data_over,
+            "train": {**train_cfg, "out_dir": str(work / "exp" / phase)},
+        },
+    )
+
+
+def _resolve_lf0_stats(cfg, work, model_cfg: Config):
+    """Fill in_lf0_min/max and out_lf0_mean/scale from the fitted scalers
+    (reference check_resf0_config semantics, train_util.py:1668-1770)."""
+    netG = model_cfg.model.netG
+    in_lf0_idx = netG.get("in_lf0_idx")
+    out_lf0_idx = netG.get("out_lf0_idx")
+    if in_lf0_idx is None or out_lf0_idx is None:
+        return model_cfg
+    smin = np.load(work / "scalers" / "in_acoustic_scaler_min.npy")
+    sscale = np.load(work / "scalers" / "in_acoustic_scaler_scale.npy")
+    # MinMax: min_, scale_ -> data range
+    data_min = -smin / sscale
+    data_max = (1.0 - smin) / sscale
+    mean = np.load(work / "scalers" / "out_acoustic_scaler_mean.npy")
+    scale = np.load(work / "scalers" / "out_acoustic_scaler_scale.npy")
+    stats = {
+        "in_lf0_min": float(data_min[in_lf0_idx]),
+        "in_lf0_max": float(data_max[in_lf0_idx]),
+        "out_lf0_mean": float(mean[out_lf0_idx]),
+        "out_lf0_scale": float(scale[out_lf0_idx]),
+    }
+
+    def fill(node):
+        from collections.abc import Mapping
+
+        if isinstance(node, Mapping):
+            for k, v in list(node.items()):
+                if k in stats and (v is None):
+                    node[k] = stats[k]
+                else:
+                    fill(v)
+
+    fill(netG)
+    return model_cfg
+
+
+def stage3_train_timelag(cfg, work):
+    phase_cfg = _train_cfg(cfg, work, "timelag")
+    if cfg.get("multitrack", False):
+        from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
+            train_multitrack_model,
+        )
+
+        train_multitrack_model(phase_cfg, is_acoustic=False)
+    else:
+        from ensemble_svs_with_interactions_tpu.train.trainer import train_model
+
+        train_model(phase_cfg, is_acoustic=False)
+    logger.info("stage 3: timelag model trained")
+
+
+def stage4_train_duration(cfg, work):
+    phase_cfg = _train_cfg(cfg, work, "duration")
+    if cfg.get("multitrack", False):
+        from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
+            train_multitrack_model,
+        )
+
+        train_multitrack_model(phase_cfg, is_acoustic=False)
+    else:
+        from ensemble_svs_with_interactions_tpu.train.trainer import train_model
+
+        train_model(phase_cfg, is_acoustic=False)
+    logger.info("stage 4: duration model trained")
+
+
+def stage5_train_acoustic(cfg, work):
+    phase_cfg = _resolve_lf0_stats(cfg, work, _train_cfg(cfg, work, "acoustic"))
+    if cfg.get("multitrack", False):
+        from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
+            train_multitrack_model,
+        )
+
+        train_multitrack_model(phase_cfg, is_acoustic=True)
+    else:
+        from ensemble_svs_with_interactions_tpu.train.trainer import train_model
+
+        train_model(phase_cfg, is_acoustic=True)
+    logger.info("stage 5: acoustic model trained")
+
+
+def stage6_pack(cfg, work):
+    """Collect trained checkpoints + scalers into a packed model dir."""
+    from flax import serialization
+
+    from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
+        _init_multitrack_variables,
+    )
+    from ensemble_svs_with_interactions_tpu.train.trainer import _init_variables
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
+
+    packed = work / "packed_model"
+    packed.mkdir(parents=True, exist_ok=True)
+    save_config(
+        {
+            "sample_rate": int(cfg.features.acoustic.params.get("sample_rate", 48000)),
+            "frame_period": float(cfg.features.acoustic.params.get("frame_period", 5)),
+            "feature_type": "world",
+            "use_world_codec": bool(
+                cfg.features.acoustic.params.get("use_world_codec", True)
+            ),
+            "relative_f0": bool(
+                cfg.features.acoustic.params.get("relative_f0", False)
+            ),
+        },
+        packed / "config.yaml",
+    )
+    shutil.copyfile(cfg.question_path, packed / "qst.hed")
+
+    for phase in ("timelag", "duration", "acoustic"):
+        phase_cfg = _train_cfg(cfg, work, phase)
+        if phase == "acoustic":
+            phase_cfg = _resolve_lf0_stats(cfg, work, phase_cfg)
+        module = instantiate(phase_cfg.model.netG)
+        if cfg.get("multitrack", False):
+            template = _init_multitrack_variables(
+                module, phase_cfg, acoustic=phase == "acoustic"
+            )
+        else:
+            template = _init_variables(module, phase_cfg)
+        ckpt = work / "exp" / phase / "best_loss.ckpt"
+        tree = serialization.msgpack_restore(ckpt.read_bytes())
+        variables = dict(template)
+        variables["params"] = serialization.from_state_dict(
+            template["params"], tree["params"]
+        )
+        if "batch_stats" in template and tree.get("batch_stats"):
+            variables["batch_stats"] = serialization.from_state_dict(
+                template["batch_stats"], tree["batch_stats"]
+            )
+        save_model_phase(packed, phase, dict(phase_cfg.model), variables)
+        # scalers
+        for prefix, names in (
+            (f"in_{phase}", ("min", "scale")),
+            (f"out_{phase}", ("mean", "var", "scale")),
+        ):
+            for n in names:
+                src = work / "scalers" / f"{prefix}_scaler_{n}.npy"
+                shutil.copyfile(src, packed / f"{prefix}_scaler_{n}.npy")
+    logger.info("stage 6: packed model at %s", packed)
+
+
+def stage7_synthesis(cfg, work):
+    from ensemble_svs_with_interactions_tpu.bin import synthesis
+
+    label_dir = cfg.get_path("synthesis.label_dir") or cfg.timelag_label_dir
+    out_dir = work / "synthesis"
+    synthesis.main(
+        [str(work / "packed_model"), str(label_dir), str(out_dir), "--verbose", "1"]
+    )
+    logger.info("stage 7: synthesis outputs at %s", out_dir)
+
+
+STAGES = {
+    0: stage0_utt_lists,
+    1: stage1_features,
+    2: stage2_scalers,
+    3: stage3_train_timelag,
+    4: stage4_train_duration,
+    5: stage5_train_acoustic,
+    6: stage6_pack,
+    7: stage7_synthesis,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--stop-stage", type=int, default=7)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.overrides:
+        cfg = merge(cfg, parse_overrides(args.overrides))
+    work = Path(cfg.work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+
+    for stage in range(args.stage, args.stop_stage + 1):
+        if stage in STAGES:
+            logger.info("=== stage %d ===", stage)
+            STAGES[stage](cfg, work)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -332,7 +332,7 @@ def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
             L_hat = L - (lag[i - 1] - lag[i]) / hts_frame_shift
         else:
             L_hat = L - lag[i - 1] / hts_frame_shift
-        L_hat = max(float(L_hat), 1.0)
+        L_hat = max(float(np.asarray(L_hat).reshape(-1)[0]), 1.0)
 
         starts = np.minimum(
             np.asarray(p.start_times) + int(np.asarray(lag[i - 1]).reshape(-1)[0]),

@@ -63,9 +63,9 @@ def _init_variables(module, config: Config, rng_seed: int = 0):
 
 def load_out_scaler(path_prefix) -> StandardScaler:
     return StandardScaler(
-        np.load(f"{path_prefix}_scaler_mean.npy"),
-        np.load(f"{path_prefix}_scaler_var.npy"),
-        np.load(f"{path_prefix}_scaler_scale.npy"),
+        np.load(f"{path_prefix}_mean.npy"),
+        np.load(f"{path_prefix}_var.npy"),
+        np.load(f"{path_prefix}_scale.npy"),
     )
 
 

@@ -1,0 +1,191 @@
+"""End-to-end recipe test: tiny corpus -> features -> scalers -> training ->
+packing -> synthesis (pattern from reference tests/test_recipes.sh, in
+Python with a synthetic corpus derived from the real fixture labels)."""
+
+import numpy as np
+import pytest
+import yaml
+from scipy.io import wavfile
+
+from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+from ensemble_svs_with_interactions_tpu.io import hts
+
+SR = 24000
+HED = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
+FIXTURES = [
+    "/root/reference/tests/data/nitech_jp_song070_f001_004.lab",
+    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_007.lab",
+    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_010.lab",
+]
+
+
+def _trim(labels, seconds):
+    n = len(labels)
+    for i, e in enumerate(labels.end_times):
+        if e > seconds * 1e7:
+            n = i
+            break
+    return labels[: max(n, 10)]
+
+
+def _synth_wav_from_labels(labels, binary_dict, numeric_dict, rng):
+    """Harmonic signal following the score pitch (fast deterministic corpus)."""
+    feats = fe.linguistic_features(
+        labels, binary_dict, numeric_dict, add_frame_features=True,
+        subphone_features="coarse_coding",
+    )
+    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+    midi = feats[:, pitch_idx]
+    f0 = np.where(midi > 0, 440.0 * 2 ** ((midi - 69) / 12), 0.0)
+    hop = SR * 5 // 1000
+    f0_samples = np.repeat(f0, hop)
+    phase = 2 * np.pi * np.cumsum(f0_samples) / SR
+    voiced = f0_samples > 0
+    x = 0.25 * np.sin(phase) + 0.12 * np.sin(2 * phase) + 0.05 * np.sin(3 * phase)
+    x = np.where(voiced, x, 0.003 * rng.standard_normal(len(x)))
+    return (x * 32767).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    import pathlib
+
+    if not pathlib.Path(HED).exists():
+        pytest.skip("reference fixtures unavailable")
+    root = tmp_path_factory.mktemp("corpus")
+    (root / "lab").mkdir()
+    (root / "wav").mkdir()
+    binary_dict, numeric_dict = hts.load_question_set(HED)
+    rng = np.random.default_rng(0)
+    utt_ids = []
+    for path in FIXTURES:
+        labels = _trim(hts.load(path), 8.0)
+        utt = pathlib.Path(path).stem
+        labels.save(root / "lab" / f"{utt}.lab")
+        wav = _synth_wav_from_labels(labels, binary_dict, numeric_dict, rng)
+        wavfile.write(root / "wav" / f"{utt}.wav", SR, wav)
+        utt_ids.append(utt)
+    (root / "utt_list.txt").write_text("\n".join(utt_ids) + "\n")
+    return root
+
+
+def _write_model_configs(conf_dir):
+    conf_dir.mkdir(parents=True, exist_ok=True)
+    timing = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.MDNv2",
+            "in_dim": 82,
+            "hidden_dim": 8,
+            "out_dim": 1,
+            "num_layers": 1,
+            "num_gaussians": 1,
+        },
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    acoustic = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.acoustic.ResSkipF0FFConvLSTM",
+            "in_dim": 86,
+            "ff_hidden_dim": 8,
+            "conv_hidden_dim": 8,
+            "lstm_hidden_dim": 4,
+            "out_dim": 32,  # mgc 24 + lf0 1 + vuv 1 + bap 6... see stream sizes
+            "in_lf0_idx": 51,
+            "out_lf0_idx": 25,
+            "in_lf0_min": None,
+            "in_lf0_max": None,
+            "out_lf0_mean": None,
+            "out_lf0_scale": None,
+        },
+        "stream_sizes": [25, 1, 1, 3],
+        "has_dynamic_features": [False, False, False, False],
+        "num_windows": 1,
+    }
+    # out_dim must equal sum(stream_sizes)
+    acoustic["netG"]["out_dim"] = 30
+    for name, cfg in (
+        ("timelag", timing),
+        ("duration", timing),
+        ("acoustic", acoustic),
+    ):
+        with open(conf_dir / f"{name}.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+
+def test_full_recipe(corpus, tmp_path):
+    from ensemble_svs_with_interactions_tpu.bin.run_recipe import main
+
+    work = tmp_path / "work"
+    conf = tmp_path / "conf"
+    _write_model_configs(conf)
+    train_common = {
+        "nepochs": 2,
+        "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}}},
+    }
+    recipe = {
+        "seed": 1234,
+        "verbose": 0,
+        "work_dir": str(work),
+        "question_path": HED,
+        "data": {
+            "utt_list": str(corpus / "utt_list.txt"),
+            "n_dev": 1,
+            "n_eval": 1,
+        },
+        "features": {
+            "n_jobs": 1,
+            "timelag": {
+                "label_phone_score_dir": str(corpus / "lab"),
+                "label_phone_align_dir": str(corpus / "lab"),
+            },
+            "duration": {"label_dir": str(corpus / "lab")},
+            "acoustic": {
+                "wav_dir": str(corpus / "wav"),
+                "label_dir": str(corpus / "lab"),
+                "params": {
+                    "sample_rate": SR,
+                    "f0_extractor": "dio",
+                    "f0_floor": 120,
+                    "f0_ceil": 500,
+                    "mgc_order": 24,
+                    "use_world_codec": True,
+                    "relative_f0": False,
+                    "dynamic_features_flags": [False, False, False, False],
+                },
+            },
+        },
+        "timelag": {"model_config": str(conf / "timelag.yaml"), "train": train_common},
+        "duration": {"model_config": str(conf / "duration.yaml"), "train": train_common},
+        "acoustic": {
+            "model_config": str(conf / "acoustic.yaml"),
+            "train": {**train_common, "pitch_reg_weight": 1.0},
+            "data": {"time_multiple": 32},
+        },
+        "synthesis": {"label_dir": str(corpus / "lab")},
+    }
+    recipe_path = tmp_path / "recipe.yaml"
+    with open(recipe_path, "w") as f:
+        yaml.safe_dump(recipe, f)
+
+    assert main([str(recipe_path), "--stage", "0", "--stop-stage", "7"]) == 0
+
+    # packed model complete
+    packed = work / "packed_model"
+    for fname in (
+        "config.yaml", "qst.hed",
+        "timelag_model.yaml", "timelag_model.params",
+        "duration_model.yaml", "duration_model.params",
+        "acoustic_model.yaml", "acoustic_model.params",
+        "in_acoustic_scaler_min.npy", "out_acoustic_scaler_mean.npy",
+    ):
+        assert (packed / fname).exists(), fname
+
+    # synthesis produced playable wavs
+    wavs = sorted((work / "synthesis").glob("*.wav"))
+    assert len(wavs) == 3
+    sr, x = wavfile.read(wavs[0])
+    assert sr == SR
+    assert len(x) > SR  # at least 1 second
+    assert np.abs(x.astype(np.int64)).max() > 0
