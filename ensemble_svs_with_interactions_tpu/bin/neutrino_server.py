@@ -1,0 +1,121 @@
+"""NEUTRINO-compatible HTTP server.
+
+Equivalent of /root/reference/neutrino_compat/server.py:68-157 (a FastAPI
+app with model registry, label upload, timing / acoustic / waveform
+endpoints).  fastapi is not available in this environment, so the server is
+built on the stdlib http.server with the same JSON API surface:
+
+  GET  /models                      list packed models under --model-root
+  POST /timing    {model, labels}   -> {timing_labels}
+  POST /acoustic  {model, timing_labels} -> {f0, mgc, bap} (base64 float64)
+  POST /waveform  {model, f0, mgc, bap}  -> {wav} (base64 int16), {sr}
+
+Usage: python -m ...bin.neutrino_server --model-root models/ [--port 8001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.neutrino import NEUTRINO
+
+_ENGINES = {}
+_MODEL_ROOT = Path("models")
+
+
+def _engine(name: str) -> NEUTRINO:
+    if name not in _ENGINES:
+        _ENGINES[name] = NEUTRINO(_MODEL_ROOT / name)
+    return _ENGINES[name]
+
+
+def _b64(x: np.ndarray) -> str:
+    return base64.b64encode(np.ascontiguousarray(x).tobytes()).decode()
+
+
+def _unb64(s: str, dtype, dim: int) -> np.ndarray:
+    return np.frombuffer(base64.b64decode(s), dtype=dtype).reshape(-1, dim).copy()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _json(self, obj, status=200):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/models":
+            models = sorted(
+                p.name for p in _MODEL_ROOT.iterdir()
+                if (p / "config.yaml").exists()
+            )
+            self._json({"models": models})
+        else:
+            self._json({"error": "not found"}, 404)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(length))
+            engine = _engine(req["model"])
+            if self.path == "/timing":
+                labels = hts.loads(req["labels"])
+                timing = engine.predict_timing(labels)
+                phraselist = engine.get_phraselist(hts.loads(req["labels"]), timing)
+                self._json({"timing_labels": str(timing), "phraselist": phraselist})
+            elif self.path == "/acoustic":
+                timing = hts.loads(req["timing_labels"])
+                f0, mgc, bap = engine.predict_acoustic_neutrino(timing)
+                self._json(
+                    {
+                        "f0": _b64(f0),
+                        "mgc": _b64(mgc),
+                        "bap": _b64(bap),
+                        "mgc_dim": mgc.shape[1],
+                        "bap_dim": bap.shape[1],
+                    }
+                )
+            elif self.path == "/waveform":
+                mgc_dim = int(req["mgc_dim"])
+                bap_dim = int(req["bap_dim"])
+                f0 = _unb64(req["f0"], np.float64, 1)
+                mgc = _unb64(req["mgc"], np.float64, mgc_dim)
+                bap = _unb64(req["bap"], np.float64, bap_dim)
+                wav = engine.predict_waveform_neutrino(f0, mgc, bap)
+                self._json({"wav": _b64(wav), "sr": engine.sample_rate})
+            else:
+                self._json({"error": "not found"}, 404)
+        except Exception as e:  # noqa: BLE001 - surface errors to the client
+            self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+    def log_message(self, fmt, *args):
+        pass
+
+
+def main(argv=None):
+    global _MODEL_ROOT
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model-root", default="models")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8001)
+    args = ap.parse_args(argv)
+    _MODEL_ROOT = Path(args.model_root)
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"NEUTRINO server at http://{args.host}:{args.port} "
+          f"(models from {_MODEL_ROOT})")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -327,7 +327,7 @@ def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
     d_norms = []
     for i in range(1, len(note_indices)):
         p = labels[note_indices[i - 1] : note_indices[i]]
-        L = int(fe.duration_features(p, frame_shift=hts_frame_shift)[0])
+        L = int(np.asarray(fe.duration_features(p, frame_shift=hts_frame_shift)).reshape(-1)[0])
         if i < len(note_indices) - 1:
             L_hat = L - (lag[i - 1] - lag[i]) / hts_frame_shift
         else:

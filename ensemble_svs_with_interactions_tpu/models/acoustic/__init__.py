@@ -24,3 +24,13 @@ from ensemble_svs_with_interactions_tpu.models.acoustic.npss import (  # noqa: F
     NPSSMDNMultistreamParametricModel,
     NPSSMultistreamParametricModel,
 )
+from ensemble_svs_with_interactions_tpu.models.acoustic.multistream import (  # noqa: F401
+    MDNMultistreamSeparateF0MelModel,
+    MultistreamSeparateF0MelModel,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.resf0 import (  # noqa: F401
+    ResF0TransformerEncoder,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.tacotron_f0 import (  # noqa: F401
+    MDNResF0NonAttentiveDecoder,
+)

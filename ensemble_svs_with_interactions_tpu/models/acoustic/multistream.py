@@ -295,3 +295,69 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
 
     def inference(self, x_main, x_sub, spks=None, lengths=None):
         return self(x_main, x_sub, spks, lengths)
+
+
+class MultistreamSeparateF0MelModel(BaseModel):
+    """mel + lf0 + vuv multistream model (reference multistream.py:2055)."""
+
+    in_dim: int
+    out_dim: int
+    stream_sizes: Sequence[int]
+    reduction_factor: int
+    encoder: Any
+    mel_model: Any
+    lf0_model: Any
+    vuv_model: Any
+    in_rest_idx: int = 0
+    in_lf0_idx: int = 300
+    in_lf0_min: float = 5.3936276
+    in_lf0_max: float = 6.491111
+    out_lf0_idx: int = 180
+    out_lf0_mean: float = 5.953093881972361
+    out_lf0_scale: float = 0.23435173188961034
+    lf0_teacher_forcing: bool = True
+
+    def setup(self):
+        self._encoder = _maybe_instantiate(self.encoder)
+        self._mel = _maybe_instantiate(self.mel_model)
+        self._lf0 = _maybe_instantiate(self.lf0_model)
+        self._vuv = _maybe_instantiate(self.vuv_model)
+
+    def prediction_type(self):
+        return PredictionType.MULTISTREAM_HYBRID
+
+    def has_residual_lf0_prediction(self):
+        return True
+
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        assert len(self.stream_sizes) == 3
+        if y is not None:
+            y_mel, y_lf0, y_vuv = split_streams(y, list(self.stream_sizes))
+        else:
+            y_mel = y_lf0 = y_vuv = None
+        lf0, lf0_residual = self._lf0(x, lengths, y_lf0, train=train)
+        if self._encoder is not None:
+            enc = self._encoder(x, lengths, train=train)
+            rest = x[:, :, self.in_rest_idx][..., None]
+            cond = y_lf0 if (self.lf0_teacher_forcing and y is not None) else lf0
+            enc = jnp.concatenate([enc, rest, cond], axis=-1)
+        else:
+            enc = x
+        mel = self._mel(enc, lengths, y_mel, train=train)
+        vuv = self._vuv(enc, lengths, y_vuv, train=train)
+        if y is None:
+            from ensemble_svs_with_interactions_tpu.models.acoustic.npss import _point
+
+            return (
+                jnp.concatenate([_point(mel), lf0, vuv], axis=-1),
+                lf0_residual,
+            )
+        return (mel, lf0, vuv), lf0_residual
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)[0]
+
+
+# MDN-headed mel variant uses the same wrapper; the mel_model itself carries
+# the MDN head (reference multistream.py:2207 differs only in loss dispatch)
+MDNMultistreamSeparateF0MelModel = MultistreamSeparateF0MelModel

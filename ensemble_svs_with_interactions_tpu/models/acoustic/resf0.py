@@ -149,3 +149,50 @@ class ResF0VariancePredictor(_ResF0Mixin, BaseModel):
         if self.use_mdn:
             return (log_pi, log_sigma, mu), lf0_residual
         return mu, lf0_residual
+
+
+class ResF0TransformerEncoder(_ResF0Mixin, BaseModel):
+    """Transformer encoder + residual F0
+    (reference acoustic_models/__init__.py:331)."""
+
+    in_dim: int
+    out_dim: int
+    hidden_dim: int
+    attention_dim: int
+    num_heads: int = 2
+    num_layers: int = 2
+    kernel_size: int = 3
+    dropout: float = 0.1
+    reduction_factor: int = 1
+    init_type: str = "none"
+    downsample_by_conv: bool = False
+    in_lf0_idx: int = 300
+    in_lf0_min: float = 5.3936276
+    in_lf0_max: float = 6.491111
+    out_lf0_idx: int = 180
+    out_lf0_mean: float = 5.953093881972361
+    out_lf0_scale: float = 0.23435173188961034
+    use_mdn: bool = False
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        from ensemble_svs_with_interactions_tpu.models.generic import (
+            TransformerEncoder,
+        )
+
+        mu = TransformerEncoder(
+            in_dim=self.in_dim,
+            out_dim=self.out_dim,
+            hidden_dim=self.hidden_dim,
+            attention_dim=self.attention_dim,
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            kernel_size=self.kernel_size,
+            dropout=self.dropout,
+            reduction_factor=self.reduction_factor,
+            downsample_by_conv=self.downsample_by_conv,
+        )(x, lengths, train=train)
+        # match input length (reduction-factor truncation)
+        T = min(x.shape[1], mu.shape[1])
+        mu, lf0_residual = self._finalize(x[:, :T], mu[:, :T])
+        return mu, lf0_residual

@@ -47,12 +47,22 @@ class ResF0NonAttentiveDecoder(BaseModel):
     out_lf0_mean: float = 5.953093881972361
     out_lf0_scale: float = 0.23435173188961034
     init_type: str = "none"
+    use_mdn: bool = False
+    num_gaussians: int = 8
+    sampling_mode: str = "mean"
 
     def is_autoregressive(self) -> bool:
         return True
 
     def has_residual_lf0_prediction(self) -> bool:
         return True
+
+    def prediction_type(self):
+        return (
+            PredictionType.PROBABILISTIC
+            if self.use_mdn
+            else PredictionType.DETERMINISTIC
+        )
 
     @nn.compact
     def __call__(self, encoder_outs, lengths=None, y=None, train: bool = False):
@@ -75,6 +85,12 @@ class ResF0NonAttentiveDecoder(BaseModel):
 
     def inference(self, x, lengths=None):
         return self(x, lengths)[0]
+
+
+class MDNResF0NonAttentiveDecoder(ResF0NonAttentiveDecoder):
+    """AR ResF0 decoder with per-step MDN outputs (tacotron_f0.py:245)."""
+
+    use_mdn: bool = True
 
 
 class _SinsyEncoder(nn.Module):

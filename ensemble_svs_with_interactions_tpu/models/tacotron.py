@@ -81,6 +81,9 @@ class _ARDecoderCore(nn.Module):
     out_lf0_idx: int = 0
     out_lf0_mean: float = 0.0
     out_lf0_scale: float = 1.0
+    use_mdn: bool = False
+    num_gaussians: int = 8
+    sampling_mode: str = "mean"
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -119,15 +122,56 @@ class _ARDecoderCore(nn.Module):
             new_states.append(new_state)
 
         hcs = jnp.concatenate([h, enc_t], axis=-1)
+
+        def _apply_res_f0(mu):
+            """mu: (B, ..., r, out_dim); residual F0 over the lf0 column."""
+            raw = mu[..., self.out_lf0_idx]
+            res = _MAX_LF0_RATIO * jnp.tanh(raw) if self.scaled_tanh else raw
+            lf0_den = jnp.broadcast_to(
+                lf0_den_t.reshape((B,) + (1,) * (mu.ndim - 3) + (r,)), res.shape
+            )
+            lf0_pred = (lf0_den + res - self.out_lf0_mean) / self.out_lf0_scale
+            return mu.at[..., self.out_lf0_idx].set(lf0_pred), res
+
+        if self.use_mdn:
+            G, D = self.num_gaussians, self.out_dim
+            raw_pi = nn.Dense(G, name="mdn_pi")(hcs)
+            log_pi = jax.nn.log_softmax(raw_pi, axis=-1)  # (B, G)
+            log_sigma = nn.Dense(G * r * D, name="mdn_sigma")(hcs).reshape(
+                B, G, r, D
+            )
+            mu = nn.Dense(G * r * D, name="mdn_mu")(hcs).reshape(B, G, r, D)
+            if self.residual_f0:
+                mu, res_all = _apply_res_f0(mu)
+                # residual of the most probable component, (B, r)
+                best = jnp.argmax(log_pi, axis=-1)
+                res = jnp.take_along_axis(
+                    res_all, best[:, None, None], axis=1
+                )[:, 0]
+            else:
+                res = jnp.zeros((B, r), mu.dtype)
+            best = jnp.argmax(log_pi, axis=-1)
+            mu_best = jnp.take_along_axis(
+                mu, best[:, None, None, None], axis=1
+            )[:, 0]  # (B, r, D)
+            sigma_best = jnp.exp(
+                jnp.take_along_axis(log_sigma, best[:, None, None, None], axis=1)
+            )[:, 0]
+            if self.is_inference and self.sampling_mode == "random":
+                eps = jax.random.normal(self.make_rng("prenet"), mu_best.shape)
+                feedback = (mu_best + sigma_best * eps)[:, -1, :]
+            else:
+                feedback = mu_best[:, -1, :]
+            prev = feedback if self.is_inference else tgt_t
+            out = (log_pi, log_sigma, mu, mu_best, sigma_best)
+            return (tuple(new_states), prev), (out, res)
+
         out = nn.Dense(self.out_dim * r, use_bias=False, name="feat_out")(
             hcs
         ).reshape(B, r, self.out_dim)
 
         if self.residual_f0:
-            raw = out[:, :, self.out_lf0_idx]
-            res = _MAX_LF0_RATIO * jnp.tanh(raw) if self.scaled_tanh else raw
-            lf0_pred = (lf0_den_t + res - self.out_lf0_mean) / self.out_lf0_scale
-            out = out.at[:, :, self.out_lf0_idx].set(lf0_pred)
+            out, res = _apply_res_f0(out)
         else:
             res = jnp.zeros((B, r), out.dtype)
 
@@ -196,6 +240,7 @@ def ar_decode(
         else jnp.zeros((B, T, r), enc.dtype)
     )
 
+    use_mdn = bool(getattr(parent, "use_mdn", False))
     core = nn.scan(
         _ARDecoderCore,
         variable_broadcast="params",
@@ -222,6 +267,9 @@ def ar_decode(
         out_lf0_idx=out_lf0_idx,
         out_lf0_mean=float(out_lf0_mean),
         out_lf0_scale=float(out_lf0_scale),
+        use_mdn=use_mdn,
+        num_gaussians=int(getattr(parent, "num_gaussians", 8)),
+        sampling_mode=str(getattr(parent, "sampling_mode", "mean")),
         name="ar_core",
     )
 
@@ -241,6 +289,20 @@ def ar_decode(
     go_frame = jnp.full((B, parent.out_dim), initial_value, enc.dtype)
 
     (_, _), (outs, res) = core((init_states, go_frame), (enc, tgt, lf0_in))
+    if use_mdn:
+        log_pi, log_sigma, mu, mu_best, sigma_best = outs
+        G, D = int(getattr(parent, "num_gaussians", 8)), parent.out_dim
+        # per-reduced-step MDN -> full frame rate: the mixture weight is
+        # shared across the r sub-frames of a step
+        log_pi = jnp.repeat(log_pi, r, axis=1)  # (B, T*r, G)
+        log_sigma = jnp.moveaxis(log_sigma, 3, 2).reshape(B, T * r, G, D)
+        mu = jnp.moveaxis(mu, 3, 2).reshape(B, T * r, G, D)
+        mu_best = mu_best.reshape(B, T * r, D)
+        sigma_best = sigma_best.reshape(B, T * r, D)
+        lf0_residual = res.reshape(B, T * r, 1) if residual_f0 else None
+        if is_inference:
+            return (mu_best, sigma_best), lf0_residual
+        return (log_pi, log_sigma, mu), lf0_residual
     outs = outs.reshape(B, T * r, parent.out_dim)
     if residual_f0:
         return outs, res.reshape(B, T * r, 1)
@@ -263,9 +325,21 @@ class NonAttentiveDecoder(BaseModel):
     downsample_by_conv: bool = False
     init_type: str = "none"
     initial_value: float = 0.0
+    use_mdn: bool = False
+    num_gaussians: int = 8
+    sampling_mode: str = "mean"
 
     def is_autoregressive(self) -> bool:
         return True
+
+    def prediction_type(self):
+        from ensemble_svs_with_interactions_tpu.base import PredictionType
+
+        return (
+            PredictionType.PROBABILISTIC
+            if self.use_mdn
+            else PredictionType.DETERMINISTIC
+        )
 
     @nn.compact
     def __call__(self, encoder_outs, lengths=None, y=None, train: bool = False):
@@ -281,3 +355,10 @@ class NonAttentiveDecoder(BaseModel):
 
     def inference(self, x, lengths=None):
         return self(x, lengths)
+
+
+class MDNNonAttentiveDecoder(NonAttentiveDecoder):
+    """Non-attentive decoder with per-step MDN outputs
+    (reference nnsvs/tacotron/decoder.py:267)."""
+
+    use_mdn: bool = True

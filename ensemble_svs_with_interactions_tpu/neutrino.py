@@ -1,0 +1,82 @@
+"""NEUTRINO-compatible engine: timing labels, phraselists, and raw
+f0/mgc/bap feature files.
+
+Parity target: /root/reference/nnsvs/svs.py:756 (NEUTRINO class) and the
+neutrino_compat CLI surface (bin/NEUTRINO.py, bin/NSF.py): the engine
+produces NEUTRINO-format timing labels and float64 .f0/.mgc/.bap dumps so
+drop-in replacement workflows keep working.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu import gen
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.svs import SPSVS
+from ensemble_svs_with_interactions_tpu.utils.misc import (
+    get_world_num_aperiodicities,
+)
+
+
+class NEUTRINO(SPSVS):
+    """SPSVS with NEUTRINO-style I/O."""
+
+    def get_num_aperiodicities(self) -> int:
+        return get_world_num_aperiodicities(self.sample_rate)
+
+    def musicxml_to_labels(self, *args, **kwargs):
+        raise NotImplementedError(
+            "MusicXML parsing requires an external frontend (the reference "
+            "uses the native sinsy engine); provide full-context labels "
+            "directly (BaseSVS contract)."
+        )
+
+    def predict_timing(self, labels):
+        """Full labels -> duration-modified (timing) labels."""
+        return super().predict_timing(labels)
+
+    def get_phraselist(self, full_labels, timing_labels) -> str:
+        """NEUTRINO-format phraselist text (reference svs.py:849-866)."""
+        note_indices = hts.get_note_indices(full_labels)
+        return hts.label2phrases_str(timing_labels, note_indices)
+
+    def predict_acoustic_neutrino(self, timing_labels):
+        """Timing labels -> (f0, mgc, bap) in NEUTRINO layout."""
+        acoustic = self.predict_acoustic(timing_labels)
+        mgc, lf0, vuv, bap = self.postprocess_acoustic(
+            acoustic, timing_labels, post_filter_type="gv"
+        )
+        f0 = np.exp(lf0) * (vuv > 0.5)
+        return (
+            f0.astype(np.float64),
+            mgc.astype(np.float64),
+            bap.astype(np.float64),
+        )
+
+    def predict_waveform_neutrino(self, f0, mgc, bap, vocoder_type="world"):
+        """(f0, mgc, bap) -> waveform (NSF.exe replacement)."""
+        lf0 = f0.copy()
+        lf0[np.nonzero(f0)] = np.log(f0[np.nonzero(f0)])
+        vuv = (f0 > 0).astype(np.float32)
+        wav = self.predict_waveform(
+            (mgc.astype(np.float32), lf0.astype(np.float32), vuv, bap.astype(np.float32)),
+            vocoder_type=vocoder_type,
+        )
+        return self.postprocess_waveform(wav)
+
+
+def save_neutrino_features(out_f0, out_mgc, out_bap, f0, mgc, bap) -> None:
+    """Raw float64 binary dumps (NEUTRINO file format)."""
+    f0.astype(np.float64).tofile(out_f0)
+    mgc.astype(np.float64).tofile(out_mgc)
+    bap.astype(np.float64).tofile(out_bap)
+
+
+def load_neutrino_features(f0_path, mgc_path, bap_path, mgc_dim: int, num_ap: int):
+    f0 = np.fromfile(f0_path, dtype=np.float64).reshape(-1, 1)
+    mgc = np.fromfile(mgc_path, dtype=np.float64).reshape(-1, mgc_dim)
+    bap = np.fromfile(bap_path, dtype=np.float64).reshape(-1, num_ap)
+    return f0, mgc, bap

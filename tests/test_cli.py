@@ -1,0 +1,163 @@
+"""CLI surface tests: anasyn, evaluate_timing, generate, NEUTRINO/NSF,
+neutrino server, pretrained registry, pitch augmentation."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from ensemble_svs_with_interactions_tpu.io import hts
+from tests.util import build_tiny_packed_model
+
+SR = 24000
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory, ):
+    import pathlib
+
+    if not pathlib.Path("/root/reference/tests/data").exists():
+        pytest.skip("reference fixtures unavailable")
+    return build_tiny_packed_model(tmp_path_factory.mktemp("packed"))
+
+
+@pytest.fixture(scope="module")
+def short_lab(tmp_path_factory):
+    labels = hts.load("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
+    n = next(i for i, e in enumerate(labels.end_times) if e > 6e7)
+    p = tmp_path_factory.mktemp("lab") / "test.lab"
+    labels[: max(n, 10)].save(p)
+    return p
+
+
+def test_anasyn_cli(tmp_path, reference_data_dir):
+    from ensemble_svs_with_interactions_tpu.bin.anasyn import main
+
+    out = tmp_path / "anasyn.wav"
+    rc = main([
+        str(reference_data_dir / "nitech_jp_song070_f001_004.wav"),
+        str(out), "--sample-rate", str(SR), "--use-codec", "--mgc-order", "24",
+        "--f0-floor", "150", "--f0-ceil", "700",
+    ])
+    assert rc == 0
+    sr, x = wavfile.read(out)
+    assert sr == SR and np.abs(x.astype(np.int64)).max() > 0
+
+
+def test_evaluate_timing_cli(tmp_path, packed, short_lab):
+    from ensemble_svs_with_interactions_tpu.bin.evaluate_timing import main
+
+    lab_dir = short_lab.parent
+    out = tmp_path / "timing_eval"
+    rc = main([str(packed), str(lab_dir), str(lab_dir), str(out)])
+    assert rc == 0
+    assert len(list((out / "timelag").glob("*.npy"))) == 1
+    assert len(list((out / "duration").glob("*.npy"))) == 1
+
+
+def test_neutrino_and_nsf_cli(tmp_path, packed, short_lab):
+    from ensemble_svs_with_interactions_tpu.bin.neutrino import main as neutrino
+    from ensemble_svs_with_interactions_tpu.bin.nsf import main as nsf
+
+    timing = tmp_path / "timing.lab"
+    f0 = tmp_path / "out.f0"
+    mgc = tmp_path / "out.mgc"
+    bap = tmp_path / "out.bap"
+    phrase = tmp_path / "phraselist.txt"
+    rc = neutrino([
+        str(short_lab), str(timing), str(f0), str(mgc), str(bap), str(packed),
+        "-i", str(phrase),
+    ])
+    assert rc == 0
+    assert timing.exists() and phrase.exists()
+    assert f0.stat().st_size > 0
+
+    wav_out = tmp_path / "nsf.wav"
+    rc = nsf([str(f0), str(mgc), str(bap), str(packed), str(wav_out)])
+    assert rc == 0
+    sr, x = wavfile.read(wav_out)
+    assert sr == SR and len(x) > SR
+
+
+def test_neutrino_server(packed, short_lab):
+    from ensemble_svs_with_interactions_tpu.bin import neutrino_server as srv
+    from http.server import ThreadingHTTPServer
+
+    srv._MODEL_ROOT = packed.parent
+    server = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/models") as r:
+            models = json.loads(r.read())["models"]
+        assert packed.name in models
+
+        labels_text = short_lab.read_text()
+        req = urllib.request.Request(
+            f"{base}/timing",
+            json.dumps({"model": packed.name, "labels": labels_text}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert "timing_labels" in out and len(out["timing_labels"]) > 0
+        assert "phraselist" in out
+
+        req = urllib.request.Request(
+            f"{base}/acoustic",
+            json.dumps(
+                {"model": packed.name, "timing_labels": out["timing_labels"]}
+            ).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            ac = json.loads(r.read())
+        assert ac["mgc_dim"] == 8 and ac["bap_dim"] == 3
+    finally:
+        server.shutdown()
+
+
+def test_pretrained_registry(packed):
+    from ensemble_svs_with_interactions_tpu.pretrained import (
+        create_svs_engine,
+        register_model,
+        retrieve_pretrained_model,
+    )
+
+    register_model("tiny_test", packed)
+    assert retrieve_pretrained_model("tiny_test") == packed
+    engine = create_svs_engine("tiny_test")
+    assert engine.sample_rate == SR
+    with pytest.raises(ValueError):
+        retrieve_pretrained_model("no/such/model")
+
+
+def test_pitch_augmentation(tmp_path):
+    from ensemble_svs_with_interactions_tpu.bin.pitch_augmentation import main
+
+    root = tmp_path / "dump"
+    (root / "in_acoustic").mkdir(parents=True)
+    (root / "out_acoustic").mkdir(parents=True)
+    x = np.zeros((10, 86), np.float32)
+    x[:, 51] = 5.5  # lf0 conditioning column
+    y = np.zeros((10, 67), np.float32)
+    y[:, 60] = 5.5
+    np.save(root / "in_acoustic" / "utt1-feats.npy", x)
+    np.save(root / "out_acoustic" / "utt1-feats.npy", y)
+    rc = main([
+        str(root), "100",
+        "--question-path",
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        "--acoustic-lf0-idx", "60",
+    ])
+    assert rc == 0
+    xa = np.load(root / "in_acoustic" / "utt1_aug+100-feats.npy")
+    ya = np.load(root / "out_acoustic" / "utt1_aug+100-feats.npy")
+    shift = 100 * np.log(2) / 1200
+    assert np.allclose(xa[:, 51], 5.5 + shift, atol=1e-6)
+    assert np.allclose(ya[:, 60], 5.5 + shift, atol=1e-6)

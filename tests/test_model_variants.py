@@ -1,0 +1,124 @@
+"""Tests for MDN AR decoders, mel multistream, ResF0TransformerEncoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.models import acoustic
+from ensemble_svs_with_interactions_tpu.models.tacotron import (
+    MDNNonAttentiveDecoder,
+    NonAttentiveDecoder,
+)
+
+B, T = 2, 16
+
+
+def _rngs():
+    return {
+        "params": jax.random.PRNGKey(0),
+        "prenet": jax.random.PRNGKey(1),
+        "zoneout": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+    }
+
+
+@pytest.mark.parametrize("r", [1, 2])
+def test_nonattentive_decoder(r):
+    dec = NonAttentiveDecoder(
+        in_dim=8, out_dim=4, layers=1, hidden_dim=8,
+        prenet_layers=1, prenet_hidden_dim=4, reduction_factor=r,
+    )
+    enc = jnp.zeros((B, T, 8))
+    y = jnp.zeros((B, T, 4))
+    v = dec.init(_rngs(), enc, None, y, train=True)
+    out = dec.apply(v, enc, None, y, train=True,
+                    rngs={"prenet": jax.random.PRNGKey(5),
+                          "zoneout": jax.random.PRNGKey(6)})
+    assert out.shape == (B, T, 4)
+    inf = dec.apply(v, enc, method="inference",
+                    rngs={"prenet": jax.random.PRNGKey(7)})
+    assert inf.shape == (B, T, 4)
+
+
+def test_mdn_resf0_decoder():
+    dec = acoustic.MDNResF0NonAttentiveDecoder(
+        in_dim=8, out_dim=3, layers=1, hidden_dim=8,
+        prenet_layers=0, reduction_factor=2, num_gaussians=2,
+        in_lf0_idx=0, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    enc = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, T, 8)), jnp.float32)
+    y = jnp.zeros((B, T, 3))
+    v = dec.init(_rngs(), enc, None, y, train=True)
+    (log_pi, log_sigma, mu), res = dec.apply(
+        v, enc, None, y, train=True,
+        rngs={"prenet": jax.random.PRNGKey(5), "zoneout": jax.random.PRNGKey(6)},
+    )
+    assert log_pi.shape == (B, T, 2)
+    assert mu.shape == (B, T, 2, 3)
+    assert res.shape == (B, T, 1)
+    mu_i, sigma_i = dec.apply(
+        v, enc, method="inference", rngs={"prenet": jax.random.PRNGKey(7)}
+    )
+    assert mu_i.shape == (B, T, 3)
+    assert (np.asarray(sigma_i) > 0).all()
+
+
+def test_mel_multistream_model():
+    model = acoustic.MultistreamSeparateF0MelModel(
+        in_dim=10,
+        out_dim=8,
+        stream_sizes=[6, 1, 1],
+        reduction_factor=1,
+        encoder={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.LSTMEncoder",
+            "in_dim": 10, "hidden_dim": 4, "out_dim": 6,
+        },
+        mel_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 6, "num_layers": 1,
+        },
+        lf0_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.acoustic.ResF0Conv1dResnet",
+            "in_dim": 10, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+            "in_lf0_idx": 3, "out_lf0_idx": 0,
+            "in_lf0_min": 5.0, "in_lf0_max": 6.5,
+            "out_lf0_mean": 5.9, "out_lf0_scale": 0.23,
+        },
+        vuv_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+        },
+        in_rest_idx=0,
+        in_lf0_idx=3,
+        out_lf0_idx=6,
+    )
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, T, 10)), jnp.float32)
+    y = jnp.zeros((B, T, 8))
+    lengths = jnp.asarray([T, T])
+    v = model.init(_rngs(), x, lengths, y, train=True)
+    (streams, res) = model.apply(
+        v, x, lengths, y, train=True, rngs={"dropout": jax.random.PRNGKey(4)}
+    )
+    assert len(streams) == 3
+    inf = model.apply(v, x, lengths, method="inference")
+    assert inf.shape == (B, T, 8)
+
+
+def test_resf0_transformer_encoder():
+    model = acoustic.ResF0TransformerEncoder(
+        in_dim=10, out_dim=5, hidden_dim=8, attention_dim=8,
+        num_heads=2, num_layers=1, reduction_factor=1,
+        in_lf0_idx=3, out_lf0_idx=2,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, T, 10)), jnp.float32)
+    lengths = jnp.asarray([T, T])
+    v = model.init(_rngs(), x, lengths, train=True)
+    mu, res = model.apply(v, x, lengths, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(4)})
+    assert mu.shape == (B, T, 5)
+    assert res.shape == (B, T, 1)
+    out = model.apply(v, x, lengths, method="inference")
+    assert out.shape == (B, T, 5)

@@ -55,3 +55,72 @@ def run_model_contract(model, x, lengths, out_dim, extra_args=(), y=None):
         assert inf.shape == (B, T, out_dim)
         assert np.isfinite(np.asarray(inf)).all()
     return variables, fwd, inf
+
+
+def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
+    """Pack a tiny random-weight single-track model for CLI/e2e tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+    from ensemble_svs_with_interactions_tpu.utils.scalers import (
+        MinMaxScaler,
+        StandardScaler,
+    )
+
+    ss = [mgc_dim * 3, 3, 1, bap_dim * 3]
+    out_dim = sum(ss)
+
+    def init(cfg, in_dim):
+        module = instantiate(cfg["netG"])
+        return module.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 8, in_dim)),
+            jnp.asarray([8]),
+        )
+
+    timing = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
+            "in_dim": 82, "hidden_dim": 8, "out_dim": 1, "num_gaussians": 2,
+        },
+        "stream_sizes": [1], "has_dynamic_features": [False], "num_windows": 1,
+    }
+    ac = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFConvLSTM",
+            "in_dim": 86, "ff_hidden_dim": 8, "conv_hidden_dim": 8,
+            "lstm_hidden_dim": 4, "out_dim": out_dim,
+        },
+        "stream_sizes": ss,
+        "has_dynamic_features": [True, True, False, True],
+        "num_windows": 3,
+    }
+    mean = np.zeros(out_dim)
+    scale = np.ones(out_dim) * 0.1
+    mean[mgc_dim * 3] = np.log(220.0)
+    pack_model(
+        out_dir,
+        {"sample_rate": sr, "frame_period": 5, "feature_type": "world",
+         "use_world_codec": True, "relative_f0": False},
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        {
+            "timelag": {
+                "model_config": timing, "variables": init(timing, 82),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.zeros(1), np.ones(1) * 4, np.ones(1) * 2),
+            },
+            "duration": {
+                "model_config": timing, "variables": init(timing, 82),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.ones(1) * 10, np.ones(1) * 4, np.ones(1) * 2),
+            },
+            "acoustic": {
+                "model_config": ac, "variables": init(ac, 86),
+                "in_scaler": MinMaxScaler(np.zeros(86), np.ones(86)),
+                "out_scaler": StandardScaler(mean, scale**2, scale),
+            },
+        },
+    )
+    return out_dir
