@@ -810,9 +810,9 @@ def predict_waveform(
         )
         hop = int(sample_rate * frame_period / 1000)
         return wav[: T * hop]
-    elif vocoder_type in ("pwg", "usfgan"):
+    elif vocoder_type == "pwg":
         if vocoder is None:
-            raise ValueError(f"a neural vocoder model is required for {vocoder_type}")
+            raise ValueError("a neural vocoder model is required for pwg")
         vuv_bin = (vuv > vuv_threshold).astype(np.float32)
         if feature_type == "world":
             voc_in = np.concatenate([mgc, lf0, vuv_bin, bap], axis=-1)
@@ -820,6 +820,35 @@ def predict_waveform(
             voc_in = np.concatenate([mel, lf0, vuv_bin], axis=-1)
         voc_in = np.asarray(vocoder_in_scaler.transform(voc_in), dtype=np.float32)
         return np.asarray(vocoder.inference(voc_in)).reshape(-1)
+    elif vocoder_type == "usfgan":
+        # source-filter vocoder: sine source from F0 + [mgc, bap] aux feats
+        # (reference gen.py:1637-1694)
+        if vocoder is None:
+            raise ValueError("a USFGANWrapper is required for usfgan")
+        if feature_type == "world":
+            fftlen = world.get_cheaptrick_fft_size(sample_rate)
+            aperiodicity = np.asarray(
+                world.decode_aperiodicity(
+                    np.ascontiguousarray(bap).astype(np.float64), sample_rate, fftlen
+                )
+            )
+            aperiodicity[vuv.reshape(-1) < vuv_threshold, 0] = 1.0
+            aperiodicity = np.clip(aperiodicity, 0.0, 1.0)
+            bap_fixed = np.asarray(
+                world.code_aperiodicity(aperiodicity, sample_rate)
+            ).astype(np.float32)
+            aux_feats = np.concatenate([mgc, bap_fixed], axis=-1)
+        else:
+            aux_feats = mel
+        if vocoder_in_scaler is not None:
+            aux_feats = np.asarray(
+                vocoder_in_scaler.transform(aux_feats), dtype=np.float32
+            )
+        contf0 = np.exp(lf0)
+        if getattr(vocoder, "sine_f0_type", "contf0") == "f0":
+            contf0 = contf0.copy()
+            contf0[vuv < vuv_threshold] = 0
+        return np.asarray(vocoder.inference(contf0, aux_feats)).reshape(-1)
     raise ValueError(f"unknown vocoder type: {vocoder_type}")
 
 

@@ -1,0 +1,154 @@
+"""Tests for the uSFGAN vocoder family and vocoder GAN training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ensemble_svs_with_interactions_tpu.models.vocoders import (
+    HiFiGANMultiPeriodDiscriminator,
+    HiFiGANMultiScaleMultiPeriodDiscriminator,
+    PWGDiscriminator,
+    SignalGenerator,
+    UnivNetMultiResolutionSpectralDiscriminator,
+    USFGANGenerator,
+    USFGANWrapper,
+    dilated_factor,
+)
+from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import pd_indexing
+from ensemble_svs_with_interactions_tpu.train.vocoder import (
+    create_vocoder_gan_train_step,
+    stft_loss,
+)
+
+HOP = 120
+SR = 24000
+AUX = 8
+
+
+def _tiny_generator():
+    return USFGANGenerator(
+        source_network_params={"blockA": 2, "cycleA": 1, "blockF": 0, "cycleF": 0,
+                               "cascade_mode": 0},
+        filter_network_params={"blockA": 0, "cycleA": 0, "blockF": 2, "cycleF": 1,
+                               "cascade_mode": 0},
+        residual_channels=8,
+        gate_channels=16,
+        skip_channels=8,
+        aux_channels=AUX,
+        upsample_params={"upsample_scales": [10, 12]},  # 120x
+    )
+
+
+def test_dilated_factor_and_signal_generator():
+    f0 = np.array([0.0, 200.0, 200.0, 0.0, 100.0])
+    d = dilated_factor(f0, SR, 4)
+    assert np.isclose(d[1], SR / (4 * 200))
+    assert d[3] == d[2]  # carry-over through unvoiced
+    sig = SignalGenerator(SR, HOP, signal_types=("sine",))(f0)
+    assert sig.shape == (5 * HOP, 1)
+    # voiced region has much higher energy than unvoiced
+    v = sig[HOP : 3 * HOP, 0]
+    u = sig[:HOP, 0]
+    assert v.std() > 3 * u.std()
+
+
+def test_pd_indexing():
+    x = jnp.asarray(np.arange(10, dtype=np.float32).reshape(1, 10, 1))
+    d = jnp.full((1, 10), 2.0)
+    xP, xF = pd_indexing(x, d, 1)
+    assert xP[0, 5, 0] == 3  # t-2
+    assert xF[0, 5, 0] == 7  # t+2
+    assert xP[0, 0, 0] == 0  # clipped
+    assert xF[0, 9, 0] == 9
+
+
+def test_usfgan_generator_shapes():
+    gen = _tiny_generator()
+    B, Tf = 1, 8
+    T = Tf * HOP
+    x = jnp.zeros((B, T, 1))
+    c = jnp.zeros((B, Tf, AUX))
+    d = jnp.ones((B, T))
+    v = gen.init(jax.random.PRNGKey(0), x, c, d)
+    wav, src = gen.apply(v, x, c, d)
+    assert wav.shape == (B, T, 1)
+    assert src.shape == (B, T, 1)
+
+
+def test_usfgan_wrapper_inference():
+    gen = _tiny_generator()
+    Tf = 8
+    f0 = np.full((Tf, 1), 220.0)
+    v = gen.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, Tf * HOP, 1)),
+        jnp.zeros((1, Tf, AUX)),
+        jnp.ones((1, Tf * HOP)),
+    )
+    wrapper = USFGANWrapper(gen, v, sample_rate=SR, hop_size=HOP)
+    aux = np.zeros((Tf, AUX), np.float32)
+    wav = wrapper.inference(f0, aux)
+    assert wav.shape == (Tf * HOP,)
+    assert np.isfinite(wav).all()
+
+
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [
+        (PWGDiscriminator, {"layers": 4, "conv_channels": 8}),
+        (HiFiGANMultiPeriodDiscriminator, {"periods": (2, 3), "channels": 4}),
+        (UnivNetMultiResolutionSpectralDiscriminator,
+         {"fft_sizes": (256,), "hop_sizes": (64,), "win_lengths": (128,)}),
+    ],
+)
+def test_vocoder_discriminators(cls, kwargs):
+    d = cls(**kwargs)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 960, 1)), jnp.float32)
+    v = d.init(jax.random.PRNGKey(0), x)
+    outs = d.apply(v, x)
+    flat = outs if isinstance(outs[0], (list, tuple)) else [outs]
+    for feats in flat:
+        assert feats[-1].shape[-1] == 1
+        assert np.isfinite(np.asarray(feats[-1])).all()
+
+
+def test_stft_loss_zero_for_identical():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(1, 2000)), jnp.float32)
+    sc, mag = stft_loss(y, y, (256,), (64,), (128,))
+    assert float(sc) < 1e-5 and float(mag) < 1e-5
+    sc2, _ = stft_loss(y * 2, y, (256,), (64,), (128,))
+    assert float(sc2) > 0.1
+
+
+def test_vocoder_gan_step():
+    gen = _tiny_generator()
+    disc = PWGDiscriminator(layers=4, conv_channels=8)
+    Tf = 4
+    T = Tf * HOP
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32),
+        "c": jnp.asarray(rng.normal(size=(1, Tf, AUX)), jnp.float32),
+        "d": jnp.ones((1, T)),
+        "y": jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32),
+    }
+    vG = gen.init(jax.random.PRNGKey(0), batch["x"], batch["c"], batch["d"])
+    vD = disc.init(jax.random.PRNGKey(1), batch["y"])
+    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+    state = {
+        "paramsG": vG["params"],
+        "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]),
+        "step": jnp.asarray(0),
+    }
+    step = create_vocoder_gan_train_step(
+        gen, disc, optG, optD,
+        fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,),
+    )
+    state, metrics = step(state, batch)
+    for k in ("Loss_G", "Loss_STFT_SC", "Loss_Adv", "Loss_D"):
+        assert np.isfinite(float(metrics[k])), k
