@@ -88,6 +88,10 @@ class ModelPack:
 
         self._jit_infer = jax.jit(_infer)
         self._rng = jax.random.PRNGKey(1234)
+        # pin weights on device once — deserialized variables are numpy
+        # arrays, and passing those to jit re-uploads the full parameter set
+        # on every call (disastrous over a remote-device link)
+        self.variables = jax.device_put(self.variables)
 
     def prediction_type(self):
         return self.module.prediction_type()
@@ -369,6 +373,89 @@ def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
         for entry in p:
             output.append(entry, strict=False)
     return output, np.asarray(d_norms)
+
+
+def predict_timing_batch(
+    labels_list,
+    binary_dict,
+    numeric_dict,
+    timelag_model: ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    duration_model: ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    log_f0_conditioning: bool = True,
+    allowed_range=(-20, 20),
+    allowed_range_rest=(-40, 40),
+    force_clip_input_features: bool = True,
+    frame_period: float = 5,
+):
+    """Batched timing prediction over N tracks: both timing models run as
+    one (N, T, D) batch (two device calls total instead of 2N)."""
+    hts_frame_shift = int(frame_period * 1e4)
+    pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+
+    note_labels_list, note_feats, phone_feats = [], [], []
+    for labels in labels_list:
+        labels.frame_shift = hts_frame_shift
+        labels.round_()
+        note_labels = labels[hts.get_note_indices(labels)]
+        note_labels_list.append(note_labels)
+        note_feats.append(
+            _prepare_linguistic_features(
+                note_labels, binary_dict, numeric_dict, timelag_in_scaler,
+                pitch_indices, False, None, log_f0_conditioning,
+                force_clip_input_features, hts_frame_shift,
+            )
+        )
+        phone_feats.append(
+            _prepare_linguistic_features(
+                labels, binary_dict, numeric_dict, duration_in_scaler,
+                pitch_indices, False, None, log_f0_conditioning,
+                force_clip_input_features, hts_frame_shift,
+            )
+        )
+
+    lag_preds = timelag_model.inference_batch(note_feats)
+    dur_preds = duration_model.inference_batch(phone_feats)
+
+    outs = []
+    for labels, note_labels, lag_pred, dur_pred in zip(
+        labels_list, note_labels_list, lag_preds, dur_preds
+    ):
+        is_prob = (
+            timelag_model.prediction_type() == PredictionType.PROBABILISTIC
+        )
+        lag = _denorm_and_mlpg(
+            lag_pred, timelag_out_scaler, timelag_model.config, is_prob
+        )
+        lag = np.round(lag)
+        for idx in range(len(lag)):
+            rng = (
+                allowed_range_rest
+                if hts.is_silence_context(note_labels.contexts[idx])
+                else allowed_range
+            )
+            lag[idx] = np.clip(lag[idx], rng[0], rng[1])
+        lag = lag * hts_frame_shift
+
+        if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
+            mu, sigma = dur_pred
+            sigma_sq = np.maximum(
+                np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_),
+                1e-14,
+            )
+            mu = np.asarray(duration_out_scaler.inverse_transform(mu))
+            durations = (mu, sigma_sq)
+        else:
+            d = _denorm_and_mlpg(
+                dur_pred, duration_out_scaler, duration_model.config, False
+            )
+            d[d <= 0] = 1
+            durations = np.round(d)
+        outs.append(postprocess_duration(labels, durations, lag, frame_period)[0])
+    return outs
 
 
 def predict_timing(
@@ -859,9 +946,17 @@ def postprocess_waveform(
     peak_norm: bool = False,
     loudness_norm: bool = False,
     target_loudness: float = -20.0,
+    skip_bandpass: bool = False,
 ):
-    """Bandpass + peak/loudness normalization + dtype conversion."""
-    wav = np.asarray(bandpass_filter(wav, sample_rate))
+    """Bandpass + peak/loudness normalization + dtype conversion.
+
+    ``skip_bandpass`` is used when the high-pass was already applied inside
+    the fused vocoder kernel (synthesize_from_streams highpass_cutoff).
+    """
+    if not skip_bandpass:
+        wav = np.asarray(bandpass_filter(wav, sample_rate))
+    else:
+        wav = np.asarray(wav, dtype=np.float64)
 
     if peak_norm:
         peak = np.max(np.abs(wav))

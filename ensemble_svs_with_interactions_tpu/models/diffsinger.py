@@ -302,3 +302,71 @@ class MultiSpeakerGaussianDiffusion(GaussianDiffusion):
     def inference(self, cond, spks, lengths=None):
         spk_embs = self._spk_embs(spks, cond.shape[1])
         return super().inference(cond, lengths, spk_embs=spk_embs)
+
+
+class FFTBlocksEncoder(BaseModel):
+    """FastSpeech2-style FFT-block condition encoder
+    (reference nnsvs/diffsinger/fs2.py:667,743): self-attention +
+    conv feed-forward blocks over linguistic features, used as the
+    diffusion condition encoder."""
+
+    in_dim: int
+    hidden_dim: int = 256
+    num_layers: int = 4
+    num_heads: int = 2
+    kernel_size: int = 9
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, spk_embs=None, train: bool = False):
+        from ensemble_svs_with_interactions_tpu.models.generic import (
+            _TransformerBlock,
+        )
+
+        B, T = x.shape[0], x.shape[1]
+        if lengths is None:
+            lengths = jnp.full((B,), T, dtype=jnp.int32)
+        h = nn.Dense(self.hidden_dim)(x)
+        if spk_embs is not None:
+            h = h + nn.Dense(self.hidden_dim)(spk_embs)
+        # sinusoidal positions
+        pos = SinusoidalPosEmb(self.hidden_dim)(jnp.arange(T))[None]
+        h = h + pos
+        mask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+        for _ in range(self.num_layers):
+            h = _TransformerBlock(
+                self.hidden_dim, self.hidden_dim, self.num_heads,
+                self.kernel_size, self.dropout,
+            )(h, mask, train=train)
+        return h
+
+
+class PitchPredictor(BaseModel):
+    """Conv-stack F0 predictor/extractor from acoustic features
+    (reference nnsvs/diffsinger/pe.py:200,401): predicts (lf0, vuv) from
+    mel-spectrograms, used when F0 is extracted from generated mels."""
+
+    in_dim: int = 80
+    hidden_dim: int = 256
+    num_layers: int = 5
+    kernel_size: int = 5
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        h = x
+        for _ in range(self.num_layers):
+            h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm()(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        lf0 = nn.Dense(1)(h)
+        vuv = nn.Dense(1)(h)
+        return lf0, vuv
+
+    def inference(self, x, lengths=None):
+        lf0, vuv = self(x, lengths)
+        return jnp.concatenate([lf0, jax.nn.sigmoid(vuv)], axis=-1)
+
+
+PitchExtractor = PitchPredictor

@@ -27,6 +27,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+def scan_unroll() -> int:
+    """Scan unroll factor: amortizes XLA while-loop overhead on
+    accelerators (the per-step work of an LSTM cell is far below TPU loop
+    dispatch cost); kept at 1 on CPU where it only bloats compile time."""
+    import jax
+
+    return 1 if jax.default_backend() == "cpu" else 8
+
+
 # --------------------------------------------------------------------------
 # Weight initialization (reference nnsvs/util.py:31-67 semantics)
 # --------------------------------------------------------------------------
@@ -99,6 +108,7 @@ class _MaskedLSTMLayer(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=scan_unroll(),
         )
         carry0 = cell.initialize_carry(jax.random.PRNGKey(0), (B, x.shape[-1]))
         _, ys = scan(cell, carry0, (x, mask.astype(x.dtype)))

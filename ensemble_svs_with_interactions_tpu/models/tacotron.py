@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensemble_svs_with_interactions_tpu.base import BaseModel
+from ensemble_svs_with_interactions_tpu.models.layers import (
+    scan_unroll as _scan_unroll,
+)
 
 _MAX_LF0_RATIO = 600.0 * np.log(2) / 1200.0
 
@@ -247,6 +250,7 @@ def ar_decode(
         split_rngs={"prenet": True, "zoneout": True, "params": False},
         in_axes=1,
         out_axes=1,
+        unroll=_scan_unroll(),
     )(
         out_dim=parent.out_dim,
         layers=parent.layers if hasattr(parent, "layers") else parent.decoder_layers,

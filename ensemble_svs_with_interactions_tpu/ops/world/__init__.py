@@ -7,6 +7,7 @@ from ensemble_svs_with_interactions_tpu.ops.world.codec import (  # noqa: F401
     get_num_aperiodicities,
 )
 from ensemble_svs_with_interactions_tpu.ops.world.synthesis import (  # noqa: F401
+    quantize_peak_norm_int16,
     synthesize,
     synthesize_from_streams,
 )

@@ -116,12 +116,39 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     return y
 
 
+def quantize_peak_norm_int16(wav, lengths=None):
+    """Per-signal peak normalization + int16 quantization (device side).
+
+    Keeps the device->host transfer at 2 bytes/sample (the reference's
+    final wav conversion, gen.py:1733-1743, done on host after transfer).
+    wav: (B, N); lengths: (B,) valid sample counts for the peak search.
+    """
+    if lengths is not None:
+        mask = jnp.arange(wav.shape[1])[None, :] < lengths[:, None]
+        peak = jnp.max(jnp.abs(jnp.where(mask, wav, 0.0)), axis=1, keepdims=True)
+    else:
+        peak = jnp.max(jnp.abs(wav), axis=1, keepdims=True)
+    wav = wav / jnp.maximum(peak, 1e-8)
+    return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
+
+def _highpass_mask(fs: int, fft_size: int, cutoff: float):
+    """Smooth high-pass weighting over rfft bins (replaces the host-side
+    70 Hz Butterworth bandpass of postprocess_waveform on the fused path)."""
+    freqs = np.arange(fft_size // 2 + 1) * fs / fft_size
+    # raised-cosine transition from 0 at 0.5*cutoff to 1 at 1.5*cutoff
+    lo, hi = 0.5 * cutoff, 1.5 * cutoff
+    t = np.clip((freqs - lo) / (hi - lo), 0.0, 1.0)
+    return (0.5 - 0.5 * np.cos(np.pi * t)).astype(np.float32)
+
+
 @partial(
-    jax.jit, static_argnames=("fs", "hop", "fft_size", "vuv_threshold")
+    jax.jit,
+    static_argnames=("fs", "hop", "fft_size", "vuv_threshold", "highpass_cutoff"),
 )
 def _synthesize_from_streams_impl(
     mgc, lf0, vuv, bap, noise, fs: int, hop: int, fft_size: int,
-    vuv_threshold: float,
+    vuv_threshold: float, highpass_cutoff: float = 0.0,
 ):
     """Batched fused vocoder: coded streams -> waveforms, all on device.
 
@@ -138,6 +165,10 @@ def _synthesize_from_streams_impl(
 
     B, T = lf0.shape[0], lf0.shape[1]
     sp = decode_spectral_envelope(mgc, fs, fft_size)  # (B, T, half+1)
+    if highpass_cutoff > 0:
+        # fold the output high-pass into the spectral envelope (power domain)
+        hp = jnp.asarray(_highpass_mask(fs, fft_size, highpass_cutoff))
+        sp = sp * (hp * hp)[None, None, :]
     ap = decode_aperiodicity(
         bap.reshape(B * T, -1), fs, fft_size
     ).reshape(B, T, -1)
@@ -161,6 +192,7 @@ def synthesize_from_streams(
     frame_period: float = 5.0,
     vuv_threshold: float = 0.5,
     key=None,
+    highpass_cutoff: float = 0.0,
 ):
     """Batched coded-stream synthesis.  Accepts (T, D) or (B, T, D)."""
     single = jnp.ndim(mgc) == 2
@@ -179,7 +211,8 @@ def synthesize_from_streams(
         key = jax.random.PRNGKey(0)
     noise = jax.random.normal(key, (B, T * hop), dtype=jnp.float32)
     wav = _synthesize_from_streams_impl(
-        mgc, lf0, vuv, bap, noise, fs, hop, fft_size, float(vuv_threshold)
+        mgc, lf0, vuv, bap, noise, fs, hop, fft_size, float(vuv_threshold),
+        float(highpass_cutoff),
     )
     return wav[0] if single else wav
 

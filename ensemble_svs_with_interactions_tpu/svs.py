@@ -42,6 +42,12 @@ from ensemble_svs_with_interactions_tpu.utils.scalers import (
 from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
 
 
+def jnp_lengths(lengths):
+    import jax.numpy as jnp
+
+    return jnp.asarray(lengths)
+
+
 def _load_variables(module, config, params_path: Path):
     """Deserialize flax variables against a template built from the module.
 
@@ -314,7 +320,18 @@ class SPSVS(BaseSVS):
         from ensemble_svs_with_interactions_tpu.ops.pitch import interp1d
 
         start = time.time()
-        duration_modified = [self.predict_timing(lab) for lab in labels_list]
+        duration_modified = gen.predict_timing_batch(
+            labels_list,
+            self.binary_dict,
+            self.numeric_dict,
+            self.timelag_model,
+            self.in_timelag_scaler,
+            self.out_timelag_scaler,
+            self.duration_model,
+            self.in_duration_scaler,
+            self.out_duration_scaler,
+            frame_period=self.frame_period,
+        )
 
         # batched acoustic inference
         hts_frame_shift = int(self.frame_period * 1e4)
@@ -367,21 +384,40 @@ class SPSVS(BaseSVS):
                     ]
                 )
             batch = [np.stack([p[i] for p in packed]) for i in range(4)]
-            wavs = np.asarray(
-                world.synthesize_from_streams(
-                    *batch,
-                    self.sample_rate,
-                    self.frame_period,
-                    vuv_threshold=vuv_threshold,
-                )
-            )
             hop = int(self.sample_rate * self.frame_period / 1000)
-            outs = [
-                self.postprocess_waveform(
-                    wavs[i, : len(streams_list[i][0]) * hop], dtype=dtype
+            wav_dev = world.synthesize_from_streams(
+                *batch,
+                self.sample_rate,
+                self.frame_period,
+                vuv_threshold=vuv_threshold,
+                # fold the 70 Hz output high-pass into the kernel so no
+                # host-side Butterworth pass is needed
+                highpass_cutoff=70.0,
+            )
+            if dtype in (np.int16, "int16"):
+                # peak-normalize + quantize on device: halves the D2H bytes
+                sample_lengths = np.asarray(
+                    [len(s[0]) * hop for s in streams_list], np.int32
                 )
-                for i in range(len(streams_list))
-            ]
+                wavs = np.asarray(
+                    world.quantize_peak_norm_int16(
+                        wav_dev, jnp_lengths(sample_lengths)
+                    )
+                )
+                outs = [
+                    wavs[i, : sample_lengths[i]]
+                    for i in range(len(streams_list))
+                ]
+            else:
+                wavs = np.asarray(wav_dev)
+                outs = [
+                    self.postprocess_waveform(
+                        wavs[i, : len(streams_list[i][0]) * hop],
+                        dtype=dtype,
+                        skip_bandpass=True,
+                    )
+                    for i in range(len(streams_list))
+                ]
         else:
             outs = [
                 self.postprocess_waveform(

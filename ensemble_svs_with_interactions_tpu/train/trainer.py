@@ -194,6 +194,24 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                             int(config.model.num_windows),
                         )
                         metrics = {**metrics, **dist}
+                        if is_acoustic and config.train.get("eval_render", False):
+                            from ensemble_svs_with_interactions_tpu.train.eval_render import (
+                                render_eval_outputs,
+                            )
+
+                            render_eval_outputs(
+                                out_dir,
+                                epoch,
+                                np.asarray(pred_out),
+                                batch["out_feats"],
+                                batch["lengths"],
+                                out_scaler,
+                                list(config.model.stream_sizes),
+                                list(config.model.has_dynamic_features),
+                                int(config.model.num_windows),
+                                int(config.data.get("sample_rate", 48000)),
+                                writer=writer,
+                            )
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(k, []).append(float(v))
             means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
