@@ -83,7 +83,13 @@ def reverse_padded(x, lengths):
 
 
 class _MaskedLSTMLayer(nn.Module):
-    """Single-direction LSTM over (B, T, C) with carry frozen at pad steps."""
+    """Single-direction LSTM over (B, T, C), outputs zeroed at pad steps.
+
+    On accelerators the recurrence runs as a pallas kernel (weights resident
+    in VMEM, input projections as one MXU matmul — see ops/pallas_lstm.py);
+    on CPU it falls back to an ``nn.scan`` of OptimizedLSTMCell.  Both paths
+    share the same parameter tree and are bit-identical on valid steps.
+    """
 
     hidden_dim: int
 
@@ -91,6 +97,24 @@ class _MaskedLSTMLayer(nn.Module):
     def __call__(self, x, mask):
         B = x.shape[0]
         cell = nn.OptimizedLSTMCell(self.hidden_dim)
+
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and x.shape[1] % 128 == 0
+            # pallas block must fit VMEM: xw chunk + y chunk + weights
+            and B * 128 * 4 * self.hidden_dim * 4 < 6 * 1024 * 1024
+        )
+        if use_pallas:
+            from ensemble_svs_with_interactions_tpu.ops.pallas_lstm import (
+                lstm_layer_pallas,
+            )
+
+            carry0 = cell.initialize_carry(
+                jax.random.PRNGKey(0), (B, x.shape[-1])
+            )
+            _ = cell(carry0, x[:, 0])  # materialize params (shared naming)
+            ys = lstm_layer_pallas(x, cell.variables["params"], chunk=128)
+            return ys * mask.astype(ys.dtype)[:, :, None]
 
         def body(cell, carry, inputs):
             x_t, m_t = inputs
