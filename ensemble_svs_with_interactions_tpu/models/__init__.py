@@ -8,6 +8,7 @@ from ensemble_svs_with_interactions_tpu.models.generic import (  # noqa: F401
     MDN,
     RMDN,
     Conv1dResnet,
+    Conv1dResnetMDN,
     Conv1dResnetSAR,
     FeedForwardNet,
     FFConvLSTM,
@@ -23,6 +24,7 @@ from ensemble_svs_with_interactions_tpu.models.generic import (  # noqa: F401
     VariancePredictor,
 )
 from ensemble_svs_with_interactions_tpu.models.tacotron import (  # noqa: F401
+    MDNNonAttentiveDecoder,
     NonAttentiveDecoder,
     Prenet,
 )

@@ -11,6 +11,8 @@ from ensemble_svs_with_interactions_tpu.models.acoustic.sinsy import (  # noqa: 
     ResSkipF0FFConvLSTM,
 )
 from ensemble_svs_with_interactions_tpu.models.acoustic.tacotron_f0 import (  # noqa: F401
+    BiLSTMMDNNonAttentiveDecoder,
+    BiLSTMNonAttentiveDecoder,
     BiLSTMResF0NonAttentiveDecoder,
     MultiTrackBiLSTMResF0NonAttentiveDecoder,
     ResF0NonAttentiveDecoder,
@@ -33,4 +35,10 @@ from ensemble_svs_with_interactions_tpu.models.acoustic.resf0 import (  # noqa: 
 )
 from ensemble_svs_with_interactions_tpu.models.acoustic.tacotron_f0 import (  # noqa: F401
     MDNResF0NonAttentiveDecoder,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.multistream import (  # noqa: F401
+    MultiTrackMultistreamSeparateF0ParametricModelv3,
+)
+from ensemble_svs_with_interactions_tpu.models.acoustic.npss import (  # noqa: F401
+    V2MultiTrackNPSSMDNMultistreamParametricModel,
 )

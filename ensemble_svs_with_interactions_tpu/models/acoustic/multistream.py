@@ -361,3 +361,16 @@ class MultistreamSeparateF0MelModel(BaseModel):
 # MDN-headed mel variant uses the same wrapper; the mel_model itself carries
 # the MDN head (reference multistream.py:2207 differs only in loss dispatch)
 MDNMultistreamSeparateF0MelModel = MultistreamSeparateF0MelModel
+
+
+class MultiTrackMultistreamSeparateF0ParametricModelv3(
+    MultiTrackMultistreamSeparateF0ParametricModel
+):
+    """Experimental variant (reference multistream.py:580).
+
+    In the reference, v3 differs from the base model only by building an
+    unused ``cat(encoder_outs_main, encoder_outs_sub)`` tensor (:747) while
+    the per-stream decoders still consume the main-track encoder output;
+    behaviorally it matches the base class, so it is kept as an alias for
+    config compatibility.
+    """

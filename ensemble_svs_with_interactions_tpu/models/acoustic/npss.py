@@ -256,3 +256,14 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
 
     def inference(self, x_main, x_sub, spks=None, lengths=None):
         return self(x_main, x_sub, spks, lengths)
+
+
+class V2MultiTrackNPSSMDNMultistreamParametricModel(
+    MultiTrackNPSSMDNMultistreamParametricModel
+):
+    """Experimental variant (reference multistream.py:1781): identical to
+    the base multitrack NPSS cascade except it always emits sub-track
+    predictions (no ``output_subtrack`` switch); kept as an alias with
+    ``output_subtrack=True`` for config compatibility."""
+
+    output_subtrack: bool = True

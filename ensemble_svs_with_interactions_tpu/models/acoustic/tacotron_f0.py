@@ -317,3 +317,72 @@ class MultiTrackBiLSTMResF0NonAttentiveDecoder(BaseModel):
 
     def inference(self, x_main, x_sub, spk_emb_main=None, spk_emb_sub=None, lengths=None):
         return self(x_main, x_sub, spk_emb_main, spk_emb_sub, lengths)[0]
+
+
+class BiLSTMNonAttentiveDecoder(BaseModel):
+    """Sinsy-like encoder + plain (non-ResF0) AR decoder
+    (reference nnsvs/acoustic_models/tacotron.py:118,312; the MDN variant
+    is selected with ``use_mdn``)."""
+
+    in_dim: int = 512
+    ff_hidden_dim: int = 2048
+    conv_hidden_dim: int = 1024
+    lstm_hidden_dim: int = 256
+    num_lstm_layers: int = 2
+    dropout: float = 0.0
+    out_dim: int = 80
+    decoder_layers: int = 2
+    decoder_hidden_dim: int = 1024
+    prenet_layers: int = 2
+    prenet_hidden_dim: int = 256
+    prenet_dropout: float = 0.5
+    zoneout: float = 0.1
+    reduction_factor: int = 1
+    downsample_by_conv: bool = False
+    in_lf0_idx: int = 300
+    use_mdn: bool = False
+    num_gaussians: int = 4
+    sampling_mode: str = "mean"
+    in_ph_start_idx: int = 1
+    in_ph_end_idx: int = 50
+    embed_dim: Optional[int] = None
+    init_type: str = "none"
+
+    def is_autoregressive(self) -> bool:
+        return True
+
+    def prediction_type(self):
+        return (
+            PredictionType.PROBABILISTIC
+            if self.use_mdn
+            else PredictionType.DETERMINISTIC
+        )
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, spk_embs=None, train: bool = False):
+        lf0_score = x[:, :, self.in_lf0_idx][..., None]
+        if self.embed_dim is not None:
+            x = PhonemeContextEmbedding(
+                self.in_dim, self.embed_dim, self.in_ph_start_idx, self.in_ph_end_idx
+            )(x)
+        if spk_embs is not None:
+            x = x + spk_embs
+        h = _SinsyEncoder(
+            self.ff_hidden_dim,
+            self.conv_hidden_dim,
+            self.lstm_hidden_dim,
+            self.num_lstm_layers,
+            self.dropout,
+            self.init_type,
+        )(x, [lf0_score], lengths, train=train)
+        outs, _ = ar_decode(self, h, y, train, residual_f0=False)
+        return outs
+
+    def inference(self, x, lengths=None, spk_embs=None):
+        return self(x, lengths, spk_embs=spk_embs)
+
+
+class BiLSTMMDNNonAttentiveDecoder(BiLSTMNonAttentiveDecoder):
+    """MDN-headed variant (reference tacotron.py:312)."""
+
+    use_mdn: bool = True

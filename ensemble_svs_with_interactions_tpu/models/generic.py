@@ -803,3 +803,11 @@ class TransformerEncoder(BaseModel):
             )(h, mask, train=train)
         out = nn.Dense(self.out_dim * r)(h)
         return out.reshape(B, -1, self.out_dim)
+
+
+class Conv1dResnetMDN(Conv1dResnet):
+    """Conv1dResnet with an MDN head (reference nnsvs/model.py:701 —
+    deprecated there in favor of Conv1dResnet(use_mdn=True); kept for
+    config compatibility)."""
+
+    use_mdn: bool = True

@@ -1,4 +1,12 @@
+from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (  # noqa: F401
+    CheapTrickLayer,
+    source_regularization_loss,
+)
 from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (  # noqa: F401
+    CascadeHnUSFGANGenerator,
+    ParallelHnUSFGANGenerator,
+    PeriodicityEstimator,
+    PWGGenerator,
     SignalGenerator,
     USFGANGenerator,
     USFGANWrapper,

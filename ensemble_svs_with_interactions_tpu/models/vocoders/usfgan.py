@@ -353,3 +353,225 @@ class USFGANWrapper:
             self.variables, jnp.asarray(x), jnp.asarray(c), jnp.asarray(d)
         )
         return np.asarray(wav)[0, :, 0]
+
+
+class PWGGenerator(BaseModel):
+    """Parallel WaveGAN generator: non-causal WaveNet over upsampled
+    conditioning with a noise input (the external parallel_wavegan
+    generator the reference loads via nnsvs/util.py:377-458)."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    layers: int = 30
+    stacks: int = 3
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    aux_context_window: int = 2
+    kernel_size: int = 3
+    upsample_scales: tuple = (5, 4, 3, 2)
+
+    @nn.compact
+    def __call__(self, x, c, train: bool = False):
+        """x: (B, T, 1) noise; c: (B, T', aux) -> (B, T, 1) waveform."""
+        c_up = _ConvInUpsampleNetwork(
+            list(self.upsample_scales), self.aux_channels,
+            self.aux_context_window, name="upsample",
+        )(c)
+        assert c_up.shape[1] == x.shape[1]
+        h = nn.Conv(self.residual_channels, (1,), name="conv_first")(x)
+        layers_per_stack = self.layers // self.stacks
+        skips = 0.0
+        for layer in range(self.layers):
+            dilation = 2 ** (layer % layers_per_stack)
+            h, s = _FixedBlock(
+                self.residual_channels,
+                self.gate_channels,
+                self.skip_channels,
+                self.aux_channels,
+                kernel_size=self.kernel_size,
+                dilation=dilation,
+                name=f"block{layer}",
+            )(h, c_up)
+            skips = skips + s
+        skips = skips * math.sqrt(1.0 / self.layers)
+        out = nn.relu(skips)
+        out = nn.relu(nn.Conv(self.skip_channels, (1,), name="conv_out1")(out))
+        return nn.Conv(self.out_channels, (1,), name="conv_out2")(out)
+
+    def inference(self, c, key=None):
+        """Frame features -> waveform (noise input generated internally)."""
+        T = c.shape[0] if c.ndim == 2 else c.shape[1]
+        up = int(np.prod(self.upsample_scales))
+        if c.ndim == 2:
+            c = c[None]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (c.shape[0], c.shape[1] * up, 1))
+        return self(x, c)[..., 0]
+
+
+class PeriodicityEstimator(nn.Module):
+    """Conv stack estimating per-sample periodicity gates in [0, 1]
+    (reference nnsvs/usfgan/layers/residual_block.py:339-399: replicate
+    padding, final conv with tiny-std init so gates start near 0.5)."""
+
+    out_channels: int = 64
+    conv_layers: int = 3
+    kernel_size: int = 5
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, c):
+        h = c
+        pad = self.kernel_size // 2 * self.dilation
+        for idx in range(self.conv_layers):
+            last = idx == self.conv_layers - 1
+            h = jnp.pad(h, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+            h = nn.Conv(
+                self.out_channels,
+                (self.kernel_size,),
+                kernel_dilation=(self.dilation,),
+                padding="VALID",
+                kernel_init=(
+                    nn.initializers.normal(stddev=1e-4)
+                    if last
+                    else nn.initializers.lecun_normal()
+                ),
+                name=f"conv{idx}",
+            )(h)
+            h = jax.nn.sigmoid(h) if last else nn.relu(h)
+        return h
+
+
+class _HnUSFGANBase(BaseModel):
+    """Shared harmonic-plus-noise uSFGAN machinery (reference
+    nnsvs/usfgan/models/generator.py:169-550).  Sub-networks operate on a
+    skip-channel latent; 1x1 convs bridge back to residual channels
+    between networks (the reference relies on residual==skip width)."""
+
+    harmonic_network_params: dict = None
+    noise_network_params: dict = None
+    filter_network_params: dict = None
+    periodicity_estimator_params: dict = None
+    in_channels: int = 1
+    out_channels: int = 1
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    aux_context_window: int = 2
+    upsample_params: dict = None
+
+    _CASCADE = False
+
+    def _defaults(self):
+        harm = dict(
+            self.harmonic_network_params
+            or {"blockA": 20, "cycleA": 4, "blockF": 0, "cycleF": 0, "cascade_mode": 0}
+        )
+        noise = dict(
+            self.noise_network_params
+            or {"blockA": 0, "cycleA": 0, "blockF": 5, "cycleF": 5, "cascade_mode": 0}
+        )
+        filt = dict(
+            self.filter_network_params
+            or {"blockA": 0, "cycleA": 0, "blockF": 30, "cycleF": 3, "cascade_mode": 0}
+        )
+        pest = dict(
+            self.periodicity_estimator_params
+            or {"conv_layers": 3, "kernel_size": 5, "dilation": 1}
+        )
+        ups = dict(self.upsample_params or {"upsample_scales": [5, 4, 3, 2]})
+        return harm, noise, filt, pest, ups
+
+    @nn.compact
+    def __call__(self, x, c, d, train: bool = False):
+        """x: (B, T, 2) stacked [sine, noise] excitations; c: (B, T', aux);
+        d: (B, T) pitch-dependent dilation factors.
+
+        Returns (waveform, source_signal, harmonic_dbg, noise_dbg, gates)
+        — the reference's 5-tuple; the dbg branches are stop-gradient.
+        """
+        harm, noise_p, filt, pest, ups = self._defaults()
+        common = dict(
+            residual_channels=self.residual_channels,
+            gate_channels=self.gate_channels,
+            skip_channels=self.skip_channels,
+            aux_channels=self.aux_channels,
+        )
+
+        c_up = _ConvInUpsampleNetwork(
+            ups["upsample_scales"], self.aux_channels, self.aux_context_window,
+            name="upsample",
+        )(c)
+        assert c_up.shape[1] == x.shape[1], (c_up.shape, x.shape)
+
+        a = PeriodicityEstimator(
+            out_channels=self.skip_channels,
+            conv_layers=int(pest.get("conv_layers", pest.get("conv_blocks", 3))),
+            kernel_size=int(pest.get("kernel_size", 5)),
+            dilation=int(pest.get("dilation", 1)),
+            name="periodicity_estimator",
+        )(c_up)
+
+        sine, noise_in = jnp.split(x, 2, axis=-1)
+        h = nn.Conv(self.residual_channels, (1,), name="conv_first_sine")(sine)
+        n = nn.Conv(self.residual_channels, (1,), name="conv_first_noise")(noise_in)
+
+        h = _ResidualBlocks(**harm, **common, name="harmonic_network")(h, c_up, d)
+        if self._CASCADE:
+            h = a * h
+            n = nn.Conv(self.residual_channels, (1,), name="conv_merge")(
+                jnp.concatenate([h, n], axis=-1)
+            )
+            n = _ResidualBlocks(**noise_p, **common, name="noise_network")(
+                n, c_up, d
+            )
+            n = (1.0 - a) * n
+        else:
+            n = nn.Conv(self.residual_channels, (1,), name="conv_noise_proj")(n)
+            n = _ResidualBlocks(**noise_p, **common, name="noise_network")(
+                n, c_up, d
+            )
+            h = a * h
+            n = (1.0 - a) * n
+        s_latent = h + n
+
+        x_out = nn.Conv(self.residual_channels, (1,), name="conv_filter_in")(
+            s_latent
+        )
+        x_out = _ResidualBlocks(**filt, **common, name="filter_network")(
+            x_out, c_up, d
+        )
+
+        # one shared output head for all four branches (generator.py:273-277)
+        last_mid = nn.Conv(self.skip_channels, (1,), name="last_mid")
+        last_out = nn.Conv(self.out_channels, (1,), name="last_out")
+
+        def conv_last(z):
+            return last_out(nn.relu(last_mid(nn.relu(z))))
+
+        wav = conv_last(x_out)
+        src = conv_last(s_latent)
+        h_dbg = conv_last(jax.lax.stop_gradient(h))
+        n_dbg = conv_last(jax.lax.stop_gradient(n))
+        return wav, src, h_dbg, n_dbg, a
+
+    def inference(self, x, c, d):
+        return self(x, c, d)[0]
+
+
+class CascadeHnUSFGANGenerator(_HnUSFGANBase):
+    """Cascade hn-uSFGAN: the gated harmonic latent feeds the noise
+    network through a merge conv (generator.py:169-338)."""
+
+    _CASCADE = True
+
+
+class ParallelHnUSFGANGenerator(_HnUSFGANBase):
+    """Parallel hn-uSFGAN: harmonic and noise networks run independently
+    and are mixed by the periodicity gates (generator.py:359-550)."""
+
+    _CASCADE = False

@@ -28,6 +28,7 @@ from ensemble_svs_with_interactions_tpu.train.loop import (
     TrainState,
 )
 from ensemble_svs_with_interactions_tpu.train.multitrack import (
+    _stream_to_point,
     create_multitrack_acoustic_train_step,
     create_multitrack_timing_train_step,
     interaction_weight,
@@ -168,8 +169,13 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                 else:
                     if is_acoustic:
                         metrics, pred_main = eval_step(state, sharded, weights)
-                        if out_scaler is not None and not isinstance(
-                            pred_main, (tuple, list)
+                        if isinstance(pred_main, (tuple, list)):
+                            # per-stream predictions (MDN streams -> mu)
+                            pred_main = jnp.concatenate(
+                                [_stream_to_point(p) for p in pred_main], axis=-1
+                            )
+                        if out_scaler is not None and pred_main.shape[-1] == sum(
+                            config.model.stream_sizes
                         ):
                             dist = M.compute_distortions(
                                 pred_main,
@@ -181,6 +187,24 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                                 int(config.model.num_windows),
                             )
                             metrics = {**metrics, **dist}
+                            if config.train.get("eval_render", False):
+                                from ensemble_svs_with_interactions_tpu.train.eval_render import (  # noqa: E501
+                                    render_eval_outputs,
+                                )
+
+                                render_eval_outputs(
+                                    out_dir,
+                                    epoch,
+                                    np.asarray(pred_main),
+                                    batch["out_feats0"],
+                                    batch["lengths"],
+                                    out_scaler,
+                                    list(config.model.stream_sizes),
+                                    list(config.model.has_dynamic_features),
+                                    int(config.model.num_windows),
+                                    int(config.data.get("sample_rate", 48000)),
+                                    writer=writer,
+                                )
                     else:
                         metrics = eval_step(state, sharded)
                 for k, v in metrics.items():

@@ -122,3 +122,43 @@ def test_resf0_transformer_encoder():
     assert res.shape == (B, T, 1)
     out = model.apply(v, x, lengths, method="inference")
     assert out.shape == (B, T, 5)
+
+
+def test_conv1d_resnet_mdn_alias():
+    from ensemble_svs_with_interactions_tpu.models import Conv1dResnetMDN
+    from ensemble_svs_with_interactions_tpu.base import PredictionType
+
+    m = Conv1dResnetMDN(in_dim=8, hidden_dim=8, out_dim=4, num_layers=1,
+                        num_gaussians=2)
+    assert m.prediction_type() == PredictionType.PROBABILISTIC
+    x = jnp.zeros((B, T, 8))
+    v = m.init(_rngs(), x, None, train=True)
+    mu, sigma = m.apply(v, x, method="inference")
+    assert mu.shape == (B, T, 4) and sigma.shape == (B, T, 4)
+
+
+@pytest.mark.parametrize("use_mdn", [False, True])
+def test_bilstm_nonattentive_decoder(use_mdn):
+    cls = (acoustic.BiLSTMMDNNonAttentiveDecoder if use_mdn
+           else acoustic.BiLSTMNonAttentiveDecoder)
+    dec = cls(
+        in_dim=8, ff_hidden_dim=8, conv_hidden_dim=8, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=3, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=0, reduction_factor=1, num_gaussians=2, in_lf0_idx=0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 8)),
+                    dtype=jnp.float32)
+    y = jnp.zeros((B, T, 3))
+    lengths = jnp.asarray([T, T - 4])
+    v = dec.init(_rngs(), x, lengths, y, train=True)
+    inf = dec.apply(
+        v, x, lengths, method="inference",
+        rngs={"prenet": jax.random.PRNGKey(7)},
+    )
+    if use_mdn:
+        mu, sigma = inf
+        assert mu.shape == (B, T, 3) and sigma.shape == (B, T, 3)
+        assert np.isfinite(np.asarray(mu)).all()
+    else:
+        assert inf.shape == (B, T, 3)
+        assert np.isfinite(np.asarray(inf)).all()

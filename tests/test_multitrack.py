@@ -327,6 +327,11 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
     )
 
     in_dir, out_dir = multitrack_dumps
+    D = 17
+    scaler_prefix = str(tmp_path / "out_acoustic_scaler")
+    np.save(f"{scaler_prefix}_mean.npy", np.zeros(D, np.float64))
+    np.save(f"{scaler_prefix}_var.npy", np.ones(D, np.float64))
+    np.save(f"{scaler_prefix}_scale.npy", np.ones(D, np.float64))
     cfg = _wrap(
         {
             "seed": 1,
@@ -337,6 +342,8 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
                 "spk_names": ["alto", "soprano"],
                 "batch_max_frames": 2000,
                 "time_multiple": 8,
+                "out_scaler_prefix": scaler_prefix,
+                "sample_rate": 24000,
             },
             "model": {
                 "netG": _tiny_multitrack_acoustic_netG(),
@@ -351,6 +358,7 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
                 "logf0_diff_weight": "exponential",
                 "mgc_diff_weight": 1.0,
                 "sub_require_grad": False,
+                "eval_render": True,
                 "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}}},
             },
         }
@@ -359,4 +367,8 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
     assert np.isfinite(metrics["Loss"])
     assert "Loss_LogF0_Interaction" in metrics
     assert "Loss_MGC-0th_Interaction" in metrics
+    assert "ObjEval_MGC_MCD" in metrics
     assert (tmp_path / "exp_mt_ac" / "best_loss.ckpt").exists()
+    # dev rendering produced parameter plots (and possibly wavs)
+    renders = list((tmp_path / "exp_mt_ac" / "eval").rglob("*_params.png"))
+    assert renders, "eval_render produced no plots"

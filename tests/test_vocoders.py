@@ -152,3 +152,90 @@ def test_vocoder_gan_step():
     state, metrics = step(state, batch)
     for k in ("Loss_G", "Loss_STFT_SC", "Loss_Adv", "Loss_D"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_pwg_generator():
+    from ensemble_svs_with_interactions_tpu.models.vocoders import PWGGenerator
+
+    g = PWGGenerator(layers=4, stacks=2, residual_channels=4,
+                     gate_channels=8, skip_channels=4, aux_channels=AUX,
+                     aux_context_window=0, upsample_scales=(4, 5))
+    Tf, up = 6, 20
+    c = jnp.zeros((1, Tf, AUX))
+    x = jnp.zeros((1, Tf * up, 1))
+    v = g.init(jax.random.PRNGKey(0), x, c)
+    wav = g.apply(v, x, c)
+    assert wav.shape == (1, Tf * up, 1)
+    wav_inf = g.apply(v, jnp.zeros((Tf, AUX)), method="inference",
+                      key=jax.random.PRNGKey(1))
+    assert wav_inf.shape == (1, Tf * up)
+    assert np.isfinite(np.asarray(wav_inf)).all()
+
+
+_HN_TINY = dict(
+    residual_channels=4, gate_channels=8, skip_channels=4, aux_channels=AUX,
+    aux_context_window=0,
+    harmonic_network_params={"blockA": 2, "cycleA": 1, "blockF": 0,
+                             "cycleF": 0, "cascade_mode": 0},
+    noise_network_params={"blockA": 0, "cycleA": 0, "blockF": 2,
+                          "cycleF": 1, "cascade_mode": 0},
+    filter_network_params={"blockA": 0, "cycleA": 0, "blockF": 2,
+                           "cycleF": 1, "cascade_mode": 0},
+    upsample_params={"upsample_scales": [4, 5]},
+)
+
+
+@pytest.mark.parametrize("cls_name", ["cascade", "parallel"])
+def test_hn_usfgan_generators(cls_name):
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        CascadeHnUSFGANGenerator,
+        ParallelHnUSFGANGenerator,
+    )
+
+    cls = (CascadeHnUSFGANGenerator if cls_name == "cascade"
+           else ParallelHnUSFGANGenerator)
+    g = cls(**_HN_TINY)
+    Tf, up = 6, 20
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, Tf * up, 2)),
+                    dtype=jnp.float32)
+    c = jnp.zeros((2, Tf, AUX))
+    d = jnp.ones((2, Tf * up))
+    v = g.init(jax.random.PRNGKey(0), x, c, d)
+    wav, src, h_dbg, n_dbg, a = g.apply(v, x, c, d)
+    assert wav.shape == src.shape == h_dbg.shape == n_dbg.shape == (2, Tf * up, 1)
+    assert a.shape == (2, Tf * up, 4)
+    assert ((a >= 0) & (a <= 1)).all()
+    # gates start near 0.5 (tiny-std init on the last periodicity conv)
+    assert np.abs(np.asarray(a).mean() - 0.5) < 0.05
+    inf = g.apply(v, x, c, d, method="inference")
+    assert inf.shape == (2, Tf * up, 1)
+    assert np.isfinite(np.asarray(inf)).all()
+
+
+def test_cheaptrick_layer_envelope():
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        CheapTrickLayer,
+        source_regularization_loss,
+    )
+
+    sr, hop, fft = 16000, 80, 1024
+    layer = CheapTrickLayer(sr, hop, fft, f0_floor=70, f0_ceil=340)
+    t = np.arange(sr // 4) / sr
+    f0_hz = 200.0
+    wav = np.sin(2 * np.pi * f0_hz * t).astype(np.float32)[None]
+    n_frames = wav.shape[1] // hop
+    f0 = np.full((1, n_frames), f0_hz, dtype=np.float32)
+    env = layer(jnp.asarray(wav), jnp.asarray(f0))
+    assert env.shape == (1, n_frames, fft // 2 + 1)
+    assert np.isfinite(np.asarray(env)).all()
+    # envelope of a pure tone peaks near its frequency, decays far away
+    mid = np.asarray(env)[0, n_frames // 2]
+    k = int(round(f0_hz * fft / sr))
+    assert mid[k] > mid[4 * k] + 1.0  # log-domain gap
+
+    # regularization loss is differentiable w.r.t. the waveform
+    grad = jax.grad(
+        lambda w: source_regularization_loss(layer, w, jnp.asarray(f0))
+    )(jnp.asarray(wav))
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).max() > 0
