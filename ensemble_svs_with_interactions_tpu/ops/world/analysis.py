@@ -69,6 +69,106 @@ def _gather_frames(x: np.ndarray, centers: np.ndarray, length: int) -> np.ndarra
 # --------------------------------------------------------------------------
 
 
+def _nccf_candidates(
+    x: np.ndarray,
+    fs: int,
+    centers: np.ndarray,
+    f0_floor: float,
+    f0_ceil: float,
+    n_candidates: int,
+):
+    """Top-K NCCF peaks per frame with parabolic lag refinement.
+
+    Returns (f0_cand (T, K), score (T, K), energy (T,)); missing
+    candidates have score 0 and f0 = f0_floor.
+    """
+    max_lag = int(fs / f0_floor)
+    win_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
+    frames = _gather_frames(x, centers, win_len)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+
+    spec = np.fft.rfft(frames, n=2 * win_len, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), axis=1)[:, : max_lag + 1]
+    r0 = np.maximum(ac[:, 0], _EPS)
+    nccf = ac / r0[:, None]
+
+    min_lag = max(2, int(fs / f0_ceil))
+    region = nccf[:, min_lag : max_lag + 1]
+
+    # local maxima mask (strictly above left, >= right)
+    left = np.pad(region[:, :-1], ((0, 0), (1, 0)), constant_values=-np.inf)
+    right = np.pad(region[:, 1:], ((0, 0), (0, 1)), constant_values=-np.inf)
+    is_peak = (region > left) & (region >= right)
+    peak_scores = np.where(is_peak, region, -np.inf)
+
+    T = region.shape[0]
+    K = n_candidates
+    order = np.argsort(peak_scores, axis=1)[:, ::-1][:, :K]  # best-first
+    score = np.take_along_axis(peak_scores, order, axis=1)
+    lag = order + min_lag
+
+    # parabolic interpolation per candidate
+    li = np.clip(lag, min_lag + 1, max_lag - 1)
+    rows = np.arange(T)[:, None]
+    ym1 = nccf[rows, li - 1]
+    y0 = nccf[rows, li]
+    yp1 = nccf[rows, li + 1]
+    denom = ym1 - 2 * y0 + yp1
+    delta = np.where(np.abs(denom) > _EPS, 0.5 * (ym1 - yp1) / denom, 0.0)
+    lag_refined = li + np.clip(delta, -1.0, 1.0)
+
+    f0_cand = fs / lag_refined
+    valid = np.isfinite(score)
+    score = np.where(valid, score, 0.0)
+    f0_cand = np.where(valid, f0_cand, f0_floor)
+    return f0_cand, np.clip(score, 0.0, 1.0), r0 / win_len
+
+
+def _viterbi_track(
+    f0_cand: np.ndarray,
+    score: np.ndarray,
+    voicing_threshold: float,
+    octave_cost: float = 0.35,
+    vuv_cost: float = 0.14,
+):
+    """RAPT-style dynamic-programming pitch tracking.
+
+    States per frame: K voiced candidates + 1 unvoiced.  Local cost is
+    ``1 - score`` for voiced and ``voicing_threshold`` for unvoiced (so
+    unvoiced wins when every candidate correlates worse than the
+    threshold); transitions pay ``octave_cost`` per octave of pitch jump
+    and ``vuv_cost`` for voicing flips.  Returns f0 with 0 at unvoiced.
+    """
+    T, K = f0_cand.shape
+    lf0 = np.log2(np.maximum(f0_cand, _EPS))
+    local = np.concatenate(
+        [1.0 - score, np.full((T, 1), 1.0 - voicing_threshold)], axis=1
+    )
+
+    cost = local[0].copy()
+    back = np.zeros((T, K + 1), np.int32)
+    for t in range(1, T):
+        # voiced->voiced transition matrix (K+1, K+1): octave distance
+        d = np.abs(lf0[t - 1][:, None] - lf0[t][None, :]) * octave_cost
+        trans = np.empty((K + 1, K + 1))
+        trans[:K, :K] = d
+        trans[K, :K] = vuv_cost  # unvoiced -> voiced
+        trans[:K, K] = vuv_cost  # voiced -> unvoiced
+        trans[K, K] = 0.0
+        total = cost[:, None] + trans
+        back[t] = np.argmin(total, axis=0)
+        cost = total[back[t], np.arange(K + 1)] + local[t]
+
+    path = np.zeros(T, np.int32)
+    path[-1] = int(np.argmin(cost))
+    for t in range(T - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+
+    voiced = path < K
+    f0 = np.where(voiced, f0_cand[np.arange(T), np.minimum(path, K - 1)], 0.0)
+    return f0
+
+
 def dio(
     x: np.ndarray,
     fs: int,
@@ -76,8 +176,14 @@ def dio(
     f0_floor: float = 71.0,
     f0_ceil: float = 800.0,
     voicing_threshold: float = 0.55,
+    n_candidates: int = 5,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Estimate F0 with frame-level normalized autocorrelation.
+    """Estimate F0 with normalized autocorrelation + Viterbi tracking.
+
+    Top-``n_candidates`` NCCF peaks per frame feed a RAPT-style DP that
+    trades correlation strength against pitch-jump and voicing-flip
+    costs — the contour-selection role of WORLD's dio/harvest candidate
+    connection, redesigned around a vectorized NCCF front end.
 
     Returns (f0, temporal_positions); f0 is 0 at unvoiced frames.
     """
@@ -85,37 +191,13 @@ def dio(
     t = _frame_positions(len(x), fs, frame_period)
     centers = np.rint(t * fs).astype(np.int64)
 
-    max_lag = int(fs / f0_floor)
-    win_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
-    frames = _gather_frames(x, centers, win_len)
-    frames = frames - frames.mean(axis=1, keepdims=True)
+    f0_cand, score, energy = _nccf_candidates(
+        x, fs, centers, f0_floor, f0_ceil, n_candidates
+    )
+    score = np.where(energy[:, None] > 1e-8, score, 0.0)
+    f0 = _viterbi_track(f0_cand, score, voicing_threshold)
 
-    # autocorrelation via FFT
-    spec = np.fft.rfft(frames, n=2 * win_len, axis=1)
-    ac = np.fft.irfft(spec * np.conj(spec), axis=1)[:, : max_lag + 1]
-    r0 = np.maximum(ac[:, 0], _EPS)
-
-    min_lag = max(2, int(fs / f0_ceil))
-    lag_slice = ac[:, min_lag : max_lag + 1] / r0[:, None]
-    best = np.argmax(lag_slice, axis=1) + min_lag
-    peak = lag_slice[np.arange(len(best)), best - min_lag]
-
-    # parabolic interpolation around the peak
-    li = np.clip(best, min_lag + 1, max_lag - 1)
-    ym1 = ac[np.arange(len(li)), li - 1] / r0
-    y0 = ac[np.arange(len(li)), li] / r0
-    yp1 = ac[np.arange(len(li)), li + 1] / r0
-    denom = ym1 - 2 * y0 + yp1
-    delta = np.where(np.abs(denom) > _EPS, 0.5 * (ym1 - yp1) / denom, 0.0)
-    delta = np.clip(delta, -1.0, 1.0)
-    lag_refined = li + delta
-
-    f0 = fs / lag_refined
-    energy = r0 / win_len
-    voiced = (peak > voicing_threshold) & (energy > 1e-8)
-    f0 = np.where(voiced, f0, 0.0)
-
-    # octave-error suppression: median filter on voiced log-f0
+    # residual octave-error suppression: median filter on voiced log-f0
     lf0 = np.where(f0 > 0, np.log(np.maximum(f0, _EPS)), 0.0)
     med = median_filter(lf0, size=5, mode="nearest")
     bad = (f0 > 0) & (np.abs(lf0 - med) > np.log(1.8)) & (med > 0)

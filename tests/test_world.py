@@ -191,3 +191,31 @@ def test_copy_synthesis_preserves_f0_and_energy():
         10 * np.log10(p_out[sel] + 1e-12) - 10 * np.log10(p_in[sel] + 1e-12)
     )
     assert np.median(db_err) < 6.0
+
+
+def test_f0_viterbi_rejects_octave_errors():
+    """A dominant 2nd harmonic must not pull the tracker an octave up."""
+    from ensemble_svs_with_interactions_tpu.ops.world.analysis import harvest
+
+    fs = 24000
+    t = np.arange(int(1.5 * fs)) / fs
+    f0_true = 220 * 2 ** (0.3 * np.sin(2 * np.pi * 5.5 * t) / 12)
+    phase = 2 * np.pi * np.cumsum(f0_true) / fs
+    x = 0.4 * np.sin(phase) + 0.55 * np.sin(2 * phase) + 0.25 * np.sin(3 * phase)
+    rng = np.random.default_rng(0)
+    x += 0.01 * rng.standard_normal(len(x))
+    x[: fs // 4] = 0.003 * rng.standard_normal(fs // 4)
+
+    f0, tpos = harvest(x, fs)
+    true_at = np.interp(tpos, t, f0_true)
+    n = len(f0)
+    mid = slice(int(0.4 * n), int(0.8 * n))
+    v = f0[mid] > 0
+    assert v.mean() > 0.95
+    err_cents = 1200 * np.abs(
+        np.log2(np.maximum(f0[mid][v], 1) / true_at[mid][v])
+    )
+    assert np.median(err_cents) < 10
+    assert (err_cents > 600).mean() == 0.0  # no octave errors
+    # leading silence stays unvoiced
+    assert (f0[: int(0.1 * n)] > 0).mean() < 0.1
