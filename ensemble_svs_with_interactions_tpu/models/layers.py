@@ -98,8 +98,15 @@ class _MaskedLSTMLayer(nn.Module):
         B = x.shape[0]
         cell = nn.OptimizedLSTMCell(self.hidden_dim)
 
+        import os
+
+        # The pallas recurrence measured ~1.7x SLOWER end-to-end than XLA's
+        # fused scan on the v5e ensemble bench (RTF 0.094 vs 0.057) — XLA
+        # pipelines the per-step matmuls better at these sizes.  Keep the
+        # kernel opt-in for larger hidden sizes / future tuning.
         use_pallas = (
-            jax.default_backend() != "cpu"
+            os.environ.get("ESVS_ENABLE_PALLAS_LSTM")
+            and jax.default_backend() != "cpu"
             and x.shape[1] % 128 == 0
             # pallas block must fit VMEM: xw chunk + y chunk + weights
             and B * 128 * 4 * self.hidden_dim * 4 < 6 * 1024 * 1024

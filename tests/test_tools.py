@@ -157,3 +157,86 @@ def test_enunu2nnsvs(tmp_path):
     cfg = yaml.safe_load((out / "config.yaml").read_text())
     assert cfg["sample_rate"] == 48000
     assert cfg["timelag"]["allowed_range"] == [-20, 20]
+
+
+def test_sweep_sampling():
+    from ensemble_svs_with_interactions_tpu.bin.sweep import sample_trials
+
+    spec = {
+        "mode": "grid",
+        "params": {"a": [1, 2], "b": ["x", "y", "z"]},
+    }
+    trials = list(sample_trials(spec))
+    assert len(trials) == 6
+    assert {"a": 2, "b": "z"} in trials
+
+    spec = {
+        "mode": "random",
+        "n_trials": 5,
+        "seed": 3,
+        "params": {
+            "lr": {"low": 1e-4, "high": 1e-1, "log": True},
+            "dim": {"low": 8, "high": 64, "int": True},
+            "act": ["relu", "gelu"],
+        },
+    }
+    trials = list(sample_trials(spec))
+    assert len(trials) == 5
+    for t in trials:
+        assert 1e-4 <= t["lr"] <= 1e-1
+        assert isinstance(t["dim"], int) and 8 <= t["dim"] <= 64
+        assert t["act"] in ("relu", "gelu")
+
+
+def test_sweep_grid_training(tmp_path):
+    import yaml
+
+    from ensemble_svs_with_interactions_tpu.bin.sweep import run_sweep
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap
+
+    rng = np.random.default_rng(0)
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir(), out_dir.mkdir()
+    W = rng.normal(size=(8, 3)) * 0.5
+    for i in range(6):
+        x = rng.normal(size=(30, 8)).astype(np.float32)
+        np.save(in_dir / f"u{i}-feats.npy", x)
+        np.save(out_dir / f"u{i}-feats.npy", (x @ W).astype(np.float32))
+
+    base = _wrap(
+        {
+            "seed": 1,
+            "verbose": 0,
+            "data": {
+                "train_no_dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "batch_max_frames": 400,
+                "time_multiple": 16,
+            },
+            "model": {
+                "netG": {
+                    "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+                    "in_dim": 8,
+                    "hidden_dim": 8,
+                    "out_dim": 3,
+                    "num_layers": 1,
+                },
+                "stream_sizes": [3],
+                "has_dynamic_features": [False],
+                "num_windows": 1,
+            },
+            "train": {
+                "out_dir": str(tmp_path / "exp"),
+                "nepochs": 1,
+                "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.01}}},
+            },
+        }
+    )
+    spec = {"mode": "grid", "params": {"train.optim.optimizer.params.lr": [0.03, 0.001]}}
+    loss, idx, params = run_sweep(base, spec, multitrack=False, acoustic=False)
+    assert idx in (0, 1)
+    assert np.isfinite(loss)
+    results = (tmp_path / "exp" / "sweep_results.jsonl").read_text().splitlines()
+    assert len(results) == 2
+    best = yaml.safe_load((tmp_path / "exp" / "best_trial.yaml").read_text())
+    assert best["trial"] == idx
