@@ -905,7 +905,10 @@ def predict_waveform(
             voc_in = np.concatenate([mgc, lf0, vuv_bin, bap], axis=-1)
         else:
             voc_in = np.concatenate([mel, lf0, vuv_bin], axis=-1)
-        voc_in = np.asarray(vocoder_in_scaler.transform(voc_in), dtype=np.float32)
+        if vocoder_in_scaler is not None:
+            voc_in = np.asarray(
+                vocoder_in_scaler.transform(voc_in), dtype=np.float32
+            )
         return np.asarray(vocoder.inference(voc_in)).reshape(-1)
     elif vocoder_type == "usfgan":
         # source-filter vocoder: sine source from F0 + [mgc, bap] aux feats

@@ -93,6 +93,91 @@ def _load_variables(module, config, params_path: Path):
         return serialization.from_bytes(template, f.read())
 
 
+def load_vocoder(model_dir, sample_rate: int, frame_period: float = 5.0):
+    """Load a packed neural vocoder (reference nnsvs/util.py:377-458).
+
+    Reads ``vocoder_model.yaml`` + ``vocoder_model.params`` from
+    ``model_dir`` and returns ``(vocoder, in_scaler, vocoder_type)``:
+    uSFGAN-family generators come back as a :class:`USFGANWrapper`
+    (type "usfgan"); other generators (PWG/WaveNet-like, taking frame
+    features) as a jitted pack with ``.inference`` (type "pwg").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    model_dir = Path(model_dir)
+    cfg = load_config(model_dir / "vocoder_model.yaml")
+    module = instantiate(cfg.netG)
+    name = type(module).__name__
+    hop_size = int(sample_rate * frame_period / 1000.0)
+
+    in_scaler = None
+    if (model_dir / "in_vocoder_scaler_mean.npy").exists():
+        in_scaler = StandardScaler(
+            np.load(model_dir / "in_vocoder_scaler_mean.npy"),
+            np.load(model_dir / "in_vocoder_scaler_var.npy"),
+            np.load(model_dir / "in_vocoder_scaler_scale.npy"),
+        )
+
+    if "USFGAN" in name:
+        from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (
+            USFGANWrapper,
+        )
+
+        signal_types = tuple(
+            cfg.get("signal_types", ["sine", "noise"] if "Hn" in name else ["sine"])
+        )
+        ups = dict(cfg.netG.get("upsample_params") or {"upsample_scales": [5, 4, 3, 2]})
+        up = int(np.prod(ups["upsample_scales"]))
+        aux = int(cfg.netG.get("aux_channels", 80))
+        Tf = 4
+        x = jnp.zeros((1, Tf * up, len(signal_types)), jnp.float32)
+        c = jnp.zeros((1, Tf, aux), jnp.float32)
+        d = jnp.ones((1, Tf * up), jnp.float32)
+        template = module.init(jax.random.PRNGKey(0), x, c, d)
+        with open(model_dir / "vocoder_model.params", "rb") as f:
+            variables = serialization.from_bytes(template, f.read())
+        wrapper = USFGANWrapper(
+            module,
+            jax.device_put(variables),
+            sample_rate=sample_rate,
+            hop_size=hop_size,
+            sine_amp=float(cfg.get("sine_amp", 0.1)),
+            noise_amp=float(cfg.get("noise_amp", 0.003)),
+            signal_types=signal_types,
+            dense_factor=int(cfg.get("dense_factor", 4)),
+            sine_f0_type=str(cfg.get("sine_f0_type", "contf0")),
+        )
+        return wrapper, in_scaler, "usfgan"
+
+    # frame-features -> waveform generators (PWG-style inference(c))
+    in_dim = int(cfg.netG.get("aux_channels", cfg.netG.get("in_dim", 80)))
+    c = jnp.zeros((1, 8, in_dim), jnp.float32)
+    if name == "PWGGenerator":
+        ups = cfg.netG.get("upsample_scales") or [5, 4, 3, 2]
+        up = int(np.prod(list(ups)))
+        x = jnp.zeros((1, 8 * up, 1), jnp.float32)
+        template = module.init(jax.random.PRNGKey(0), x, c)
+    else:
+        template = module.init(jax.random.PRNGKey(0), c)
+    with open(model_dir / "vocoder_model.params", "rb") as f:
+        variables = serialization.from_bytes(template, f.read())
+    variables = jax.device_put(variables)
+
+    class _Pack:
+        def __init__(self, module, variables):
+            self.module = module
+            self.variables = variables
+            self._jit = jax.jit(
+                lambda v, c: module.apply(v, c, method="inference")
+            )
+
+        def inference(self, c):
+            return self._jit(self.variables, jnp.asarray(np.asarray(c)[None]))[0]
+
+    return _Pack(module, variables), in_scaler, "pwg"
+
+
 class BaseSVS:
     """All SVS engines accept HTS labels and return (waveform, sr)."""
 
@@ -144,6 +229,17 @@ class SPSVS(BaseSVS):
         else:
             self.postfilter_model = None
             self.postfilter_out_scaler = None
+
+        # optional packed neural vocoder (reference svs.py loads
+        # vocoder_model.pth via util.load_vocoder)
+        if (model_dir / "vocoder_model.yaml").exists():
+            self.vocoder, self.vocoder_in_scaler, self.default_vocoder_type = (
+                load_vocoder(model_dir, self.sample_rate, self.frame_period)
+            )
+        else:
+            self.vocoder = None
+            self.vocoder_in_scaler = None
+            self.default_vocoder_type = "world"
 
     # ------------------------------------------------------------- loading
     def _load_model(self, phase: str, bucket: int = gen.FRAME_BUCKET) -> gen.ModelPack:
@@ -212,6 +308,11 @@ class SPSVS(BaseSVS):
         )
 
     def predict_waveform(self, multistream_features, vocoder_type="world", **kw):
+        if vocoder_type == "auto":
+            vocoder_type = self.default_vocoder_type
+        if vocoder_type in ("pwg", "usfgan"):
+            kw.setdefault("vocoder", self.vocoder)
+            kw.setdefault("vocoder_in_scaler", self.vocoder_in_scaler)
         return gen.predict_waveform(
             multistream_features,
             sample_rate=self.sample_rate,

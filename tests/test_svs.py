@@ -207,3 +207,60 @@ def test_postprocess_duration_mdn_fallback():
         np.asarray(out.end_times) - np.asarray(out.start_times)
     ) // shift
     assert (durs > 0).all()
+
+
+def test_svs_with_packed_neural_vocoder(tmp_path):
+    """Pack a tiny uSFGAN vocoder next to the SVS models; SPSVS must load
+    it and synthesize with vocoder_type='auto' -> 'usfgan'."""
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate, _wrap
+    from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
+    from tests.util import build_tiny_packed_model
+
+    model_dir = tmp_path / "packed"
+    build_tiny_packed_model(model_dir, sr=24000, mgc_dim=8, bap_dim=3)
+
+    # frame_period=5ms @ 24kHz -> hop 120 = 4*5*6 upsampling
+    voc_cfg = {
+        "netG": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.USFGANGenerator",
+            "in_channels": 1,
+            "aux_channels": 8 + 3,  # mgc + bap
+            "residual_channels": 4,
+            "gate_channels": 8,
+            "skip_channels": 4,
+            "aux_context_window": 0,
+            "source_network_params": {
+                "blockA": 1, "cycleA": 1, "blockF": 0, "cycleF": 0,
+                "cascade_mode": 0,
+            },
+            "filter_network_params": {
+                "blockA": 0, "cycleA": 0, "blockF": 1, "cycleF": 1,
+                "cascade_mode": 0,
+            },
+            "upsample_params": {"upsample_scales": [4, 5, 6]},
+        },
+        "signal_types": ["sine"],
+    }
+    module = instantiate(_wrap(voc_cfg["netG"]))
+    Tf, up = 4, 120
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, Tf * up, 1)),
+        jnp.zeros((1, Tf, 11)),
+        jnp.ones((1, Tf * up)),
+    )
+    save_model_phase(model_dir, "vocoder", voc_cfg, variables)
+
+    engine = SPSVS(model_dir)
+    assert engine.vocoder is not None
+    assert engine.default_vocoder_type == "usfgan"
+    labels = hts.load(
+        "/root/reference/tests/data/nitech_jp_song070_f001_004.lab"
+    )[:12]
+    wav, sr = engine.svs(labels, vocoder_type="auto")
+    assert sr == 24000
+    assert len(wav) > 1000
+    assert np.isfinite(np.asarray(wav, dtype=np.float64)).all()
