@@ -434,41 +434,50 @@ class SPSVS(BaseSVS):
             frame_period=self.frame_period,
         )
 
-        # batched acoustic inference
+        # batched acoustic inference; per-track host-side feature prep is
+        # numpy-heavy, so thread it across tracks
+        from concurrent.futures import ThreadPoolExecutor
+
         hts_frame_shift = int(self.frame_period * 1e4)
-        feats = []
         for lab in duration_modified:
             lab.frame_shift = hts_frame_shift
-            feats.append(
-                gen._prepare_linguistic_features(
-                    lab,
-                    self.binary_dict,
-                    self.numeric_dict,
-                    self.in_acoustic_scaler,
-                    self.pitch_indices,
-                    True,
-                    "coarse_coding",
-                    True,
-                    False,
-                    hts_frame_shift,
-                )
+
+        def _feat(lab):
+            return gen._prepare_linguistic_features(
+                lab,
+                self.binary_dict,
+                self.numeric_dict,
+                self.in_acoustic_scaler,
+                self.pitch_indices,
+                True,
+                "coarse_coding",
+                True,
+                False,
+                hts_frame_shift,
             )
+
+        with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
+            feats = list(ex.map(_feat, duration_modified))
+        t_timing = time.time()
         preds = self.acoustic_model.inference_batch(feats)
+        t_acoustic = time.time()
         is_prob = self.acoustic_model.prediction_type().name in (
             "PROBABILISTIC",
             "MULTISTREAM_HYBRID",
         )
-        streams_list = []
-        for lab, pred in zip(duration_modified, preds):
+        def _post(lab_pred):
+            lab, pred = lab_pred
             acoustic = gen._denorm_and_mlpg(
                 pred, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
             )
-            streams_list.append(
-                self.postprocess_acoustic(
-                    acoustic, lab, post_filter_type=post_filter_type
-                )
+            return self.postprocess_acoustic(
+                acoustic, lab, post_filter_type=post_filter_type
             )
 
+        with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
+            streams_list = list(ex.map(_post, zip(duration_modified, preds)))
+
+        t_post = time.time()
         # batched vocoder
         if vocoder_type == "world" and self.config.get("use_world_codec", True):
             T_max = max(len(s[0]) for s in streams_list)
@@ -533,6 +542,14 @@ class SPSVS(BaseSVS):
         total = time.time() - start
         dur = max(len(w) for w in outs) / self.sample_rate
         self.last_rtf = total / dur
+        self.logger.info(
+            "ensemble stages: timing+feats %.3fs, acoustic %.3fs, "
+            "postproc %.3fs, vocoder %.3fs",
+            t_timing - start,
+            t_acoustic - t_timing,
+            t_post - t_acoustic,
+            time.time() - t_post,
+        )
         self.logger.info(
             "ensemble: %d parts, %.2f s audio, total %.3f s, RTF %.4f",
             len(outs), dur, total, self.last_rtf,
