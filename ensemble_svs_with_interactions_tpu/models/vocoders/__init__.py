@@ -19,6 +19,7 @@ from ensemble_svs_with_interactions_tpu.models.vocoders.discriminators import ( 
     HiFiGANPeriodDiscriminator,
     HiFiGANScaleDiscriminator,
     PWGDiscriminator,
+    UnivNetMultiResolutionMultiPeriodDiscriminator,
     UnivNetMultiResolutionSpectralDiscriminator,
     UnivNetSpectralDiscriminator,
 )

@@ -214,3 +214,29 @@ class UnivNetMultiResolutionSpectralDiscriminator(BaseModel):
                 zip(self.fft_sizes, self.hop_sizes, self.win_lengths)
             )
         ]
+
+
+class UnivNetMultiResolutionMultiPeriodDiscriminator(BaseModel):
+    """Combined multi-resolution spectral + multi-period discriminator
+    (reference usfgan/models/discriminator.py:901)."""
+
+    fft_sizes: Sequence[int] = (1024, 2048, 512)
+    hop_sizes: Sequence[int] = (120, 240, 50)
+    win_lengths: Sequence[int] = (600, 1200, 240)
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    period_channels: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = UnivNetMultiResolutionSpectralDiscriminator(
+            fft_sizes=tuple(self.fft_sizes),
+            hop_sizes=tuple(self.hop_sizes),
+            win_lengths=tuple(self.win_lengths),
+            name="spectral",
+        )(x)
+        outs += HiFiGANMultiPeriodDiscriminator(
+            periods=tuple(self.periods),
+            channels=self.period_channels,
+            name="period",
+        )(x)
+        return outs

@@ -11,6 +11,7 @@ from ensemble_svs_with_interactions_tpu.models.vocoders import (
     HiFiGANMultiScaleMultiPeriodDiscriminator,
     PWGDiscriminator,
     SignalGenerator,
+    UnivNetMultiResolutionMultiPeriodDiscriminator,
     UnivNetMultiResolutionSpectralDiscriminator,
     USFGANGenerator,
     USFGANWrapper,
@@ -101,6 +102,9 @@ def test_usfgan_wrapper_inference():
         (HiFiGANMultiPeriodDiscriminator, {"periods": (2, 3), "channels": 4}),
         (UnivNetMultiResolutionSpectralDiscriminator,
          {"fft_sizes": (256,), "hop_sizes": (64,), "win_lengths": (128,)}),
+        (UnivNetMultiResolutionMultiPeriodDiscriminator,
+         {"fft_sizes": (256,), "hop_sizes": (64,), "win_lengths": (128,),
+          "periods": (2, 3), "period_channels": 4}),
     ],
 )
 def test_vocoder_discriminators(cls, kwargs):
