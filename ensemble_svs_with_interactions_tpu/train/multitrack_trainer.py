@@ -64,6 +64,12 @@ def _init_multitrack_variables(module, config, acoustic: bool, seed: int = 0):
 def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float]:
     logger = getLogger(verbose=config.get("verbose", 1), name="train_mt")
     init_seed(int(config.get("seed", 1234)))
+    if config.train.get("use_detect_anomaly", False):
+        from ensemble_svs_with_interactions_tpu.utils.profiling import (
+            enable_detect_anomaly,
+        )
+
+        enable_detect_anomaly()
     mesh = make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
 

@@ -81,6 +81,12 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     """
     logger = getLogger(verbose=config.get("verbose", 1), name="train")
     init_seed(int(config.get("seed", 1234)))
+    if config.train.get("use_detect_anomaly", False):
+        from ensemble_svs_with_interactions_tpu.utils.profiling import (
+            enable_detect_anomaly,
+        )
+
+        enable_detect_anomaly()
 
     mesh = make_mesh()
     n_dev = int(np.prod([s for s in mesh.devices.shape]))
