@@ -131,12 +131,24 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
 
     max_frames = int(config.data.get("filter_num_frames", 6000))
     batch_max_frames = int(config.data.get("batch_max_frames", 32000))
+    spk_names = list(config.data.get("spk_names", []) or [])
     datasets = {}
     for split in ("train_no_dev", "dev"):
         d = config.data[split]
-        datasets[split] = FeatsDataset(
-            d["in_dir"], d["out_dir"], max_frames=max_frames
-        )
+        if spk_names:
+            # multi-speaker training (reference bin/train_acoustic_multi.py):
+            # speaker ids from filename prefixes feed the model's spks input
+            from ensemble_svs_with_interactions_tpu.data.dataset import (
+                MultiSpeakerFeatsDataset,
+            )
+
+            datasets[split] = MultiSpeakerFeatsDataset(
+                d["in_dir"], d["out_dir"], spk_names, max_frames=max_frames
+            )
+        else:
+            datasets[split] = FeatsDataset(
+                d["in_dir"], d["out_dir"], max_frames=max_frames
+            )
         logger.info("%s: %d utterances", split, len(datasets[split]))
 
     out_scaler = None
