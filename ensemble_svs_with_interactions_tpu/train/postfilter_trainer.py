@@ -1,0 +1,134 @@
+"""Learned-postfilter GAN training loop (reference nnsvs/bin/
+train_postfilter.py + train_util.py:1521 setup_gan).
+
+Data layout: ``in_dir`` holds model-predicted (degraded) static features,
+``out_dir`` the ground-truth statics, paired by ``{utt}-feats.npy`` name
+(produced by ``bin.generate`` / recipe stage 7-equivalents).  Trains a
+Conv2dPostFilter (netG) against a Conv2dD (netD) with the LSGAN +
+feature-matching + reconstruction objective.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import jax
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.data.dataset import (
+    BucketedBatchIterator,
+    FeatsDataset,
+)
+from ensemble_svs_with_interactions_tpu.train.gan import create_gan_train_step
+from ensemble_svs_with_interactions_tpu.train.loop import (
+    MetricsWriter,
+    build_optimizer,
+    save_checkpoint,
+    TrainState,
+)
+from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+from ensemble_svs_with_interactions_tpu.utils.misc import init_seed
+
+
+def train_postfilter(config: Config) -> Dict[str, float]:
+    logger = getLogger(verbose=config.get("verbose", 1), name="train_pf")
+    init_seed(int(config.get("seed", 1234)))
+
+    netG = instantiate(config.model.netG)
+    netD = instantiate(config.model.netD)
+
+    in_dim = int(config.model.get("in_dim", 0)) or None
+    # init from one real batch shape
+    probe = FeatsDataset(
+        config.data.train_no_dev.in_dir, config.data.train_no_dev.out_dir
+    )
+    x0, y0 = probe[0]
+    D = x0.shape[-1]
+    x = np.zeros((2, 32, D), np.float32)
+    vG = netG.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x,
+    )
+    vD = netD.init(jax.random.PRNGKey(2), x)
+
+    optG = build_optimizer(
+        dict(config.train.optim.netG.optimizer),
+        dict(config.train.optim.netG.get("lr_scheduler", {}) or {}),
+    )
+    optD = build_optimizer(
+        dict(config.train.optim.netD.optimizer),
+        dict(config.train.optim.netD.get("lr_scheduler", {}) or {}),
+    )
+    state = {
+        "paramsG": vG["params"],
+        "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]),
+        "step": 0,
+    }
+    step_fn = create_gan_train_step(
+        netG,
+        netD,
+        optG,
+        optD,
+        adv_weight=float(config.train.get("adv_weight", 1.0)),
+        fm_weight=float(config.train.get("fm_weight", 2.0)),
+        recon_weight=float(config.train.get("recon_weight", 1.0)),
+        clip_norm=float(config.train.optim.get("clip_norm", 1.0)),
+    )
+
+    datasets = {}
+    for split in ("train_no_dev", "dev"):
+        d = config.data[split]
+        datasets[split] = FeatsDataset(
+            d["in_dir"],
+            d["out_dir"],
+            max_frames=int(config.data.get("filter_num_frames", 6000)),
+        )
+        logger.info("%s: %d utterances", split, len(datasets[split]))
+
+    out_dir = Path(config.train.out_dir)
+    writer = MetricsWriter(
+        out_dir, use_tensorboard=config.train.get("use_tensorboard", False)
+    )
+    nepochs = int(config.train.get("nepochs", 10))
+    rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
+    best = float("inf")
+    last: Dict[str, float] = {}
+
+    for epoch in range(1, nepochs + 1):
+        it = BucketedBatchIterator(
+            datasets["train_no_dev"],
+            max_tokens=int(config.data.get("batch_max_frames", 8000)),
+            time_multiple=int(config.data.get("time_multiple", 32)),
+            shuffle=True,
+            seed=epoch,
+        )
+        epoch_metrics: Dict[str, list] = {}
+        for batch in it:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            for k, v in metrics.items():
+                epoch_metrics.setdefault(k, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+        writer.log(epoch, means, prefix="train_no_dev/")
+        logger.info(
+            "epoch %d %s", epoch, {k: round(v, 4) for k, v in means.items()}
+        )
+        last = means
+        gen_loss = means.get("Loss_Recon", float("inf"))
+        save_checkpoint(
+            out_dir,
+            TrainState(
+                params=state["paramsG"],
+                batch_stats={},
+                opt_state=state["optG_state"],
+                step=int(state["step"]),
+            ),
+            epoch,
+            is_best=gen_loss < best,
+        )
+        best = min(best, gen_loss)
+    return last

@@ -113,3 +113,53 @@ def test_gan_train_step_runs_and_improves():
     assert np.isfinite(float(metrics["Loss_G"]))
     assert np.isfinite(float(metrics["Loss_D"]))
     assert float(metrics["Loss_Recon"]) < first
+
+
+def test_train_postfilter_cli(tmp_path):
+    """Full postfilter GAN training loop from the CLI entry point."""
+    import yaml
+
+    from ensemble_svs_with_interactions_tpu.bin.train_postfilter import main
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "in").mkdir(), (tmp_path / "out").mkdir()
+    for i in range(4):
+        T = int(rng.integers(30, 50))
+        gt = rng.normal(size=(T, 6)).astype(np.float32)
+        np.save(tmp_path / "in" / f"u{i}-feats.npy", (gt * 0.7).astype(np.float32))
+        np.save(tmp_path / "out" / f"u{i}-feats.npy", gt)
+    cfg = {
+        "seed": 1,
+        "verbose": 0,
+        "data": {
+            "train_no_dev": {"in_dir": str(tmp_path / "in"), "out_dir": str(tmp_path / "out")},
+            "dev": {"in_dir": str(tmp_path / "in"), "out_dir": str(tmp_path / "out")},
+            "batch_max_frames": 2000,
+            "time_multiple": 8,
+        },
+        "model": {
+            "netG": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.postfilters.Conv2dPostFilter",
+                "channels": 4,
+            },
+            "netD": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.discriminators.Conv2dD",
+                "channels": 4,
+                "padding": None,
+            },
+        },
+        "train": {
+            "out_dir": str(tmp_path / "exp"),
+            "nepochs": 2,
+            "optim": {
+                "netG": {"optimizer": {"name": "Adam", "params": {"lr": 0.001}}},
+                "netD": {"optimizer": {"name": "Adam", "params": {"lr": 0.001}}},
+                "clip_norm": 1.0,
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert main([str(cfg_path)]) == 0
+    assert (tmp_path / "exp" / "best_loss.ckpt").exists()
+    assert (tmp_path / "exp" / "metrics.jsonl").exists()
