@@ -66,9 +66,12 @@ def create_vocoder_gan_train_step(
     """
 
     def g_loss_fn(paramsG, paramsD, batch):
-        y_hat, _src = generator.apply(
+        outs = generator.apply(
             {"params": paramsG}, batch["x"], batch["c"], batch["d"]
         )
+        # USFGANGenerator returns (wav, src); the hn variants return
+        # (wav, src, harmonic_dbg, noise_dbg, gates)
+        y_hat = outs[0] if isinstance(outs, tuple) else outs
         y = batch["y"]
         sc, mag = stft_loss(
             y_hat[..., 0], y[..., 0], fft_sizes, hop_sizes, win_lengths

@@ -1,0 +1,229 @@
+"""First-party uSFGAN-family vocoder training loop.
+
+The reference delegates vocoder training to the external parallel_wavegan
+/ usfgan packages (recipe stages 10/11/13, run_common_steps_dev.sh:50-64);
+this framework ships the generators, so it also ships the trainer: random
+fixed-length crops of (features, waveform) pairs, per-crop sine+noise
+excitation from the denormalized F0 stream (SignalGenerator), pitch-
+dependent dilation factors, and the multi-resolution-STFT + LSGAN step
+from :mod:`train.vocoder`.
+
+Data layout: ``in_dir`` with ``{utt}-feats.npy`` (normalized acoustic
+features, world layout [mgc, lf0, vuv, bap]) and ``{utt}-wave.npy``
+(aligned float waveform) — the output of ``bin.prepare_voc_features``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import jax
+import numpy as np
+
+from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (
+    SignalGenerator,
+    dilated_factor,
+)
+from ensemble_svs_with_interactions_tpu.train.loop import (
+    MetricsWriter,
+    build_optimizer,
+    save_checkpoint,
+    TrainState,
+)
+from ensemble_svs_with_interactions_tpu.train.vocoder import (
+    create_vocoder_gan_train_step,
+)
+from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
+from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
+from ensemble_svs_with_interactions_tpu.utils.misc import init_seed
+
+
+class _VocoderCrops:
+    """Random fixed-length (features, waveform, excitation) crops."""
+
+    def __init__(
+        self,
+        in_dir,
+        sample_rate: int,
+        hop_size: int,
+        crop_frames: int,
+        lf0_idx: int,
+        vuv_idx: int,
+        aux_indices,
+        lf0_mean: float = 0.0,
+        lf0_scale: float = 1.0,
+        signal_types=("sine", "noise"),
+        dense_factor: int = 4,
+        sine_amp: float = 0.1,
+        noise_amp: float = 0.003,
+    ):
+        in_dir = Path(in_dir)
+        self.items = []
+        for f in sorted(in_dir.glob("*-feats.npy")):
+            w = Path(str(f).replace("-feats.npy", "-wave.npy"))
+            if w.exists():
+                self.items.append((f, w))
+        if not self.items:
+            raise FileNotFoundError(f"no feats/wave pairs in {in_dir}")
+        self.sample_rate = sample_rate
+        self.hop_size = hop_size
+        self.crop_frames = crop_frames
+        self.lf0_idx = lf0_idx
+        self.vuv_idx = vuv_idx
+        self.aux_indices = np.asarray(aux_indices)
+        self.lf0_mean = lf0_mean
+        self.lf0_scale = lf0_scale
+        self.dense_factor = dense_factor
+        self.signal_generator = SignalGenerator(
+            sample_rate, hop_size, sine_amp, noise_amp, list(signal_types)
+        )
+
+    def batch(self, rng: np.random.Generator, batch_size: int) -> Dict:
+        xs, cs, ds, ys = [], [], [], []
+        for _ in range(batch_size):
+            fpath, wpath = self.items[int(rng.integers(len(self.items)))]
+            feats = np.load(fpath)
+            wave = np.load(wpath).reshape(-1)
+            Tf = min(len(feats), len(wave) // self.hop_size)
+            if Tf <= self.crop_frames:
+                start = 0
+                feats = np.pad(
+                    feats[:Tf], ((0, self.crop_frames - Tf), (0, 0)), mode="edge"
+                )
+                wave = np.pad(
+                    wave[: Tf * self.hop_size],
+                    (0, (self.crop_frames - Tf) * self.hop_size),
+                )
+            else:
+                start = int(rng.integers(Tf - self.crop_frames))
+                feats = feats[start : start + self.crop_frames]
+                wave = wave[
+                    start * self.hop_size : (start + self.crop_frames)
+                    * self.hop_size
+                ]
+            lf0 = feats[:, self.lf0_idx] * self.lf0_scale + self.lf0_mean
+            vuv = feats[:, self.vuv_idx]
+            f0 = np.where(vuv > 0.5, np.exp(lf0), 0.0)
+            xs.append(self.signal_generator(f0, seed=int(rng.integers(1 << 31))))
+            ds.append(
+                np.repeat(
+                    dilated_factor(f0, self.sample_rate, self.dense_factor),
+                    self.hop_size,
+                )
+            )
+            cs.append(feats[:, self.aux_indices])
+            ys.append(wave[:, None])
+        return {
+            "x": np.stack(xs).astype(np.float32),
+            "c": np.stack(cs).astype(np.float32),
+            "d": np.stack(ds).astype(np.float32),
+            "y": np.stack(ys).astype(np.float32),
+        }
+
+
+def train_vocoder(config: Config) -> Dict[str, float]:
+    logger = getLogger(verbose=config.get("verbose", 1), name="train_voc")
+    init_seed(int(config.get("seed", 1234)))
+
+    sr = int(config.data.get("sample_rate", 48000))
+    hop = int(sr * float(config.data.get("frame_period", 5)) / 1000.0)
+    ss = list(config.data.get("stream_sizes", [60, 1, 1, 5]))
+    mgc_end = ss[0]
+    lf0_idx = mgc_end
+    vuv_idx = mgc_end + 1
+    bap_start = mgc_end + 2
+    aux_indices = list(range(0, mgc_end)) + list(
+        range(bap_start, bap_start + ss[3])
+    )
+
+    generator = instantiate(config.model.generator)
+    discriminator = instantiate(config.model.discriminator)
+
+    crops = _VocoderCrops(
+        config.data.train_no_dev.in_dir,
+        sr,
+        hop,
+        crop_frames=int(config.data.get("crop_frames", 64)),
+        lf0_idx=lf0_idx,
+        vuv_idx=vuv_idx,
+        aux_indices=aux_indices,
+        lf0_mean=float(config.data.get("lf0_mean", 0.0)),
+        lf0_scale=float(config.data.get("lf0_scale", 1.0)),
+        signal_types=tuple(config.model.get("signal_types", ["sine", "noise"])),
+        dense_factor=int(config.model.get("dense_factor", 4)),
+    )
+    logger.info("vocoder corpus: %d utterances", len(crops.items))
+
+    rng_np = np.random.default_rng(int(config.get("seed", 1234)))
+    probe = crops.batch(rng_np, 1)
+    vG = generator.init(
+        jax.random.PRNGKey(0),
+        probe["x"],
+        probe["c"],
+        probe["d"],
+    )
+    vD = discriminator.init(jax.random.PRNGKey(1), probe["y"])
+
+    optG = build_optimizer(dict(config.train.optim.netG.optimizer))
+    optD = build_optimizer(dict(config.train.optim.netD.optimizer))
+    state = {
+        "paramsG": vG["params"],
+        "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]),
+        "step": 0,
+    }
+    fft_sizes = tuple(config.train.get("fft_sizes", [1024, 2048, 512]))
+    hop_sizes = tuple(config.train.get("hop_sizes", [120, 240, 50]))
+    win_lengths = tuple(config.train.get("win_lengths", [600, 1200, 240]))
+    step_fn = create_vocoder_gan_train_step(
+        generator,
+        discriminator,
+        optG,
+        optD,
+        stft_weight=float(config.train.get("stft_weight", 1.0)),
+        adv_weight=float(config.train.get("adv_weight", 4.0)),
+        fm_weight=float(config.train.get("fm_weight", 0.0)),
+        fft_sizes=fft_sizes,
+        hop_sizes=hop_sizes,
+        win_lengths=win_lengths,
+    )
+
+    out_dir = Path(config.train.out_dir)
+    writer = MetricsWriter(
+        out_dir, use_tensorboard=config.train.get("use_tensorboard", False)
+    )
+    nepochs = int(config.train.get("nepochs", 10))
+    steps_per_epoch = int(config.train.get("steps_per_epoch", 100))
+    batch_size = int(config.train.get("batch_size", 8))
+    best = float("inf")
+    last: Dict[str, float] = {}
+
+    for epoch in range(1, nepochs + 1):
+        epoch_metrics: Dict[str, list] = {}
+        for _ in range(steps_per_epoch):
+            batch = crops.batch(rng_np, batch_size)
+            state, metrics = step_fn(state, batch)
+            for k, v in metrics.items():
+                epoch_metrics.setdefault(k, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+        writer.log(epoch, means, prefix="train_no_dev/")
+        logger.info(
+            "epoch %d %s", epoch, {k: round(v, 4) for k, v in means.items()}
+        )
+        last = means
+        stft = means.get("Loss_STFT_Mag", float("inf"))
+        save_checkpoint(
+            out_dir,
+            TrainState(
+                params=state["paramsG"],
+                batch_stats={},
+                opt_state=state["optG_state"],
+                step=int(state["step"]),
+            ),
+            epoch,
+            is_best=stft < best,
+        )
+        best = min(best, stft)
+    return last

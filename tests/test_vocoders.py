@@ -243,3 +243,76 @@ def test_cheaptrick_layer_envelope():
     )(jnp.asarray(wav))
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).max() > 0
+
+
+def test_train_vocoder_cli(tmp_path):
+    """Full vocoder GAN training loop from the CLI entry point (hn-uSFGAN
+    generator + PWG discriminator on a synthetic sine corpus)."""
+    import yaml
+
+    from ensemble_svs_with_interactions_tpu.bin.train_vocoder import main
+
+    rng = np.random.default_rng(0)
+    sr, hop = 16000, 80
+    D = 8 + 1 + 1 + 3
+    (tmp_path / "in").mkdir()
+    for i in range(2):
+        Tf = 80
+        feats = (rng.normal(size=(Tf, D)) * 0.1).astype(np.float32)
+        lf0 = np.log(200 + 20 * np.sin(np.arange(Tf) / 10))
+        feats[:, 8] = lf0
+        feats[:, 9] = 1.0
+        phase = 2 * np.pi * np.cumsum(np.repeat(np.exp(lf0), hop)) / sr
+        np.save(tmp_path / "in" / f"u{i}-feats.npy", feats)
+        np.save(
+            tmp_path / "in" / f"u{i}-wave.npy",
+            (0.3 * np.sin(phase)).astype(np.float32),
+        )
+    cfg = {
+        "seed": 1,
+        "verbose": 0,
+        "data": {
+            "train_no_dev": {"in_dir": str(tmp_path / "in")},
+            "sample_rate": sr,
+            "frame_period": 5,
+            "stream_sizes": [8, 1, 1, 3],
+            "crop_frames": 40,
+        },
+        "model": {
+            "generator": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.ParallelHnUSFGANGenerator",
+                "residual_channels": 4,
+                "gate_channels": 8,
+                "skip_channels": 4,
+                "aux_channels": 11,
+                "aux_context_window": 0,
+                "harmonic_network_params": {"blockA": 1, "cycleA": 1, "blockF": 0, "cycleF": 0, "cascade_mode": 0},
+                "noise_network_params": {"blockA": 0, "cycleA": 0, "blockF": 1, "cycleF": 1, "cascade_mode": 0},
+                "filter_network_params": {"blockA": 0, "cycleA": 0, "blockF": 1, "cycleF": 1, "cascade_mode": 0},
+                "upsample_params": {"upsample_scales": [4, 4, 5]},
+            },
+            "discriminator": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.PWGDiscriminator",
+                "layers": 3,
+                "conv_channels": 8,
+            },
+            "signal_types": ["sine", "noise"],
+        },
+        "train": {
+            "out_dir": str(tmp_path / "exp"),
+            "nepochs": 1,
+            "steps_per_epoch": 3,
+            "batch_size": 2,
+            "fft_sizes": [256],
+            "hop_sizes": [64],
+            "win_lengths": [128],
+            "optim": {
+                "netG": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                "netD": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert main([str(cfg_path)]) == 0
+    assert (tmp_path / "exp" / "best_loss.ckpt").exists()
