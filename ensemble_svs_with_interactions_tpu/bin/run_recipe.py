@@ -13,6 +13,9 @@ recipes/_common/spsvs/run_common_steps_dev.sh:5-109).  Stages:
   5  train acoustic model
   6  pack models into an SPSVS directory
   7  synthesis smoke run on eval utterances
+  8  prepare postfilter training pairs (predicted vs GT statics)
+  9  train + pack the learned postfilter
+  10 prepare vocoder features + train a uSFGAN-family vocoder
 
 Usage: python -m ...bin.run_recipe recipe.yaml [--stage N] [--stop-stage M]
        [key=value ...]
@@ -295,6 +298,229 @@ def stage7_synthesis(cfg, work):
     logger.info("stage 7: synthesis outputs at %s", out_dir)
 
 
+def stage8_postfilter_features(cfg, work):
+    """Paired postfilter training data in the NORMALIZED static domain
+    (the domain gen.postprocess_acoustic applies the learned PF in):
+    model-predicted statics as input, ground-truth statics as target."""
+    import jax  # noqa: F401  (engine loading)
+
+    from ensemble_svs_with_interactions_tpu import gen
+    from ensemble_svs_with_interactions_tpu.ops.multistream import (
+        get_static_features,
+    )
+    from ensemble_svs_with_interactions_tpu.svs import SPSVS, extract_static_scaler
+
+    engine = SPSVS(work / "packed_model")
+    model = engine.acoustic_model
+    static_scaler = extract_static_scaler(
+        engine.out_acoustic_scaler,
+        model.config.stream_sizes,
+        model.config.has_dynamic_features,
+        model.config.num_windows,
+    )
+    is_prob = model.prediction_type().name in (
+        "PROBABILISTIC",
+        "MULTISTREAM_HYBRID",
+    )
+
+    def _statics(feats):
+        if np.any(list(model.config.has_dynamic_features)):
+            parts = get_static_features(
+                feats[None],
+                int(model.config.num_windows),
+                list(model.config.stream_sizes),
+                list(model.config.has_dynamic_features),
+            )
+            return np.concatenate([np.asarray(p)[0] for p in parts], axis=-1)
+        return feats
+
+    dump = work / "dump"
+    for split in ("train_no_dev", "dev"):
+        in_dir = dump / split / "norm" / "in_acoustic"
+        gt_dir = dump / split / "org" / "out_acoustic"
+        pred_out = work / "postfilter" / split / "in_postfilter"
+        gt_out = work / "postfilter" / split / "out_postfilter"
+        pred_out.mkdir(parents=True, exist_ok=True)
+        gt_out.mkdir(parents=True, exist_ok=True)
+        n = 0
+        for path in sorted(in_dir.glob("*-feats.npy")):
+            gt_path = gt_dir / path.name
+            if not gt_path.exists():
+                continue
+            x = np.load(path).astype(np.float32)
+            pred = model.inference(x)
+            pred = gen._denorm_and_mlpg(
+                pred, engine.out_acoustic_scaler, model.config, is_prob
+            )
+            np.save(
+                pred_out / path.name,
+                np.asarray(static_scaler.transform(_statics(pred)), np.float32),
+            )
+            gt = _statics(np.load(gt_path).astype(np.float32))
+            np.save(
+                gt_out / path.name,
+                np.asarray(static_scaler.transform(gt), np.float32),
+            )
+            n += 1
+        logger.info("stage 8 [%s]: %d postfilter pairs", split, n)
+
+    scalers = work / "scalers"
+    scalers.mkdir(exist_ok=True)
+    np.save(scalers / "out_postfilter_scaler_mean.npy", np.asarray(static_scaler.mean_))
+    np.save(scalers / "out_postfilter_scaler_var.npy", np.asarray(static_scaler.var_))
+    np.save(
+        scalers / "out_postfilter_scaler_scale.npy", np.asarray(static_scaler.scale_)
+    )
+
+
+def stage9_train_postfilter(cfg, work):
+    """Train the learned postfilter and pack it next to the SVS models."""
+    import jax
+    import numpy as _np
+    from flax import serialization
+
+    from ensemble_svs_with_interactions_tpu.train.postfilter_trainer import (
+        train_postfilter,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap, instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
+
+    pf = cfg.get("postfilter", None)
+    pf = dict(pf) if pf else {}
+    model_cfg = pf.get("model") or {
+        "netG": {
+            "_target_": (
+                "ensemble_svs_with_interactions_tpu.models.postfilters."
+                "Conv2dPostFilter"
+            ),
+            "channels": 64,
+        },
+        "netD": {
+            "_target_": (
+                "ensemble_svs_with_interactions_tpu.models.discriminators.Conv2dD"
+            ),
+            "channels": 32,
+            "padding": None,
+        },
+    }
+    train_cfg = _wrap(
+        {
+            "seed": int(cfg.get("seed", 1234)),
+            "verbose": int(cfg.get("verbose", 1)),
+            "data": {
+                "train_no_dev": {
+                    "in_dir": str(work / "postfilter/train_no_dev/in_postfilter"),
+                    "out_dir": str(work / "postfilter/train_no_dev/out_postfilter"),
+                },
+                "dev": {
+                    "in_dir": str(work / "postfilter/dev/in_postfilter"),
+                    "out_dir": str(work / "postfilter/dev/out_postfilter"),
+                },
+                **dict(pf.get("data", {}) or {}),
+            },
+            "model": model_cfg,
+            "train": {
+                "out_dir": str(work / "exp" / "postfilter"),
+                "nepochs": 10,
+                "optim": {
+                    "netG": {"optimizer": {"name": "Adam", "params": {"lr": 1e-4}}},
+                    "netD": {"optimizer": {"name": "Adam", "params": {"lr": 1e-4}}},
+                    "clip_norm": 1.0,
+                },
+                **dict(pf.get("train", {}) or {}),
+            },
+        }
+    )
+    train_postfilter(train_cfg)
+
+    # pack: postfilter_model.{yaml,params} + out_postfilter scalers
+    packed = work / "packed_model"
+    netG = instantiate(train_cfg.model.netG)
+    probe = next(
+        (work / "postfilter/train_no_dev/in_postfilter").glob("*-feats.npy")
+    )
+    D = _np.load(probe).shape[-1]
+    template = netG.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        _np.zeros((1, 32, D), _np.float32),
+    )
+    tree = serialization.msgpack_restore(
+        (work / "exp" / "postfilter" / "best_loss.ckpt").read_bytes()
+    )
+    variables = {
+        "params": serialization.from_state_dict(template["params"], tree["params"])
+    }
+    save_model_phase(packed, "postfilter", {"netG": dict(train_cfg.model.netG)},
+                     variables)
+    for n in ("mean", "var", "scale"):
+        shutil.copyfile(
+            work / "scalers" / f"out_postfilter_scaler_{n}.npy",
+            packed / f"out_postfilter_scaler_{n}.npy",
+        )
+    logger.info("stage 9: postfilter trained and packed")
+
+
+def stage10_train_vocoder(cfg, work):
+    """Prepare vocoder features and train a uSFGAN-family vocoder."""
+    from ensemble_svs_with_interactions_tpu.bin import prepare_voc_features
+    from ensemble_svs_with_interactions_tpu.train.vocoder_trainer import (
+        train_vocoder,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap
+
+    voc = cfg.get("vocoder", None)
+    if not voc:
+        logger.info("stage 10: no cfg.vocoder section, skipping")
+        return
+    voc = dict(voc)
+
+    ac_params = dict(cfg.features.acoustic.params)
+    acoustic_cfg = _train_cfg(cfg, work, "acoustic")
+    ss = list(acoustic_cfg.model.stream_sizes)
+    has_dyn = list(acoustic_cfg.model.has_dynamic_features)
+    nwin = int(acoustic_cfg.model.num_windows)
+    static_ss = []
+    for s, d in zip(ss, has_dyn):
+        static_ss.append(s // nwin if d else s)
+
+    for split in ("train_no_dev", "dev"):
+        prepare_voc_features.main(
+            [
+                str(work / "dump" / split / "org" / "out_acoustic"),
+                str(work / "vocoder" / split / "in_vocoder"),
+                "--stream-sizes",
+                ",".join(str(s) for s in ss),
+                "--num-windows",
+                str(nwin),
+                "--has-dynamic-features",
+                ",".join(str(int(d)) for d in has_dyn),
+            ]
+        )
+
+    train_cfg = _wrap(
+        {
+            "seed": int(cfg.get("seed", 1234)),
+            "verbose": int(cfg.get("verbose", 1)),
+            "data": {
+                "train_no_dev": {
+                    "in_dir": str(work / "vocoder/train_no_dev/in_vocoder")
+                },
+                "sample_rate": int(ac_params.get("sample_rate", 48000)),
+                "frame_period": float(ac_params.get("frame_period", 5)),
+                "stream_sizes": static_ss,
+                **dict(voc.get("data", {}) or {}),
+            },
+            "model": dict(voc["model"]),
+            "train": {
+                "out_dir": str(work / "exp" / "vocoder"),
+                **dict(voc.get("train", {}) or {}),
+            },
+        }
+    )
+    train_vocoder(train_cfg)
+    logger.info("stage 10: vocoder trained at %s", work / "exp" / "vocoder")
+
+
 STAGES = {
     0: stage0_utt_lists,
     1: stage1_features,
@@ -304,6 +530,9 @@ STAGES = {
     5: stage5_train_acoustic,
     6: stage6_pack,
     7: stage7_synthesis,
+    8: stage8_postfilter_features,
+    9: stage9_train_postfilter,
+    10: stage10_train_vocoder,
 }
 
 
@@ -311,7 +540,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config")
     ap.add_argument("--stage", type=int, default=0)
-    ap.add_argument("--stop-stage", type=int, default=7)
+    ap.add_argument("--stop-stage", type=int, default=7)  # 8-10 opt-in
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 

@@ -164,12 +164,67 @@ def test_full_recipe(corpus, tmp_path):
             "data": {"time_multiple": 32},
         },
         "synthesis": {"label_dir": str(corpus / "lab")},
+        "postfilter": {
+            "model": {
+                "netG": {
+                    "_target_": "ensemble_svs_with_interactions_tpu.models.postfilters.Conv2dPostFilter",
+                    "channels": 4,
+                },
+                "netD": {
+                    "_target_": "ensemble_svs_with_interactions_tpu.models.discriminators.Conv2dD",
+                    "channels": 4,
+                    "padding": None,
+                },
+            },
+            "train": {
+                "nepochs": 1,
+                "optim": {
+                    "netG": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                    "netD": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                    "clip_norm": 1.0,
+                },
+            },
+        },
+        "vocoder": {
+            "model": {
+                "generator": {
+                    "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.USFGANGenerator",
+                    "residual_channels": 4,
+                    "gate_channels": 8,
+                    "skip_channels": 4,
+                    "aux_channels": 25 + 3,  # mgc(25) + bap(3) @ 24 kHz
+                    "aux_context_window": 0,
+                    "source_network_params": {"blockA": 1, "cycleA": 1, "blockF": 0, "cycleF": 0, "cascade_mode": 0},
+                    "filter_network_params": {"blockA": 0, "cycleA": 0, "blockF": 1, "cycleF": 1, "cascade_mode": 0},
+                    "upsample_params": {"upsample_scales": [4, 5, 6]},  # hop 120 @ 24k/5ms
+                },
+                "discriminator": {
+                    "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.PWGDiscriminator",
+                    "layers": 3,
+                    "conv_channels": 8,
+                },
+                "signal_types": ["sine"],
+            },
+            "train": {
+                "nepochs": 1,
+                "steps_per_epoch": 2,
+                "batch_size": 2,
+                "fft_sizes": [256],
+                "hop_sizes": [64],
+                "win_lengths": [128],
+                "optim": {
+                    "netG": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                    "netD": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                },
+            },
+            "data": {"crop_frames": 40},
+        },
     }
     recipe_path = tmp_path / "recipe.yaml"
     with open(recipe_path, "w") as f:
         yaml.safe_dump(recipe, f)
 
-    assert main([str(recipe_path), "--stage", "0", "--stop-stage", "7"]) == 0
+    assert main([str(recipe_path), "--stage", "0", "--stop-stage", "10"]) == 0
 
     # packed model complete
     packed = work / "packed_model"
@@ -181,6 +236,11 @@ def test_full_recipe(corpus, tmp_path):
         "in_acoustic_scaler_min.npy", "out_acoustic_scaler_mean.npy",
     ):
         assert (packed / fname).exists(), fname
+
+    # postfilter packed (stage 9) and vocoder trained (stage 10)
+    assert (packed / "postfilter_model.params").exists()
+    assert (packed / "out_postfilter_scaler_mean.npy").exists()
+    assert (work / "exp" / "vocoder" / "best_loss.ckpt").exists()
 
     # synthesis produced playable wavs
     wavs = sorted((work / "synthesis").glob("*.wav"))
