@@ -518,7 +518,52 @@ def stage10_train_vocoder(cfg, work):
         }
     )
     train_vocoder(train_cfg)
-    logger.info("stage 10: vocoder trained at %s", work / "exp" / "vocoder")
+
+    # pack the generator so SPSVS loads it (svs.load_vocoder) and
+    # vocoder_type="auto" resolves to the neural vocoder
+    import jax
+    from flax import serialization
+
+    from ensemble_svs_with_interactions_tpu.train.vocoder_trainer import (
+        _VocoderCrops,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
+
+    generator = instantiate(train_cfg.model.generator)
+    sr = int(train_cfg.data.sample_rate)
+    hop = int(sr * float(train_cfg.data.frame_period) / 1000.0)
+    crops = _VocoderCrops(
+        train_cfg.data.train_no_dev.in_dir,
+        sr,
+        hop,
+        crop_frames=int(train_cfg.data.get("crop_frames", 64)),
+        lf0_idx=static_ss[0],
+        vuv_idx=static_ss[0] + 1,
+        aux_indices=list(range(static_ss[0]))
+        + list(range(static_ss[0] + 2, sum(static_ss))),
+        signal_types=tuple(train_cfg.model.get("signal_types", ["sine", "noise"])),
+    )
+    probe = crops.batch(np.random.default_rng(0), 1)
+    template = generator.init(
+        jax.random.PRNGKey(0), probe["x"], probe["c"], probe["d"]
+    )
+    tree = serialization.msgpack_restore(
+        (work / "exp" / "vocoder" / "best_loss.ckpt").read_bytes()
+    )
+    variables = {
+        "params": serialization.from_state_dict(template["params"], tree["params"])
+    }
+    voc_model_cfg = {
+        "netG": dict(train_cfg.model.generator),
+        "signal_types": list(
+            train_cfg.model.get("signal_types", ["sine", "noise"])
+        ),
+    }
+    save_model_phase(work / "packed_model", "vocoder", voc_model_cfg, variables)
+    logger.info(
+        "stage 10: vocoder trained at %s and packed", work / "exp" / "vocoder"
+    )
 
 
 STAGES = {

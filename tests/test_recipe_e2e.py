@@ -241,6 +241,17 @@ def test_full_recipe(corpus, tmp_path):
     assert (packed / "postfilter_model.params").exists()
     assert (packed / "out_postfilter_scaler_mean.npy").exists()
     assert (work / "exp" / "vocoder" / "best_loss.ckpt").exists()
+    # stage 10 also packs the generator; SPSVS must auto-load it
+    assert (packed / "vocoder_model.params").exists()
+    from ensemble_svs_with_interactions_tpu.io import hts as _hts
+    from ensemble_svs_with_interactions_tpu.svs import SPSVS as _SPSVS
+
+    engine = _SPSVS(packed)
+    assert engine.default_vocoder_type == "usfgan"
+    lab = next(iter(sorted((corpus / "lab").glob("*.lab"))))
+    wav, sr_out = engine.svs(_hts.load(lab), vocoder_type="auto")
+    assert sr_out == SR and len(wav) > 1000
+    assert np.isfinite(np.asarray(wav, dtype=np.float64)).all()
 
     # synthesis produced playable wavs
     wavs = sorted((work / "synthesis").glob("*.wav"))
