@@ -731,6 +731,28 @@ def postprocess_acoustic(
             note_frame_indices=note_frame_indices,
         )
 
+    if post_filter_type == "merlin" and feature_type == "world":
+        # Merlin-style mel-cepstral sharpening (reference gen.py:1494-1496
+        # via nnmnkwii.postfilters.merlin_post_filter): scale cepstral
+        # coefficients >= 2 by 1.4 and restore the original spectral
+        # energy through the 0th coefficient.
+        from ensemble_svs_with_interactions_tpu.ops.sptk import mc2sp, mcepalpha
+        from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+            get_cheaptrick_fft_size,
+        )
+
+        mgc_end_dim = int(static_stream_sizes[0])
+        mgc = acoustic_features[:, :mgc_end_dim]
+        weights = np.ones(mgc_end_dim)
+        weights[2:] = 1.4
+        mgc_w = mgc * weights
+        alpha = mcepalpha(sample_rate)
+        fftlen = get_cheaptrick_fft_size(sample_rate)
+        e1 = np.sum(np.asarray(mc2sp(mgc, alpha, fftlen)), axis=-1)
+        e2 = np.sum(np.asarray(mc2sp(mgc_w, alpha, fftlen)), axis=-1)
+        mgc_w[:, 0] += 0.5 * np.log(np.maximum(e1, 1e-16) / np.maximum(e2, 1e-16))
+        acoustic_features[:, :mgc_end_dim] = mgc_w
+
     if post_filter_type == "nnsvs" and postfilter_model is not None:
         normed = np.asarray(postfilter_out_scaler.transform(acoustic_features))
         out = postfilter_model.inference(normed.astype(np.float32))

@@ -264,3 +264,11 @@ def test_svs_with_packed_neural_vocoder(tmp_path):
     assert sr == 24000
     assert len(wav) > 1000
     assert np.isfinite(np.asarray(wav, dtype=np.float64)).all()
+
+
+def test_svs_merlin_postfilter(engine, short_labels):
+    """post_filter_type='merlin' sharpens formants while preserving
+    spectral energy (0th-coef compensation)."""
+    wav, sr = engine.svs(short_labels, post_filter_type="merlin")
+    assert len(wav) > 1000
+    assert np.isfinite(np.asarray(wav, dtype=np.float64)).all()
