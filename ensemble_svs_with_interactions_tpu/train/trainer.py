@@ -162,6 +162,32 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     in_lf0_max = float(config.data.get("in_lf0_max", 1.0))
     decay_size = int(config.train.get("pitch_reg_decay_size", 25))
 
+    # fixed-length random crops for AR acoustic models (reference
+    # collate_fn_random_segments, train_util.py:595-633) — also gives the
+    # jit a single static time shape
+    use_random_segments = bool(config.data.get("use_random_segments", False))
+    segment_length = int(config.data.get("segment_length", 256))
+    seg_rng = np.random.default_rng(int(config.get("seed", 1234)) + 1)
+
+    def _random_segments(batch):
+        x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
+        B, T = x.shape[0], x.shape[1]
+        seg = segment_length
+        if T <= seg:
+            return batch
+        new_x = np.zeros((B, seg, x.shape[2]), x.dtype)
+        new_y = np.zeros((B, seg, y.shape[2]), y.dtype)
+        new_len = np.minimum(lengths, seg)
+        for i in range(B):
+            L = int(lengths[i])
+            start = int(seg_rng.integers(max(L - seg, 0) + 1))
+            e = min(start + seg, L)
+            new_x[i, : e - start] = x[i, start:e]
+            new_y[i, : e - start] = y[i, start:e]
+        out = dict(batch)
+        out["in_feats"], out["out_feats"], out["lengths"] = new_x, new_y, new_len
+        return out
+
     writer = MetricsWriter(out_dir, use_tensorboard=config.train.get("use_tensorboard", False))
     nepochs = int(config.train.get("nepochs", 10))
     best_dev_loss = float("inf")
@@ -182,6 +208,8 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
             )
             epoch_metrics: Dict[str, list] = {}
             for batch in it:
+                if train and use_random_segments:
+                    batch = _random_segments(batch)
                 if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
                     lf0_denorm = (
                         batch["in_feats"][:, :, in_lf0_idx]

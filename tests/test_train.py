@@ -273,3 +273,30 @@ def test_train_model_multi_speaker(tmp_path, rng):
     # speaker-blind floor is 1.0 (unit offsets); the spk embedding must
     # push well below it
     assert metrics["Loss"] < 0.5
+
+
+def test_train_random_segments(feature_dumps, tmp_path):
+    """use_random_segments crops training batches to one static length
+    (reference collate_fn_random_segments)."""
+    in_dir, out_dir = feature_dumps
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_layers": 1,
+    }
+    cfg = _train_config(in_dir, out_dir, tmp_path / "exp_seg", netG, nepochs=8)
+    cfg = _wrap(
+        {
+            **dict(cfg),
+            "data": {
+                **dict(cfg.data),
+                "use_random_segments": True,
+                "segment_length": 16,
+            },
+        }
+    )
+    metrics = train_model(cfg)
+    assert np.isfinite(metrics["Loss"])
+    assert metrics["Loss"] < 0.5  # still learns the linear map
