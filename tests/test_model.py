@@ -204,3 +204,29 @@ def test_fir_filter_inverse_roundtrip():
     y = filt.apply(variables, x)
     x_rec = filt.apply(variables, y, method="inverse")
     assert np.allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_pinned_checkpoint_compat():
+    """A serialized-parameter file written by an earlier revision must
+    keep restoring bit-exactly (the reference's tests/test_compat.py
+    pattern with a pinned mdn_test.pth)."""
+    from pathlib import Path
+
+    from flax import serialization
+
+    from ensemble_svs_with_interactions_tpu.models import MDN
+
+    data = Path(__file__).parent / "data"
+    m = MDN(in_dim=6, hidden_dim=8, out_dim=2, num_gaussians=2)
+    template = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4, 6)),
+        jnp.asarray([4]),
+    )
+    variables = serialization.from_bytes(
+        template, (data / "pinned_mdn.params").read_bytes()
+    )
+    io = np.load(data / "pinned_mdn_io.npz")
+    mu, sigma = m.apply(variables, jnp.asarray(io["x"]), method="inference")
+    np.testing.assert_allclose(np.asarray(mu), io["mu"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sigma), io["sigma"], rtol=1e-6)
