@@ -38,6 +38,10 @@ class NEUTRINO(SPSVS):
         """Full labels -> duration-modified (timing) labels."""
         return super().predict_timing(labels)
 
+    def get_num_phrases(self, labels) -> int:
+        """Number of NEUTRINO phrases in the labels (reference svs.py:791)."""
+        return len(hts.label2phrases(labels))
+
     def get_phraselist(self, full_labels, timing_labels) -> str:
         """NEUTRINO-format phraselist text (reference svs.py:849-866)."""
         note_indices = hts.get_note_indices(full_labels)

@@ -263,7 +263,50 @@ class SPSVS(BaseSVS):
             np.load(self.model_dir / f"{prefix}_scaler_scale.npy"),
         )
 
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(model_dir={str(self.model_dir)!r}, "
+            f"sample_rate={self.sample_rate}, feature_type={self.feature_type!r}, "
+            f"vocoder={self.default_vocoder_type!r})"
+        )
+
+    def set_device(self, device):
+        """Device placement no-op (reference svs.py:304 moves torch modules;
+        here XLA owns placement and weights are already device_put)."""
+        self.logger.info("set_device(%s): managed by JAX/XLA; no-op", device)
+        return self
+
     # ----------------------------------------------------------- pipeline
+    def predict_timelag(self, labels):
+        """Note-onset time-lags in frames (reference svs.py:318)."""
+        return gen.predict_timelag(
+            labels.copy(),
+            self.timelag_model,
+            self.in_timelag_scaler,
+            self.out_timelag_scaler,
+            self.binary_dict,
+            self.numeric_dict,
+            pitch_indices=self.pitch_indices,
+            frame_period=self.frame_period,
+        )
+
+    def predict_duration(self, labels):
+        """Per-phone durations in frames (reference svs.py:349)."""
+        return gen.predict_duration(
+            labels.copy(),
+            self.duration_model,
+            self.in_duration_scaler,
+            self.out_duration_scaler,
+            self.binary_dict,
+            self.numeric_dict,
+            pitch_indices=self.pitch_indices,
+        )
+
+    def postprocess_duration(self, labels, pred_durations, lag):
+        """Note-level duration normalization (reference svs.py:378);
+        returns the duration-modified labels."""
+        return gen.postprocess_duration(labels, pred_durations, lag)[0]
+
     def predict_timing(self, labels):
         return gen.predict_timing(
             labels,

@@ -272,3 +272,17 @@ def test_svs_merlin_postfilter(engine, short_labels):
     wav, sr = engine.svs(short_labels, post_filter_type="merlin")
     assert len(wav) > 1000
     assert np.isfinite(np.asarray(wav, dtype=np.float64)).all()
+
+
+def test_spsvs_timing_api_parity(engine, short_labels):
+    """Standalone predict_timelag/predict_duration/postprocess_duration
+    (reference svs.py:318,349,378) compose into modified labels."""
+    lag100, lag = engine.predict_timelag(short_labels)
+    assert lag.shape[1] == 1
+    dur = engine.predict_duration(short_labels)
+    mu = dur[0] if isinstance(dur, tuple) else dur
+    assert len(mu) == len(short_labels)
+    mod = engine.postprocess_duration(short_labels, dur, lag100)
+    assert len(mod) > 0
+    assert "SPSVS(" in repr(engine)
+    assert engine.set_device("tpu") is engine
