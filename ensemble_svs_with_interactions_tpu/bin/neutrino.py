@@ -28,6 +28,7 @@ def main(argv=None):
     ap.add_argument("model_dir")
     ap.add_argument("-i", "--phraselist", default=None)
     ap.add_argument("-p", "--phrase_num", type=int, default=-1)
+    ap.add_argument("-k", "--style_shift", type=int, default=0)
     args = ap.parse_args(argv)
 
     model_dir = Path(args.model_dir)
@@ -44,7 +45,12 @@ def main(argv=None):
             engine.get_phraselist(full_labels, timing_labels)
         )
 
-    f0, mgc, bap = engine.predict_acoustic_neutrino(timing_labels)
+    f0, mgc, bap = engine.predict_acoustic_neutrino(
+        full_labels,
+        timing_labels=timing_labels,
+        style_shift=args.style_shift,
+        phrase_num=args.phrase_num
+    )
     save_neutrino_features(
         args.output_f0, args.output_mgc, args.output_bap, f0, mgc, bap
     )

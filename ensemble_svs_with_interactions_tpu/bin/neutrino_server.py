@@ -75,7 +75,12 @@ class Handler(BaseHTTPRequestHandler):
                 self._json({"timing_labels": str(timing), "phraselist": phraselist})
             elif self.path == "/acoustic":
                 timing = hts.loads(req["timing_labels"])
-                f0, mgc, bap = engine.predict_acoustic_neutrino(timing)
+                f0, mgc, bap = engine.predict_acoustic_neutrino(
+                    timing,
+                    timing_labels=timing,
+                    style_shift=int(req.get("style_shift", 0)),
+                    phrase_num=int(req.get("phrase_num", -1)),
+                )
                 self._json(
                     {
                         "f0": _b64(f0),

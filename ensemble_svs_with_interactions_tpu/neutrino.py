@@ -47,11 +47,41 @@ class NEUTRINO(SPSVS):
         note_indices = hts.get_note_indices(full_labels)
         return hts.label2phrases_str(timing_labels, note_indices)
 
-    def predict_acoustic_neutrino(self, timing_labels):
-        """Timing labels -> (f0, mgc, bap) in NEUTRINO layout."""
-        acoustic = self.predict_acoustic(timing_labels)
+    def predict_acoustic_neutrino(
+        self,
+        full_labels,
+        timing_labels=None,
+        style_shift: int = 0,
+        phrase_num: int = -1,
+        **postprocess_kw,
+    ):
+        """Labels -> (f0, mgc, bap) in NEUTRINO layout (reference
+        svs.py:817-916): optional pre-estimated timing, ``style_shift``
+        (conditioning F0 shifted +shift semitones for inference and the
+        output pitch shifted back), and ``phrase_num`` to synthesize a
+        single phrase."""
+        if timing_labels is None:
+            mod = self.predict_timing(full_labels)
+        else:
+            mod = full_labels.copy()
+            mod.start_times = np.asarray(timing_labels.start_times).copy()
+            mod.end_times = np.asarray(timing_labels.end_times).copy()
+        if phrase_num >= 0:
+            phrases = hts.label2phrases(mod)
+            if phrase_num >= len(phrases):
+                raise RuntimeError(
+                    f"phrase_num is too large: {phrase_num} >= {len(phrases)}"
+                )
+            mod = phrases[phrase_num]
+        acoustic = self.predict_acoustic(
+            mod, f0_shift_in_cent=style_shift * 100
+        )
         mgc, lf0, vuv, bap = self.postprocess_acoustic(
-            acoustic, timing_labels, post_filter_type="gv"
+            acoustic,
+            mod,
+            post_filter_type=postprocess_kw.pop("post_filter_type", "gv"),
+            f0_shift_in_cent=-style_shift * 100,
+            **postprocess_kw,
         )
         f0 = np.exp(lf0) * (vuv > 0.5)
         return (
