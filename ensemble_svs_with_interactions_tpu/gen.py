@@ -584,6 +584,47 @@ def correct_vuv_by_phone(vuv, binary_dict, linguistic_features):
     return vuv
 
 
+def _nonrest_frame_soft_mask(
+    binary_dict,
+    numeric_dict,
+    linguistic_features,
+    win_length: int = 200,
+    duration_threshold: float = 1.0,
+):
+    """Soft mask ~1 on non-rest frames, ~0 on long (> threshold sec)
+    sil/pau segments, smoothed with a ``win_length``-frame moving average;
+    frames with an assigned note always stay 1
+    (reference gen.py:1756-1808)."""
+    from scipy.signal import convolve
+
+    mask = np.ones(len(linguistic_features))
+    sil_indices = [
+        k
+        for k, (name, _) in binary_dict.items()
+        if "C-Phone_sil" in name or "C-Phone_pau" in name
+    ]
+    if not sil_indices:
+        return mask.reshape(-1, 1)
+    note_dur_idx = None
+    for k, (name, _) in numeric_dict.items():
+        if "e7" in name:
+            note_dur_idx = k
+            break
+    if note_dur_idx is None:
+        return mask.reshape(-1, 1)
+
+    dur_in_sec = linguistic_features[:, len(binary_dict) + note_dur_idx] * 0.01
+    for idx in sil_indices:
+        mask[
+            (linguistic_features[:, idx] > 0) & (dur_in_sec > duration_threshold)
+        ] = 0
+    mask = convolve(mask, np.ones(win_length) / win_length, mode="same")
+    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+    score_f0 = linguistic_features[:, pitch_idx]
+    mask[score_f0 > 0] = 1.0
+    return mask.reshape(-1, 1)
+
+
 def gen_spsvs_static_features(
     labels,
     acoustic_features: np.ndarray,
@@ -693,6 +734,7 @@ def postprocess_acoustic(
     trajectory_smoothing_cutoff_f0: float = 20,
     vuv_threshold: float = 0.5,
     f0_shift_in_cent: float = 0,
+    fill_silence_to_rest: bool = False,
     vibrato_scale: float = 1.0,
     force_fix_vuv: bool = False,
 ):
@@ -780,6 +822,24 @@ def postprocess_acoustic(
         mel, lf0, vuv = split_streams(acoustic_features, [80, 1, 1])
     else:
         raise ValueError(f"unknown feature type: {feature_type}")
+
+    if fill_silence_to_rest:
+        # suppress model leakage in long rests: crossfade spectral params
+        # toward a silence estimate on long sil/pau segments
+        # (reference gen.py:1480-1487, 1756-1841)
+        mask = _nonrest_frame_soft_mask(
+            binary_dict, numeric_dict, linguistic_features
+        )
+        if feature_type == "world":
+            mgc_sil = np.zeros((1, mgc.shape[1]))
+            mgc_sil[0, 0] = -23.3
+            mgc_sil[0, 1] = 0.0679
+            mgc_sil[0, 2] = 0.00640
+            mgc_sil[0, 3:] = 1e-3
+            mgc = mgc * mask + (1 - mask) * mgc_sil
+            bap = bap * mask + (1 - mask) * 1e-11
+        else:
+            mel = mel * mask + (1 - mask) * (-5.5)
 
     if f0_shift_in_cent != 0:
         lf0 = lf0 + f0_shift_in_cent * np.log(2) / 1200

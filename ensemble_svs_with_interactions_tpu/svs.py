@@ -380,6 +380,7 @@ class SPSVS(BaseSVS):
         vuv_threshold: float = 0.5,
         style_shift: float = 0,
         force_fix_vuv: bool = False,
+        fill_silence_to_rest: bool = False,
         dtype=np.int16,
         peak_norm: bool = False,
         loudness_norm: bool = False,
@@ -412,6 +413,7 @@ class SPSVS(BaseSVS):
                 trajectory_smoothing_cutoff=trajectory_smoothing_cutoff,
                 trajectory_smoothing_cutoff_f0=trajectory_smoothing_cutoff_f0,
                 force_fix_vuv=force_fix_vuv,
+                fill_silence_to_rest=fill_silence_to_rest,
                 f0_shift_in_cent=-style_shift * 100,
             )
             t2 = time.time()

@@ -286,3 +286,17 @@ def test_spsvs_timing_api_parity(engine, short_labels):
     assert len(mod) > 0
     assert "SPSVS(" in repr(engine)
     assert engine.set_device("tpu") is engine
+
+
+def test_fill_silence_to_rest(engine, short_labels):
+    """fill_silence_to_rest crossfades long rests toward the silence
+    spectral estimate (reference gen.py:1480-1841)."""
+    mod = engine.predict_timing(short_labels)
+    ac = engine.predict_acoustic(mod)
+    mgc_plain = engine.postprocess_acoustic(ac, mod)[0]
+    mgc_fill = engine.postprocess_acoustic(ac, mod, fill_silence_to_rest=True)[0]
+    changed = np.abs(mgc_plain - mgc_fill).mean(axis=1) > 1e-6
+    assert changed.any()  # long rests exist in the fixture prefix
+    assert not changed.all()  # voiced frames untouched
+    # filled rest frames approach the silence estimate mgc0 = -23.3
+    assert mgc_fill[:, 0].min() < -20.0
