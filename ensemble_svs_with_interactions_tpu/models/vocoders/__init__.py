@@ -1,3 +1,6 @@
+from ensemble_svs_with_interactions_tpu.models.vocoders.sifigan import (  # noqa: F401
+    SiFiGANGenerator,
+)
 from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (  # noqa: F401
     CheapTrickLayer,
     source_regularization_loss,

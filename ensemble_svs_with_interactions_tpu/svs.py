@@ -119,7 +119,7 @@ def load_vocoder(model_dir, sample_rate: int, frame_period: float = 5.0):
             np.load(model_dir / "in_vocoder_scaler_scale.npy"),
         )
 
-    if "USFGAN" in name:
+    if "USFGAN" in name or "SiFiGAN" in name:
         from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (
             USFGANWrapper,
         )

@@ -316,3 +316,45 @@ def test_train_vocoder_cli(tmp_path):
     cfg_path.write_text(yaml.safe_dump(cfg))
     assert main([str(cfg_path)]) == 0
     assert (tmp_path / "exp" / "best_loss.ckpt").exists()
+
+
+def test_sifigan_generator_and_trainer_contract(tmp_path):
+    """SiFiGAN generator shapes + one vocoder-GAN train step."""
+    import optax
+
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        SiFiGANGenerator,
+    )
+    from ensemble_svs_with_interactions_tpu.train.vocoder import (
+        create_vocoder_gan_train_step,
+    )
+
+    g = SiFiGANGenerator(channels=16, aux_channels=AUX, upsample_scales=(4, 5),
+                         resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+    dsc = PWGDiscriminator(layers=3, conv_channels=8)
+    Tf, up = 6, 20
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(2, Tf * up, 1)), jnp.float32),
+        "c": jnp.asarray(rng.normal(size=(2, Tf, AUX)), jnp.float32),
+        "d": jnp.ones((2, Tf * up)),
+        "y": jnp.asarray(rng.normal(size=(2, Tf * up, 1)) * 0.1, jnp.float32),
+    }
+    vG = g.init(jax.random.PRNGKey(0), batch["x"], batch["c"], batch["d"])
+    wav, src = g.apply(vG, batch["x"], batch["c"], batch["d"])
+    assert wav.shape == (2, Tf * up, 1) and src.shape == (2, Tf * up, 1)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    vD = dsc.init(jax.random.PRNGKey(1), batch["y"])
+    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+    state = {
+        "paramsG": vG["params"], "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]), "step": 0,
+    }
+    step = create_vocoder_gan_train_step(
+        g, dsc, optG, optD, fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,)
+    )
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["Loss_G"]))
+    assert np.isfinite(float(metrics["Loss_D"]))
