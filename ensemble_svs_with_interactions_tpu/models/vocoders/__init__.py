@@ -1,4 +1,5 @@
 from ensemble_svs_with_interactions_tpu.models.vocoders.sifigan import (  # noqa: F401
+    HiFiGANGenerator,
     SiFiGANGenerator,
 )
 from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (  # noqa: F401

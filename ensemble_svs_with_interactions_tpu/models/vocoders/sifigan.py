@@ -18,7 +18,6 @@ pitch-dependent dilation factors — so ``train.vocoder_trainer`` and
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import flax.linen as nn
@@ -29,7 +28,7 @@ import numpy as np
 from ensemble_svs_with_interactions_tpu.base import BaseModel
 from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import pd_indexing
 
-__all__ = ["SiFiGANGenerator"]
+__all__ = ["HiFiGANGenerator", "SiFiGANGenerator"]
 
 
 class _ResBlock(nn.Module):
@@ -152,3 +151,48 @@ class SiFiGANGenerator(BaseModel):
 
     def inference(self, x, c, d):
         return self(x, c, d)[0]
+
+
+class HiFiGANGenerator(BaseModel):
+    """Plain HiFiGAN generator: frame features -> waveform (the V1
+    architecture the reference loads from the external parallel_wavegan
+    package via nnsvs/util.py:377-458).  Same filter path as
+    :class:`SiFiGANGenerator` without the source branch."""
+
+    out_channels: int = 1
+    channels: int = 512
+    aux_channels: int = 80
+    upsample_scales: Sequence[int] = (8, 8, 2, 2)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+
+    @nn.compact
+    def __call__(self, c, train: bool = False):
+        """c: (B, T', aux) -> (B, T' * prod(scales), out)."""
+        h = nn.Conv(self.channels, (7,), padding="SAME", name="conv_pre")(c)
+        ch = self.channels
+        for li, scale in enumerate(self.upsample_scales):
+            ch = max(ch // 2, 8)
+            h = nn.leaky_relu(h, 0.1)
+            h = jnp.repeat(h, scale, axis=1)
+            h = nn.Conv(ch, (2 * scale + 1,), padding="SAME", name=f"up{li}")(h)
+            blocks = [
+                _ResBlock(ch, k, tuple(dl), name=f"res{li}_{bi}")(h)
+                for bi, (k, dl) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilations)
+                )
+            ]
+            h = sum(blocks) / len(blocks)
+        h = nn.leaky_relu(h, 0.1)
+        return jnp.tanh(
+            nn.Conv(self.out_channels, (7,), padding="SAME", name="conv_post")(h)
+        )
+
+    def inference(self, c):
+        if c.ndim == 2:
+            return self(c[None])[0, :, 0]
+        return self(c)[..., 0]

@@ -358,3 +358,19 @@ def test_sifigan_generator_and_trainer_contract(tmp_path):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["Loss_G"]))
     assert np.isfinite(float(metrics["Loss_D"]))
+
+
+def test_hifigan_generator():
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        HiFiGANGenerator,
+    )
+
+    g = HiFiGANGenerator(channels=16, aux_channels=AUX, upsample_scales=(4, 5),
+                         resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+    c = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6, AUX)), jnp.float32)
+    v = g.init(jax.random.PRNGKey(0), c)
+    wav = g.apply(v, c)
+    assert wav.shape == (2, 120, 1)
+    assert ((wav >= -1) & (wav <= 1)).all()  # tanh output range
+    inf = g.apply(v, c[0], method="inference")
+    assert inf.shape == (120,)
