@@ -6,11 +6,12 @@ convention (``{in,out}_{phase}_scaler_{mean,var,scale}.npy`` /
 ``_{min,scale}.npy``), copies per-phase ``model.yaml``s, and writes a
 synthesis ``config.yaml``.
 
-Torch checkpoints are NOT auto-ported: this framework's models are flax
-modules with different parameter trees, so network weights must be
-re-trained (or ported with a per-architecture mapping).  The tool copies
-each checkpoint verbatim to ``{phase}_model.pth.orig`` and reports what
-remains to be done.
+Torch checkpoints ARE ported when the architecture maps 1:1 onto this
+framework's flax model zoo (utils/torch_port.py: Linear/Conv1d/LSTM/
+BatchNorm units matched in definition order, bit-near-exact forward
+parity) — the converted voicebank synthesizes directly.  Unknown
+architectures fall back to copying the checkpoint to
+``{phase}_model.pth.orig`` with a note.
 """
 
 from __future__ import annotations
@@ -41,10 +42,81 @@ def scaler_to_npy(joblib_path: Path, out_dir: Path) -> str:
     raise ValueError(f"unknown scaler type in {joblib_path}: {type(scaler)}")
 
 
+_TARGET_MAP = (
+    ("nnsvs.acoustic_models.", "ensemble_svs_with_interactions_tpu.models.acoustic."),
+    ("nnsvs.model.", "ensemble_svs_with_interactions_tpu.models."),
+)
+
+
+def translate_target(target: str) -> str:
+    for old, new in _TARGET_MAP:
+        if target.startswith(old):
+            return new + target[len(old):]
+    return target
+
+
+def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path):
+    """Port a torch checkpoint onto the equivalent flax model.
+
+    Returns the number of layer units ported, or raises on any mismatch
+    (unknown architecture, field or shape drift).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap, instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    netG = dict(model_yaml["netG"])
+    netG["_target_"] = translate_target(str(netG["_target_"]))
+    # drop config keys the flax class doesn't define (torch-only knobs)
+    from ensemble_svs_with_interactions_tpu.utils.misc import dynamic_import
+
+    module_cls = dynamic_import(netG["_target_"])
+    fields = {f.name for f in dataclasses.fields(module_cls)}
+    netG = {
+        k: v for k, v in netG.items() if k == "_target_" or k in fields
+    }
+    module = instantiate(_wrap(netG))
+
+    in_dim = int(netG.get("in_dim", 82))
+    template = module.init(
+        {
+            "params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "prenet": jax.random.PRNGKey(2),
+            "zoneout": jax.random.PRNGKey(3),
+        },
+        jnp.zeros((1, 8, in_dim), jnp.float32),
+        jnp.asarray([8]),
+        train=True,
+    )
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v.numpy()
+        for k, v in sd.items()
+    }
+    variables, n_units = torch_to_flax(sd, template)
+    cfg_out = dict(model_yaml)
+    cfg_out["netG"] = netG
+    save_model_phase(out_dir, phase, cfg_out, variables)
+    return n_units
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("enunu_dir")
     ap.add_argument("out_dir")
+    ap.add_argument(
+        "--no-port-weights",
+        action="store_true",
+        help="skip the torch->flax weight port and only copy configs/scalers",
+    )
     args = ap.parse_args(argv)
     enunu_dir, out_dir = Path(args.enunu_dir), Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -58,14 +130,25 @@ def main(argv=None):
 
     model_dir = enunu_dir / enuconfig["model_dir"]
     pending = []
+    ported = []
     for phase in ("timelag", "duration", "acoustic"):
+        model_yaml = yaml.safe_load((model_dir / phase / "model.yaml").read_text())
         shutil.copyfile(
             model_dir / phase / "model.yaml", out_dir / f"{phase}_model.yaml"
         )
         ckpt = model_dir / phase / enuconfig[phase]["checkpoint"]
         if ckpt.exists():
-            shutil.copyfile(ckpt, out_dir / f"{phase}_model.pth.orig")
-            pending.append(phase)
+            done = False
+            if not args.no_port_weights:
+                try:
+                    n = try_port_phase(phase, model_yaml, ckpt, out_dir)
+                    ported.append((phase, n))
+                    done = True
+                except Exception as e:  # noqa: BLE001 — fall back to copy
+                    print(f"{phase}: weight port failed ({e}); keeping .orig")
+            if not done:
+                shutil.copyfile(ckpt, out_dir / f"{phase}_model.pth.orig")
+                pending.append(phase)
         for inout in ("in", "out"):
             scaler_to_npy(
                 enunu_dir / enuconfig["stats_dir"] / f"{inout}_{phase}_scaler.joblib",
@@ -92,6 +175,8 @@ def main(argv=None):
     (out_dir / "config.yaml").write_text(yaml.safe_dump(config, sort_keys=False))
 
     print(f"converted configs + scalers -> {out_dir}")
+    for phase, n in ported:
+        print(f"{phase}: ported {n} torch layer units to flax params")
     if pending:
         print(
             "NOTE: torch checkpoints copied as *_model.pth.orig for phases "

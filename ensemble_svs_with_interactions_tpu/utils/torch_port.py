@@ -1,0 +1,303 @@
+"""Torch-checkpoint → flax-variables weight porting.
+
+Lets packed voicebanks trained with the reference (or ENUNU) run on this
+framework without retraining: the torch ``state_dict`` is grouped into
+layer units (Linear / Conv1d / LSTM / BatchNorm1d / Embedding) in
+definition order, the flax parameter tree is grouped the same way in
+creation order, and units are matched pairwise with shape checks.
+
+Key conversions:
+  * Linear:  torch (out, in)       -> flax kernel (in, out)
+  * Conv1d:  torch (out, in, k)    -> flax kernel (k, in, out)
+  * LSTM:    torch weight_ih_l{k}l (4H, in) gate order [i, f, g, o]
+             -> flax OptimizedLSTMCell i{i,f,g,o}/kernel (in, H);
+             torch b_ih + b_hh     -> flax h{i,f,g,o}/bias
+  * BatchNorm1d: weight/bias -> scale/bias; running stats -> batch_stats
+  * weight-normed convs (weight_g, weight_v) are materialized first.
+
+This matches architectures that are 1:1 module-for-module (the model
+zoo here mirrors the reference's definition order).  Mismatched unit
+kinds or shapes raise with a side-by-side report.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["torch_to_flax", "port_torch_checkpoint"]
+
+
+# ---------------------------------------------------------------- torch side
+def _materialize_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if k.endswith("weight_v"):
+            g = sd[k[: -len("weight_v")] + "weight_g"]
+            v = np.asarray(v)
+            g = np.asarray(g)
+            norm = np.sqrt((v**2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+            out[k[: -len("weight_v")] + "weight"] = g * v / np.maximum(norm, 1e-12)
+        elif k.endswith("weight_g"):
+            continue
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _torch_units(sd: Dict[str, np.ndarray]) -> List[Tuple[str, str, Dict]]:
+    """Group a state dict into (kind, name, tensors) units in order."""
+    sd = _materialize_weight_norm(
+        {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    )
+    units: List[Tuple[str, str, Dict]] = []
+    seen = set()
+    keys = list(sd.keys())
+    for k in keys:
+        if k in seen:
+            continue
+        prefix, leaf = k.rsplit(".", 1) if "." in k else ("", k)
+
+        def _p(name):
+            return f"{prefix}.{name}" if prefix else name
+
+        if leaf.startswith("weight_ih_l"):
+            suffix = leaf[len("weight_ih_") :]  # e.g. "l0" or "l0_reverse"
+            names = [
+                _p(f"weight_ih_{suffix}"),
+                _p(f"weight_hh_{suffix}"),
+                _p(f"bias_ih_{suffix}"),
+                _p(f"bias_hh_{suffix}"),
+            ]
+            tensors = {n.rsplit(".", 1)[-1]: sd[n] for n in names if n in sd}
+            seen.update(n for n in names if n in sd)
+            units.append(("lstm_cell", f"{prefix}.{suffix}", tensors))
+        elif leaf == "weight":
+            w = sd[k]
+            bias_k = _p("bias")
+            mean_k = _p("running_mean")
+            if mean_k in sd:  # BatchNorm
+                tensors = {
+                    "weight": w,
+                    "bias": sd[bias_k],
+                    "running_mean": sd[mean_k],
+                    "running_var": sd[_p("running_var")],
+                }
+                seen.update([k, bias_k, mean_k, _p("running_var")])
+                units.append(("batchnorm", prefix, tensors))
+            elif w.ndim == 3:
+                tensors = {"weight": w}
+                seen.add(k)
+                if bias_k in sd:
+                    tensors["bias"] = sd[bias_k]
+                    seen.add(bias_k)
+                units.append(("conv1d", prefix, tensors))
+            else:
+                tensors = {"weight": w}
+                seen.add(k)
+                if bias_k in sd:
+                    tensors["bias"] = sd[bias_k]
+                    seen.add(bias_k)
+                units.append(("linear", prefix, tensors))
+        elif leaf == "bias" or leaf.startswith("bias_") or leaf.startswith(
+            "weight_hh"
+        ):
+            continue  # consumed with its weight
+        else:
+            seen.add(k)
+            units.append(("param", k, {"value": sd[k]}))
+    return units
+
+
+# ----------------------------------------------------------------- flax side
+def _flax_units(params: Dict, path: str = "") -> List[Tuple[str, str, Dict]]:
+    """Group the flax param tree into units in insertion order."""
+    units: List[Tuple[str, str, Dict]] = []
+    if not isinstance(params, dict):
+        return units
+    keys = set(params.keys())
+    if {"ii", "if", "ig", "io", "hi", "hf", "hg", "ho"} <= keys:
+        units.append(("lstm_cell", path, params))
+        return units
+    if "kernel" in keys:
+        kind = "conv1d" if np.ndim(params["kernel"]) == 3 else "linear"
+        units.append((kind, path, params))
+        return units
+    if "scale" in keys and "bias" in keys and len(keys) == 2:
+        units.append(("batchnorm", path, params))
+        return units
+    if "embedding" in keys:
+        units.append(("embedding", path, params))
+        return units
+    leaf_items = {k: v for k, v in params.items() if not isinstance(v, dict)}
+    for k, v in leaf_items.items():
+        units.append(("param", f"{path}/{k}", {"value": v}))
+    for k, v in params.items():
+        if isinstance(v, dict):
+            units.extend(_flax_units(v, f"{path}/{k}"))
+    return units
+
+
+def _set_path(tree: Dict, path: str, leaf: str, value):
+    node = tree
+    for part in [p for p in path.split("/") if p]:
+        node = node[part]
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+
+
+def _assign(new_params, new_stats, kind, fpath, funit, tensors):
+    if kind == "linear":
+        w = tensors["weight"]
+        _set_path(new_params, fpath, "kernel", np.ascontiguousarray(w.T))
+        if "bias" in tensors and "bias" in funit:
+            _set_path(new_params, fpath, "bias", tensors["bias"])
+    elif kind == "conv1d":
+        w = tensors["weight"]  # (out, in, k) -> (k, in, out)
+        _set_path(new_params, fpath, "kernel", np.ascontiguousarray(w.transpose(2, 1, 0)))
+        if "bias" in tensors and "bias" in funit:
+            _set_path(new_params, fpath, "bias", tensors["bias"])
+    elif kind == "lstm_cell":
+        w_ih = tensors[[k for k in tensors if k.startswith("weight_ih")][0]]
+        w_hh = tensors[[k for k in tensors if k.startswith("weight_hh")][0]]
+        b_ih = tensors.get(
+            next((k for k in tensors if k.startswith("bias_ih")), ""), None
+        )
+        b_hh = tensors.get(
+            next((k for k in tensors if k.startswith("bias_hh")), ""), None
+        )
+        H = w_hh.shape[1]
+        node = new_params
+        for part in [p for p in fpath.split("/") if p]:
+            node = node[part]
+        for gi, gate in enumerate(("i", "f", "g", "o")):
+            sl = slice(gi * H, (gi + 1) * H)
+            node[f"i{gate}"]["kernel"] = np.ascontiguousarray(
+                w_ih[sl].T
+            ).astype(np.asarray(node[f"i{gate}"]["kernel"]).dtype)
+            node[f"h{gate}"]["kernel"] = np.ascontiguousarray(
+                w_hh[sl].T
+            ).astype(np.asarray(node[f"h{gate}"]["kernel"]).dtype)
+            if b_ih is not None and b_hh is not None:
+                node[f"h{gate}"]["bias"] = (
+                    b_ih[sl] + b_hh[sl]
+                ).astype(np.asarray(node[f"h{gate}"]["bias"]).dtype)
+    elif kind == "batchnorm":
+        _set_path(new_params, fpath, "scale", tensors["weight"])
+        _set_path(new_params, fpath, "bias", tensors["bias"])
+        if new_stats:
+            node = new_stats
+            ok = True
+            for part in [p for p in fpath.split("/") if p]:
+                if part not in node:
+                    ok = False
+                    break
+                node = node[part]
+            if ok:
+                node["mean"] = tensors["running_mean"].astype(
+                    np.asarray(node["mean"]).dtype
+                )
+                node["var"] = tensors["running_var"].astype(
+                    np.asarray(node["var"]).dtype
+                )
+    elif kind == "embedding":
+        _set_path(new_params, fpath, "embedding", tensors["weight"])
+    else:
+        _set_path(new_params, *fpath.rsplit("/", 1), tensors["value"])
+
+
+def _shapes_compatible(kind, funit, tensors) -> bool:
+    if kind == "linear":
+        return tuple(np.shape(funit["kernel"])) == tuple(tensors["weight"].T.shape)
+    if kind == "conv1d":
+        return tuple(np.shape(funit["kernel"])) == tuple(
+            tensors["weight"].transpose(2, 1, 0).shape
+        )
+    if kind == "lstm_cell":
+        w_ih = tensors[[k for k in tensors if k.startswith("weight_ih")][0]]
+        H = np.shape(funit["hi"]["kernel"])[0]
+        return w_ih.shape[0] == 4 * H and np.shape(funit["ii"]["kernel"])[0] == (
+            w_ih.shape[1]
+        )
+    if kind == "batchnorm":
+        return tuple(np.shape(funit["scale"])) == tuple(tensors["weight"].shape)
+    if kind == "embedding":
+        return tuple(np.shape(funit["embedding"])) == tuple(tensors["weight"].shape)
+    return True
+
+
+def torch_to_flax(
+    state_dict: Dict,
+    variables: Dict,
+) -> Tuple[Dict, int]:
+    """Port a torch state dict onto a flax variables template.
+
+    Returns (new_variables, n_units_ported).  Raises ValueError with a
+    side-by-side unit report on order/kind/shape mismatch.
+    """
+    import copy
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    tunits = _torch_units(sd)
+    params = copy.deepcopy(_tree_to_numpy(variables["params"]))
+    stats = _tree_to_numpy(variables.get("batch_stats", {}))
+    funits = _flax_units(params)
+
+    # torch Embedding units appear as 'linear' (a lone 2-D weight); align
+    # kinds against the flax side
+    aligned = []
+    ti = 0
+    for fkind, fpath, funit in funits:
+        if ti >= len(tunits):
+            raise ValueError(
+                f"ran out of torch units at flax unit {fpath} ({fkind}); "
+                f"{len(tunits)} torch vs {len(funits)} flax units"
+            )
+        tkind, tname, tensors = tunits[ti]
+        if fkind == "embedding" and tkind == "linear" and "bias" not in tensors:
+            tkind = "embedding"
+        if fkind != tkind:
+            raise ValueError(
+                f"unit kind mismatch at #{ti}: flax {fpath} is {fkind}, "
+                f"torch {tname} is {tkind}"
+            )
+        if not _shapes_compatible(fkind, funit, tensors):
+            raise ValueError(
+                f"shape mismatch at #{ti}: flax {fpath} vs torch {tname}"
+            )
+        aligned.append((fkind, fpath, funit, tensors))
+        ti += 1
+    if ti != len(tunits):
+        raise ValueError(
+            f"{len(tunits) - ti} torch units left over after matching "
+            f"{ti} flax units"
+        )
+
+    for fkind, fpath, funit, tensors in aligned:
+        _assign(params, stats, fkind, fpath, funit, tensors)
+
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    if stats:
+        new_vars["batch_stats"] = stats
+    return new_vars, len(aligned)
+
+
+def _tree_to_numpy(tree):
+    if isinstance(tree, dict):
+        return {k: _tree_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def port_torch_checkpoint(
+    checkpoint_path,
+    variables: Dict,
+    state_dict_key: Optional[str] = "state_dict",
+) -> Tuple[Dict, int]:
+    """Load a torch checkpoint file and port it onto flax variables."""
+    import torch
+
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    sd = ckpt.get(state_dict_key, ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return torch_to_flax(sd, variables)
