@@ -36,6 +36,8 @@ class MultiTrackSPSVS(SPSVS):
     """SPSVS over multitrack packed models (timing + acoustic conditioned
     on a sub track)."""
 
+    last_duration_modified = None
+
     def predict_timing_multitrack(self, labels_list, spks_list):
         return gen_multitrack.predict_timing_multitrack(
             labels_list,
@@ -76,6 +78,7 @@ class MultiTrackSPSVS(SPSVS):
         streams = self.postprocess_acoustic(acoustic, duration_modified, **kw)
         wav = self.predict_waveform(streams, vocoder_type="world")
         wav = self.postprocess_waveform(wav)
+        self.last_duration_modified = duration_modified
         return wav, self.sample_rate, streams, duration_modified
 
 
@@ -91,7 +94,7 @@ def main(argv=None):
     spk_names = args.spk_names.split(",")
     engine = MultiTrackSPSVS(args.model_dir, verbose=args.verbose)
     out_dir = Path(args.out_dir)
-    for sub in ("wav", "mgc", "logF0", "vuv", "bap"):
+    for sub in ("wav", "mgc", "logF0", "vuv", "bap", "timelag", "duration"):
         (out_dir / sub).mkdir(parents=True, exist_ok=True)
 
     # group label files by segment id
@@ -123,6 +126,21 @@ def main(argv=None):
                 np.save(out_dir / "logF0" / f"{name}.npy", lf0)
                 np.save(out_dir / "vuv" / f"{name}.npy", vuv)
                 np.save(out_dir / "bap" / f"{name}.npy", bap)
+                # timing dumps for offline evaluation (reference
+                # synthesis_multitrack.py:196-288 saves per-pair
+                # timelag/duration arrays)
+                mod = engine.last_duration_modified or labels_m
+                shift = int(engine.frame_period * 1e4)
+                notes = hts.get_note_indices(labels_m)
+                lag = (
+                    np.asarray(mod.start_times)[notes]
+                    - np.asarray(labels_m.start_times)[notes]
+                ) / shift
+                durs = (
+                    np.asarray(mod.end_times) - np.asarray(mod.start_times)
+                ) / shift
+                np.save(out_dir / "timelag" / f"{name}.npy", lag)
+                np.save(out_dir / "duration" / f"{name}.npy", durs)
                 n += 1
                 print(f"[{n}] {name}: {len(wav)/sr:.2f}s")
     print(f"synthesized {n} main/sub pairs -> {out_dir}")

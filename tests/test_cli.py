@@ -161,3 +161,123 @@ def test_pitch_augmentation(tmp_path):
     shift = 100 * np.log(2) / 1200
     assert np.allclose(xa[:, 51], 5.5 + shift, atol=1e-6)
     assert np.allclose(ya[:, 60], 5.5 + shift, atol=1e-6)
+
+
+def _pack_tiny_multitrack(out_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate, _wrap
+    from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+    from ensemble_svs_with_interactions_tpu.utils.scalers import (
+        MinMaxScaler,
+        StandardScaler,
+    )
+
+    ss = [10, 1, 1, 3]
+    out_dim = sum(ss)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2),
+        "zoneout": jax.random.PRNGKey(3),
+    }
+
+    timing_net = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.MultiTrackVariancePredictor",
+        "in_dim": 164,
+        "out_dim": 1,
+        "num_speaker": 2,
+        "spk_embed_dim": 4,
+        "num_layers": 1,
+        "hidden_dim": 8,
+        "use_mdn": True,
+        "num_gaussians": 2,
+    }
+    timing_cfg = {
+        "netG": timing_net,
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    tm = instantiate(_wrap(timing_net))
+    spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    timing_vars = tm.init(rngs, jnp.zeros((1, 8, 164)), spks, jnp.asarray([8]),
+                          train=True)
+
+    from tests.test_multitrack import _tiny_multitrack_acoustic_netG
+
+    ac_net = _tiny_multitrack_acoustic_netG(in_dim=86, out_dim=out_dim)
+    ac_net["stream_sizes"] = ss
+    ac_net["in_lf0_idx"] = 51
+    ac_net["lf0_model"]["in_lf0_idx"] = 51
+    ac_net["mgc_model"]["out_dim"] = ss[0]
+    ac_net["bap_model"]["out_dim"] = ss[3]
+    ac_cfg = {
+        "netG": ac_net,
+        "stream_sizes": ss,
+        "has_dynamic_features": [False] * 4,
+        "num_windows": 1,
+    }
+    am = instantiate(_wrap(ac_net))
+    ys = (jnp.zeros((1, 8, out_dim)), jnp.zeros((1, 8, out_dim)))
+    ac_vars = am.init(
+        rngs, jnp.zeros((1, 8, 86)), jnp.zeros((1, 8, 86)), spks,
+        jnp.asarray([8]), ys, train=True,
+    )
+
+    mean = np.zeros(out_dim)
+    scale = np.ones(out_dim) * 0.1
+    mean[ss[0]] = np.log(260.0)
+    pack_model(
+        out_dir,
+        {"sample_rate": 24000, "frame_period": 5, "feature_type": "world",
+         "use_world_codec": True, "relative_f0": False},
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        {
+            "timelag": {
+                "model_config": timing_cfg, "variables": timing_vars,
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.zeros(1), np.ones(1) * 4,
+                                             np.ones(1) * 2),
+            },
+            "duration": {
+                "model_config": timing_cfg, "variables": timing_vars,
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.ones(1) * 10, np.ones(1) * 4,
+                                             np.ones(1) * 2),
+            },
+            "acoustic": {
+                "model_config": ac_cfg, "variables": ac_vars,
+                "in_scaler": MinMaxScaler(np.zeros(86), np.ones(86)),
+                "out_scaler": StandardScaler(mean, scale**2, scale),
+            },
+        },
+    )
+
+
+def test_synthesis_multitrack_cli(tmp_path, reference_data_dir):
+    """Pairwise multitrack synthesis: wav + feature + timing dumps."""
+    from ensemble_svs_with_interactions_tpu.bin.synthesis_multitrack import main
+    from ensemble_svs_with_interactions_tpu.io import hts
+
+    packed = tmp_path / "packed_mt"
+    _pack_tiny_multitrack(packed)
+
+    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    n = next(i for i, e in enumerate(labels.end_times) if e > 4e7)
+    lab_dir = tmp_path / "lab"
+    lab_dir.mkdir()
+    labels[: max(n, 10)].save(lab_dir / "alto_seg1.lab")
+    labels[: max(n, 10)].save(lab_dir / "soprano_seg1.lab")
+
+    out = tmp_path / "synth_mt"
+    rc = main([str(packed), str(lab_dir), str(out), "--spk-names",
+               "alto,soprano", "--verbose", "0"])
+    assert rc == 0
+    wavs = list((out / "wav").glob("*.wav"))
+    assert len(wavs) == 2  # (alto,soprano) and (soprano,alto)
+    for sub in ("mgc", "logF0", "vuv", "bap", "timelag", "duration"):
+        assert len(list((out / sub).glob("*.npy"))) == 2, sub
+    lag = np.load(next((out / "timelag").glob("*.npy")))
+    assert lag.ndim == 1 and len(lag) > 0
