@@ -95,20 +95,25 @@ class _ARDecoderCore(nn.Module):
         B = enc_t.shape[0]
         r = self.reduction_factor
 
+        # Teacher forcing feeds the CURRENT target frame to the prenet
+        # (reference tacotron_f0.py:178-189 precomputes prenet(targets) and
+        # indexes step t); only inference feeds back the previous output.
+        prenet_in = prev_out if self.is_inference else tgt_t
+
         if self.prenet_layers > 0:
             prenet_out = Prenet(
                 self.prenet_layers,
                 self.prenet_hidden_dim,
                 self.prenet_dropout,
                 name="prenet",
-            )(prev_out)
+            )(prenet_in)
         else:
             rng = self.make_rng("prenet")
             keep = jax.random.bernoulli(
-                rng, 1.0 - self.prenet_dropout, prev_out.shape
+                rng, 1.0 - self.prenet_dropout, prenet_in.shape
             )
             prenet_out = jnp.where(
-                keep, prev_out / (1.0 - self.prenet_dropout), 0.0
+                keep, prenet_in / (1.0 - self.prenet_dropout), 0.0
             )
 
         h = jnp.concatenate([enc_t, prenet_out], axis=-1)

@@ -62,13 +62,16 @@ def _torch_units(sd: Dict[str, np.ndarray]) -> List[Tuple[str, str, Dict]]:
         def _p(name):
             return f"{prefix}.{name}" if prefix else name
 
-        if leaf.startswith("weight_ih_l"):
-            suffix = leaf[len("weight_ih_") :]  # e.g. "l0" or "l0_reverse"
+        if leaf == "weight_ih" or leaf.startswith("weight_ih_l"):
+            # nn.LSTM per-layer weights (weight_ih_l0[_reverse]) or a bare
+            # nn.LSTMCell (weight_ih)
+            suffix = leaf[len("weight_ih") :].lstrip("_")
+            sep = "_" if suffix else ""
             names = [
-                _p(f"weight_ih_{suffix}"),
-                _p(f"weight_hh_{suffix}"),
-                _p(f"bias_ih_{suffix}"),
-                _p(f"bias_hh_{suffix}"),
+                _p(f"weight_ih{sep}{suffix}"),
+                _p(f"weight_hh{sep}{suffix}"),
+                _p(f"bias_ih{sep}{suffix}"),
+                _p(f"bias_hh{sep}{suffix}"),
             ]
             tensors = {n.rsplit(".", 1)[-1]: sd[n] for n in names if n in sd}
             seen.update(n for n in names if n in sd)
@@ -243,35 +246,43 @@ def torch_to_flax(
     stats = _tree_to_numpy(variables.get("batch_stats", {}))
     funits = _flax_units(params)
 
-    # torch Embedding units appear as 'linear' (a lone 2-D weight); align
-    # kinds against the flax side
-    aligned = []
-    ti = 0
-    for fkind, fpath, funit in funits:
-        if ti >= len(tunits):
-            raise ValueError(
-                f"ran out of torch units at flax unit {fpath} ({fkind}); "
-                f"{len(tunits)} torch vs {len(funits)} flax units"
-            )
-        tkind, tname, tensors = tunits[ti]
+    # Match per kind in order, with shape-aware lookahead: flax's lifted
+    # transforms (nn.scan) can reorder siblings alphabetically, so strict
+    # positional pairing fails on locally-permuted units.  Within a kind,
+    # each flax unit takes the first unused torch unit whose shapes are
+    # compatible — identical-shape units keep their relative order.
+    def _eff_kind(tkind, tensors, fkind):
         if fkind == "embedding" and tkind == "linear" and "bias" not in tensors:
-            tkind = "embedding"
-        if fkind != tkind:
-            raise ValueError(
-                f"unit kind mismatch at #{ti}: flax {fpath} is {fkind}, "
-                f"torch {tname} is {tkind}"
-            )
-        if not _shapes_compatible(fkind, funit, tensors):
-            raise ValueError(
-                f"shape mismatch at #{ti}: flax {fpath} vs torch {tname}"
-            )
-        aligned.append((fkind, fpath, funit, tensors))
-        ti += 1
-    if ti != len(tunits):
+            return "embedding"
+        return tkind
+
+    if len(tunits) != len(funits):
+        fk = [k for k, _, _ in funits]
+        tk = [k for k, _, _ in tunits]
         raise ValueError(
-            f"{len(tunits) - ti} torch units left over after matching "
-            f"{ti} flax units"
+            f"unit count mismatch: {len(tunits)} torch vs {len(funits)} "
+            f"flax units (torch kinds {tk}, flax kinds {fk})"
         )
+    used = [False] * len(tunits)
+    aligned = []
+    for fkind, fpath, funit in funits:
+        choice = None
+        for ti, (tkind, tname, tensors) in enumerate(tunits):
+            if used[ti] or _eff_kind(tkind, tensors, fkind) != fkind:
+                continue
+            if _shapes_compatible(fkind, funit, tensors):
+                choice = ti
+                break
+        if choice is None:
+            raise ValueError(
+                f"shape mismatch: no unused torch {fkind} unit fits flax "
+                f"{fpath}"
+            )
+        used[choice] = True
+        aligned.append((fkind, fpath, funit, tunits[choice][2]))
+    if not all(used):
+        left = [tunits[i][1] for i in range(len(tunits)) if not used[i]]
+        raise ValueError(f"torch units left over after matching: {left}")
 
     for fkind, fpath, funit, tensors in aligned:
         _assign(params, stats, fkind, fpath, funit, tensors)

@@ -146,3 +146,88 @@ def test_port_shape_mismatch_raises(ref_models):
     x = np.zeros((1, 4, 6), np.float32)
     with pytest.raises(ValueError, match="shape mismatch"):
         _port(tm, fm, x)
+
+
+def test_port_ar_decoder_teacher_forced(ref_models):
+    """BiLSTMResF0NonAttentiveDecoder: ported weights must reproduce the
+    reference's teacher-forced forward bit-exactly (incl. the reference's
+    current-frame prenet conditioning quirk, tacotron_f0.py:178-189)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (  # noqa: E501 — shimmed import
+        BiLSTMResF0NonAttentiveDecoder as TModel,
+    )
+
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        BiLSTMResF0NonAttentiveDecoder as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(7)
+    kw = dict(
+        in_dim=12, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=1, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=1, prenet_hidden_dim=4, prenet_dropout=0.0,
+        zoneout=0.0, reduction_factor=1, in_lf0_idx=3, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 6, 12)), jnp.asarray([6]), jnp.zeros((1, 6, 1)),
+        train=True,
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    assert n == 14
+    x = np.random.default_rng(3).normal(size=(1, 6, 12)).astype(np.float32)
+    y = np.random.default_rng(4).normal(size=(1, 6, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_res = tm(torch.from_numpy(x), [6], torch.from_numpy(y))
+    f_out, f_res = fm.apply(
+        pv, jnp.asarray(x), jnp.asarray([6]), jnp.asarray(y),
+        rngs={"prenet": jax.random.PRNGKey(9),
+              "zoneout": jax.random.PRNGKey(10)},
+    )
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-6)
+
+
+def test_port_res_skip_f0_ffconvlstm(ref_models):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import ResSkipF0FFConvLSTM as TModel
+
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        ResSkipF0FFConvLSTM as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(5)
+    kw = dict(
+        in_dim=12, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        out_dim=5, in_lf0_idx=3, out_lf0_idx=2,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 6, 12)), jnp.asarray([6]),
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    x = np.random.default_rng(3).normal(size=(1, 6, 12)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_res = tm(torch.from_numpy(x), [6])
+    f_out, f_res = fm.apply(pv, jnp.asarray(x), jnp.asarray([6]))
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-5)
