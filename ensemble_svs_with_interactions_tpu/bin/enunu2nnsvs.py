@@ -71,16 +71,35 @@ def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path)
     from ensemble_svs_with_interactions_tpu.utils.packing import save_model_phase
     from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
 
+    from ensemble_svs_with_interactions_tpu.utils.misc import dynamic_import
+
     netG = dict(model_yaml["netG"])
     netG["_target_"] = translate_target(str(netG["_target_"]))
     # drop config keys the flax class doesn't define (torch-only knobs)
-    from ensemble_svs_with_interactions_tpu.utils.misc import dynamic_import
-
     module_cls = dynamic_import(netG["_target_"])
     fields = {f.name for f in dataclasses.fields(module_cls)}
     netG = {
         k: v for k, v in netG.items() if k == "_target_" or k in fields
     }
+    from collections.abc import Mapping
+
+    # translate nested submodule configs too (composite models)
+    scope_pairs = []
+    for k, v in list(netG.items()):
+        if isinstance(v, Mapping) and "_target_" in v:
+            sub = dict(v)
+            sub["_target_"] = translate_target(str(sub["_target_"]))
+            sub_cls = dynamic_import(sub["_target_"])
+            sub_fields = {f.name for f in dataclasses.fields(sub_cls)}
+            netG[k] = {
+                kk: vv for kk, vv in sub.items()
+                if kk == "_target_" or kk in sub_fields
+            }
+            scope_pairs.append((f"{k}.", f"/{k}"))
+    if "compat_sub_encoder_outs" in fields:
+        # reference-trained weights expect the reference's sub-track
+        # encoder routing (multistream.py:520-522)
+        netG["compat_sub_encoder_outs"] = True
     module = instantiate(_wrap(netG))
 
     in_dim = int(netG.get("in_dim", 82))
@@ -101,7 +120,9 @@ def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path)
         (k[len("module."):] if k.startswith("module.") else k): v.numpy()
         for k, v in sd.items()
     }
-    variables, n_units = torch_to_flax(sd, template)
+    variables, n_units = torch_to_flax(
+        sd, template, scope_pairs=scope_pairs or None
+    )
     cfg_out = dict(model_yaml)
     cfg_out["netG"] = netG
     save_model_phase(out_dir, phase, cfg_out, variables)

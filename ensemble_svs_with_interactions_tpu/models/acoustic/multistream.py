@@ -208,6 +208,11 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
     out_lf0_mean: float = 5.953093881972361
     out_lf0_scale: float = 0.23435173188961034
     lf0_teacher_forcing: bool = True
+    # The reference feeds encoder_outs_MAIN to the sub-track decoders
+    # (multistream.py:520-522) — almost certainly a slip; we route
+    # encoder_outs_sub by default.  Set True for bit-exact behavior with
+    # reference-trained (ported) checkpoints.
+    compat_sub_encoder_outs: bool = False
 
     def setup(self):
         self._encoder = _maybe_instantiate(self.encoder)
@@ -278,12 +283,13 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
         else:
             enc_m, enc_s = x_main, x_sub
 
+        enc_for_sub = enc_m if self.compat_sub_encoder_outs else enc_s
         mgc_m = self._mgc(enc_m, lengths, y_mgc_m, train=train)
         vuv_m = self._vuv(enc_m, lengths, y_vuv_m, train=train)
         bap_m = self._bap(enc_m, lengths, y_bap_m, train=train)
-        mgc_s = self._mgc(enc_s, lengths, y_mgc_s, train=train)
-        vuv_s = self._vuv(enc_s, lengths, y_vuv_s, train=train)
-        bap_s = self._bap(enc_s, lengths, y_bap_s, train=train)
+        mgc_s = self._mgc(enc_for_sub, lengths, y_mgc_s, train=train)
+        vuv_s = self._vuv(enc_for_sub, lengths, y_vuv_s, train=train)
+        bap_s = self._bap(enc_for_sub, lengths, y_bap_s, train=train)
 
         out_m = jnp.concatenate([mgc_m, lf0_m, vuv_m, bap_m], axis=-1)
         out_s = jnp.concatenate([mgc_s, lf0_s, vuv_s, bap_s], axis=-1)

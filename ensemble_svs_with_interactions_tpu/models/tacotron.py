@@ -95,12 +95,11 @@ class _ARDecoderCore(nn.Module):
         B = enc_t.shape[0]
         r = self.reduction_factor
 
-        # Teacher forcing feeds the CURRENT target frame to the prenet
-        # (reference tacotron_f0.py:178-189 precomputes prenet(targets) and
-        # indexes step t); only inference feeds back the previous output.
-        prenet_in = prev_out if self.is_inference else tgt_t
-
         if self.prenet_layers > 0:
+            # Teacher forcing feeds the CURRENT target frame to the prenet
+            # (reference tacotron_f0.py:178-189 precomputes prenet(targets)
+            # and indexes step t); inference feeds back the previous output.
+            prenet_in = prev_out if self.is_inference else tgt_t
             prenet_out = Prenet(
                 self.prenet_layers,
                 self.prenet_hidden_dim,
@@ -108,12 +107,14 @@ class _ARDecoderCore(nn.Module):
                 name="prenet",
             )(prenet_in)
         else:
+            # prenet-less path always consumes the PREVIOUS frame
+            # (reference tacotron_f0.py:190-191 dropout(prev_out))
             rng = self.make_rng("prenet")
             keep = jax.random.bernoulli(
-                rng, 1.0 - self.prenet_dropout, prenet_in.shape
+                rng, 1.0 - self.prenet_dropout, prev_out.shape
             )
             prenet_out = jnp.where(
-                keep, prenet_in / (1.0 - self.prenet_dropout), 0.0
+                keep, prev_out / (1.0 - self.prenet_dropout), 0.0
             )
 
         h = jnp.concatenate([enc_t, prenet_out], axis=-1)

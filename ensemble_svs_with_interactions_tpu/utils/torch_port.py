@@ -232,8 +232,14 @@ def _shapes_compatible(kind, funit, tensors) -> bool:
 def torch_to_flax(
     state_dict: Dict,
     variables: Dict,
+    scope_pairs: Optional[List[Tuple[str, str]]] = None,
 ) -> Tuple[Dict, int]:
     """Port a torch state dict onto a flax variables template.
+
+    ``scope_pairs`` maps torch submodule prefixes to flax scope prefixes
+    (e.g. ``[("encoder.", "/_encoder"), ("lf0_model.", "/_lf0")]``) for
+    composite models where identically-shaped layers exist in several
+    submodules — units are then matched within each scope group only.
 
     Returns (new_variables, n_units_ported).  Raises ValueError with a
     side-by-side unit report on order/kind/shape mismatch.
@@ -246,11 +252,63 @@ def torch_to_flax(
     stats = _tree_to_numpy(variables.get("batch_stats", {}))
     funits = _flax_units(params)
 
-    # Match per kind in order, with shape-aware lookahead: flax's lifted
-    # transforms (nn.scan) can reorder siblings alphabetically, so strict
-    # positional pairing fails on locally-permuted units.  Within a kind,
-    # each flax unit takes the first unused torch unit whose shapes are
-    # compatible — identical-shape units keep their relative order.
+    if scope_pairs:
+        total_aligned = []
+        t_used = [False] * len(tunits)
+        f_used = [False] * len(funits)
+        groups = list(scope_pairs) + [None]  # None = everything else
+        for pair in groups:
+            if pair is None:
+                tg = [i for i in range(len(tunits)) if not t_used[i]]
+                fg = [i for i in range(len(funits)) if not f_used[i]]
+            else:
+                tp, fp = pair
+                tg = [
+                    i
+                    for i, (_, name, _t) in enumerate(tunits)
+                    if not t_used[i] and name.startswith(tp)
+                ]
+                fg = [
+                    i
+                    for i, (_, path, _t) in enumerate(funits)
+                    if not f_used[i] and path.startswith(fp)
+                ]
+            for i in tg:
+                t_used[i] = True
+            for i in fg:
+                f_used[i] = True
+            sub_aligned = _match_units(
+                [tunits[i] for i in tg], [funits[i] for i in fg]
+            )
+            total_aligned.extend(sub_aligned)
+        aligned = total_aligned
+        for fkind, fpath, funit, tensors in aligned:
+            _assign(params, stats, fkind, fpath, funit, tensors)
+        new_vars = dict(variables)
+        new_vars["params"] = params
+        if stats:
+            new_vars["batch_stats"] = stats
+        return new_vars, len(aligned)
+
+    aligned = _match_units(tunits, funits)
+
+    for fkind, fpath, funit, tensors in aligned:
+        _assign(params, stats, fkind, fpath, funit, tensors)
+
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    if stats:
+        new_vars["batch_stats"] = stats
+    return new_vars, len(aligned)
+
+
+def _match_units(tunits, funits):
+    """Match per kind in order, with shape-aware lookahead: flax's lifted
+    transforms (nn.scan) can reorder siblings alphabetically, so strict
+    positional pairing fails on locally-permuted units.  Within a kind,
+    each flax unit takes the first unused torch unit whose shapes are
+    compatible — identical-shape units keep their relative order."""
+
     def _eff_kind(tkind, tensors, fkind):
         if fkind == "embedding" and tkind == "linear" and "bias" not in tensors:
             return "embedding"
@@ -283,15 +341,7 @@ def torch_to_flax(
     if not all(used):
         left = [tunits[i][1] for i in range(len(tunits)) if not used[i]]
         raise ValueError(f"torch units left over after matching: {left}")
-
-    for fkind, fpath, funit, tensors in aligned:
-        _assign(params, stats, fkind, fpath, funit, tensors)
-
-    new_vars = dict(variables)
-    new_vars["params"] = params
-    if stats:
-        new_vars["batch_stats"] = stats
-    return new_vars, len(aligned)
+    return aligned
 
 
 def _tree_to_numpy(tree):

@@ -49,6 +49,7 @@ def ref_models():
     )
     shim("omegaconf", OmegaConf=object, DictConfig=dict)
     sys.path.insert(0, str(REFERENCE))
+    import nnsvs.acoustic_models  # noqa: F401 — make shimmed import available
     import nnsvs.model as M
 
     return M
@@ -231,3 +232,133 @@ def test_port_res_skip_f0_ffconvlstm(ref_models):
     f_out, f_res = fm.apply(pv, jnp.asarray(x), jnp.asarray([6]))
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-5)
+
+
+def test_port_flagship_multitrack(ref_models):
+    """THE paper's acoustic model: MultiTrackMultistreamSeparateF0
+    ParametricModel ported end-to-end, teacher-forced forward parity
+    (compat_sub_encoder_outs reproduces the reference's sub-track
+    encoder routing, multistream.py:520-522)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (
+        MultiTrackBiLSTMResF0NonAttentiveDecoder as TLf0,
+        MultiTrackMultistreamSeparateF0ParametricModel as TTop,
+    )
+
+    from ensemble_svs_with_interactions_tpu.utils.config import (
+        _wrap,
+        instantiate as finst,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(11)
+    IN, OUT = 8, 17
+    SS = [10, 1, 1, 5]
+    ENC_OUT, EMB = 6, 4
+    ph = dict(in_ph_start_idx=1, in_ph_end_idx=4, embed_dim=EMB)
+    lf0_kw = dict(
+        in_dim=IN, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=1, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=0, prenet_dropout=0.0, zoneout=0.0, reduction_factor=1,
+        downsample_by_conv=False, in_lf0_idx=5, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+        **ph,
+    )
+    enc_kw = dict(in_dim=IN, hidden_dim=4, out_dim=ENC_OUT, num_layers=1, **ph)
+    dec_kw = dict(
+        in_dim=ENC_OUT + 2, ff_hidden_dim=8, conv_hidden_dim=8, lstm_hidden_dim=4
+    )
+    tm = TTop(
+        in_dim=IN, out_dim=OUT, stream_sizes=SS, reduction_factor=1,
+        encoder=ref_models.MultiTrackLSTMEncoder(**enc_kw),
+        mgc_model=ref_models.FFConvLSTM(**dec_kw, out_dim=SS[0]),
+        lf0_model=TLf0(**lf0_kw),
+        vuv_model=ref_models.FFConvLSTM(**dec_kw, out_dim=SS[2]),
+        bap_model=ref_models.FFConvLSTM(**dec_kw, out_dim=SS[3]),
+        speaker_embedding=ref_models.SpeakerEmbedding(2, EMB, None),
+        in_rest_idx=0, in_lf0_idx=5, in_lf0_min=5.0, in_lf0_max=6.5,
+        out_lf0_idx=SS[0], out_lf0_mean=5.9, out_lf0_scale=0.23,
+    ).eval()
+    pre = "ensemble_svs_with_interactions_tpu.models"
+    netG = {
+        "_target_": f"{pre}.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
+        "in_dim": IN, "out_dim": OUT, "stream_sizes": SS, "reduction_factor": 1,
+        "in_rest_idx": 0, "in_lf0_idx": 5, "out_lf0_idx": SS[0],
+        "in_lf0_min": 5.0, "in_lf0_max": 6.5,
+        "out_lf0_mean": 5.9, "out_lf0_scale": 0.23,
+        "compat_sub_encoder_outs": True,
+        "encoder": {"_target_": f"{pre}.MultiTrackLSTMEncoder", **enc_kw},
+        "lf0_model": {
+            "_target_": f"{pre}.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+            **lf0_kw,
+        },
+        "mgc_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": SS[0]},
+        "vuv_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": SS[2]},
+        "bap_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": SS[3]},
+        "speaker_embedding": {
+            "_target_": f"{pre}.SpeakerEmbedding",
+            "num_embeddings": 2, "embedding_dim": EMB,
+        },
+    }
+    fm = finst(_wrap(netG))
+    B, T = 1, 6
+    rngs = {
+        "params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3),
+    }
+    spks = (jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.int32))
+    ys0 = (jnp.zeros((B, T, OUT)), jnp.zeros((B, T, OUT)))
+    fv = fm.init(
+        rngs, jnp.zeros((B, T, IN)), jnp.zeros((B, T, IN)), spks,
+        jnp.asarray([T]), ys0, train=True,
+    )
+    SCOPES = [
+        ("encoder.", "/encoder"), ("mgc_model.", "/mgc_model"),
+        ("lf0_model.", "/lf0_model"), ("vuv_model.", "/vuv_model"),
+        ("bap_model.", "/bap_model"),
+        ("speaker_embedding.", "/speaker_embedding"),
+    ]
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv,
+        scope_pairs=SCOPES,
+    )
+    assert n == 63
+    rng = np.random.default_rng(8)
+
+    def make_x():
+        x = (rng.normal(size=(B, T, IN)) * 0.3).astype(np.float32)
+        x[:, :, 1:4] = 0
+        for t in range(T):
+            x[0, t, 1 + rng.integers(0, 3)] = 1.0
+        return x
+
+    x0, x1 = make_x(), make_x()
+    y0 = rng.normal(size=(B, T, OUT)).astype(np.float32)
+    y1 = rng.normal(size=(B, T, OUT)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = tm(
+            torch.from_numpy(x0), torch.from_numpy(x1),
+            [torch.zeros(B, dtype=torch.long), torch.ones(B, dtype=torch.long)],
+            [T], [torch.from_numpy(y0), torch.from_numpy(y1)],
+        )
+    f_outs = fm.apply(
+        pv, jnp.asarray(x0), jnp.asarray(x1), spks, jnp.asarray([T]),
+        (jnp.asarray(y0), jnp.asarray(y1)), train=False,
+        rngs={"prenet": jax.random.PRNGKey(9), "zoneout": jax.random.PRNGKey(10)},
+    )
+    (f_main, f_res_main), (f_sub, f_res_sub) = f_outs
+    (t_main, t_res_main), (t_sub, t_res_sub) = t_outs
+
+    def tocat(o):
+        if isinstance(o, (list, tuple)):
+            return torch.cat(list(o), dim=-1).numpy()
+        return o.numpy()
+
+    np.testing.assert_allclose(np.asarray(f_main), tocat(t_main), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sub), tocat(t_sub), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f_res_main), t_res_main.numpy(), atol=1e-5
+    )
