@@ -72,13 +72,15 @@ class _NPSSBase(BaseModel):
 
     def _vuv_inputs(self, x, mgc, bap, lf0):
         bap_cond = bap[..., 0:1] if self.vuv_model_bap0_conditioning else bap
+        # conditioning order is (x, mgc, lf0, bap) — reference
+        # multistream.py:1190-1214
         parts = [x]
         if self.vuv_model_mgc_conditioning:
             parts.append(mgc)
-        if self.vuv_model_bap_conditioning:
-            parts.append(bap_cond)
         if self.vuv_model_lf0_conditioning:
             parts.append(lf0)
+        if self.vuv_model_bap_conditioning:
+            parts.append(bap_cond)
         return jnp.concatenate(parts, axis=-1)
 
     def _cascade(self, x, lengths, y, spk_embs=None, train: bool = False):

@@ -362,3 +362,87 @@ def test_port_flagship_multitrack(ref_models):
     np.testing.assert_allclose(
         np.asarray(f_res_main), t_res_main.numpy(), atol=1e-5
     )
+
+
+def test_port_npss_cascade(ref_models):
+    """NPSS MDN cascade: all four streams reproduce the reference
+    (caught a vuv-conditioning concat-order bug: (x, mgc, lf0, bap))."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (
+        NPSSMDNMultistreamParametricModel as TTop,
+        ResSkipF0FFConvLSTM as TLf0,
+    )
+
+    from ensemble_svs_with_interactions_tpu.utils.config import (
+        _wrap,
+        instantiate as finst,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(21)
+    IN, OUT = 8, 17
+    SS = [10, 1, 1, 5]
+    pre = "ensemble_svs_with_interactions_tpu.models"
+    lf0_kw = dict(
+        in_dim=IN, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        out_dim=1, in_lf0_idx=5, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    mgc_kw = dict(in_dim=IN + 1, hidden_dim=8, out_dim=SS[0], num_layers=1,
+                  num_gaussians=2, dim_wise=True)
+    bap_kw = dict(in_dim=IN + 1, hidden_dim=8, out_dim=SS[3], num_layers=1,
+                  num_gaussians=2, dim_wise=True)
+    vuv_kw = dict(in_dim=IN + 1 + SS[3], hidden_dim=8, out_dim=1, num_layers=1)
+    tm = TTop(
+        in_dim=IN, out_dim=OUT, stream_sizes=SS, reduction_factor=1,
+        lf0_model=TLf0(**lf0_kw),
+        mgc_model=ref_models.MDNv2(**mgc_kw),
+        bap_model=ref_models.MDNv2(**bap_kw),
+        vuv_model=ref_models.FFN(**vuv_kw),
+        in_rest_idx=0, in_lf0_idx=5, in_lf0_min=5.0, in_lf0_max=6.5,
+        out_lf0_idx=SS[0], out_lf0_mean=5.9, out_lf0_scale=0.23,
+    ).eval()
+    netG = {
+        "_target_": f"{pre}.acoustic.NPSSMDNMultistreamParametricModel",
+        "in_dim": IN, "out_dim": OUT, "stream_sizes": SS, "reduction_factor": 1,
+        "in_rest_idx": 0, "in_lf0_idx": 5, "out_lf0_idx": SS[0],
+        "in_lf0_min": 5.0, "in_lf0_max": 6.5,
+        "out_lf0_mean": 5.9, "out_lf0_scale": 0.23,
+        "lf0_model": {"_target_": f"{pre}.acoustic.ResSkipF0FFConvLSTM", **lf0_kw},
+        "mgc_model": {"_target_": f"{pre}.MDNv2", **mgc_kw},
+        "bap_model": {"_target_": f"{pre}.MDNv2", **bap_kw},
+        "vuv_model": {"_target_": f"{pre}.FFN", **vuv_kw},
+    }
+    fm = finst(_wrap(netG))
+    B, T = 1, 6
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((B, T, IN)), jnp.asarray([T]), jnp.zeros((B, T, OUT)),
+        train=True,
+    )
+    SCOPES = [
+        ("lf0_model.", "/lf0_model"), ("mgc_model.", "/mgc_model"),
+        ("bap_model.", "/bap_model"), ("vuv_model.", "/vuv_model"),
+    ]
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv,
+        scope_pairs=SCOPES,
+    )
+    assert n == 25
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(B, T, IN)).astype(np.float32)
+    y = rng.normal(size=(B, T, OUT)).astype(np.float32)
+    with torch.no_grad():
+        t_streams, _ = tm(torch.from_numpy(x), [T], torch.from_numpy(y))
+    f_streams = fm.apply(
+        pv, jnp.asarray(x), jnp.asarray([T]), jnp.asarray(y), train=False
+    )[0]
+    for ts, fs in zip(t_streams, f_streams):
+        if isinstance(ts, tuple):
+            for te, fe in zip(ts, fs):
+                np.testing.assert_allclose(np.asarray(fe), te.numpy(), atol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(fs), ts.numpy(), atol=1e-5)
