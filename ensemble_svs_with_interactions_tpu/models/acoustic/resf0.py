@@ -137,7 +137,7 @@ class ResF0VariancePredictor(_ResF0Mixin, BaseModel):
                 self.hidden_dim, (self.kernel_size,), padding="SAME", kernel_init=init
             )(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            h = nn.LayerNorm(epsilon=1e-12)(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if self.use_mdn:
             log_pi, log_sigma, mu = MDNLayer(

@@ -358,7 +358,7 @@ class PitchPredictor(BaseModel):
         for _ in range(self.num_layers):
             h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            h = nn.LayerNorm(epsilon=1e-5)(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         lf0 = nn.Dense(1)(h)
         vuv = nn.Dense(1)(h)

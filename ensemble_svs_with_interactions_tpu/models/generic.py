@@ -563,7 +563,9 @@ class VariancePredictor(BaseModel):
                 kernel_init=init,
             )(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            # reference uses its custom LayerNorm with eps=1e-12
+            # (nnsvs/layers/layer_norm.py:10)
+            h = nn.LayerNorm(epsilon=1e-12)(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if self.use_mdn:
             return MDNLayer(self.out_dim, self.num_gaussians, self.dim_wise)(h)
@@ -636,7 +638,9 @@ class MultiTrackVariancePredictor(BaseModel):
                 self.hidden_dim, (self.kernel_size,), padding="SAME", kernel_init=init
             )(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            # reference uses its custom LayerNorm with eps=1e-12
+            # (nnsvs/layers/layer_norm.py:10)
+            h = nn.LayerNorm(epsilon=1e-12)(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if self.use_mdn:
             return MDNLayer(self.out_dim, self.num_gaussians, self.dim_wise)(h)
@@ -733,7 +737,7 @@ class _TransformerBlock(nn.Module):
     def __call__(self, x, mask, train: bool = False):
         # mask: (B, T) valid positions
         attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.attention_dim,
@@ -741,7 +745,7 @@ class _TransformerBlock(nn.Module):
             deterministic=not train,
         )(h, h, mask=attn_mask)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = nn.Conv(self.attention_dim, (self.kernel_size,), padding="SAME")(h)
         h = nn.relu(h)
         h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)

@@ -96,6 +96,11 @@ def _torch_units(sd: Dict[str, np.ndarray]) -> List[Tuple[str, str, Dict]]:
                     tensors["bias"] = sd[bias_k]
                     seen.add(bias_k)
                 units.append(("conv1d", prefix, tensors))
+            elif w.ndim == 1 and bias_k in sd:
+                # LayerNorm / affine norm (no running stats)
+                tensors = {"weight": w, "bias": sd[bias_k]}
+                seen.update([k, bias_k])
+                units.append(("batchnorm", prefix, tensors))
             else:
                 tensors = {"weight": w}
                 seen.add(k)
@@ -133,12 +138,32 @@ def _flax_units(params: Dict, path: str = "") -> List[Tuple[str, str, Dict]]:
     if "embedding" in keys:
         units.append(("embedding", path, params))
         return units
+    # flax nn.WeightNorm stores a per-output-channel scale under a sibling
+    # "WeightNorm_X/<wrapped_name>/kernel/scale"; attach it to the wrapped
+    # conv/dense unit so the port can reconstruct (kernel, scale) from the
+    # materialized torch weight.
+    wn_scales = {}
+    for k, v in params.items():
+        if k.startswith("WeightNorm_") and isinstance(v, dict):
+            for sub_key in v:
+                # flax stores the scale under one flat key like
+                # "Conv_0/kernel/scale"
+                if sub_key.endswith("/kernel/scale"):
+                    wrapped_name = sub_key.split("/", 1)[0]
+                    wn_scales[wrapped_name] = (v, sub_key)
+
     leaf_items = {k: v for k, v in params.items() if not isinstance(v, dict)}
     for k, v in leaf_items.items():
         units.append(("param", f"{path}/{k}", {"value": v}))
     for k, v in params.items():
-        if isinstance(v, dict):
-            units.extend(_flax_units(v, f"{path}/{k}"))
+        if not isinstance(v, dict) or k.startswith("WeightNorm_"):
+            continue
+        sub_units = _flax_units(v, f"{path}/{k}")
+        if k in wn_scales:
+            for kind, upath, unode in sub_units:
+                if kind in ("conv1d", "linear") and upath == f"{path}/{k}":
+                    unode["_wn_scale_node"] = wn_scales[k]
+        units.extend(sub_units)
     return units
 
 
@@ -149,15 +174,31 @@ def _set_path(tree: Dict, path: str, leaf: str, value):
     node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
 
 
+def _set_wn_scale(funit, kernel):
+    """flax WeightNorm computes scale * kernel/||kernel|| per output
+    channel; setting scale = ||kernel|| reproduces the materialized torch
+    weight exactly."""
+    ref = funit.get("_wn_scale_node")
+    if ref is None:
+        return
+    node, key = ref
+    axes = tuple(range(kernel.ndim - 1))
+    norms = np.sqrt((kernel**2).sum(axis=axes))
+    node[key] = norms.astype(np.asarray(node[key]).dtype)
+
+
 def _assign(new_params, new_stats, kind, fpath, funit, tensors):
     if kind == "linear":
-        w = tensors["weight"]
-        _set_path(new_params, fpath, "kernel", np.ascontiguousarray(w.T))
+        w = np.ascontiguousarray(tensors["weight"].T)
+        _set_path(new_params, fpath, "kernel", w)
+        _set_wn_scale(funit, w)
         if "bias" in tensors and "bias" in funit:
             _set_path(new_params, fpath, "bias", tensors["bias"])
     elif kind == "conv1d":
-        w = tensors["weight"]  # (out, in, k) -> (k, in, out)
-        _set_path(new_params, fpath, "kernel", np.ascontiguousarray(w.transpose(2, 1, 0)))
+        # (out, in, k) -> (k, in, out)
+        w = np.ascontiguousarray(tensors["weight"].transpose(2, 1, 0))
+        _set_path(new_params, fpath, "kernel", w)
+        _set_wn_scale(funit, w)
         if "bias" in tensors and "bias" in funit:
             _set_path(new_params, fpath, "bias", tensors["bias"])
     elif kind == "lstm_cell":
@@ -188,7 +229,7 @@ def _assign(new_params, new_stats, kind, fpath, funit, tensors):
     elif kind == "batchnorm":
         _set_path(new_params, fpath, "scale", tensors["weight"])
         _set_path(new_params, fpath, "bias", tensors["bias"])
-        if new_stats:
+        if new_stats and "running_mean" in tensors:
             node = new_stats
             ok = True
             for part in [p for p in fpath.split("/") if p]:
@@ -284,6 +325,7 @@ def torch_to_flax(
         aligned = total_aligned
         for fkind, fpath, funit, tensors in aligned:
             _assign(params, stats, fkind, fpath, funit, tensors)
+        _strip_helper_keys(params)
         new_vars = dict(variables)
         new_vars["params"] = params
         if stats:
@@ -294,6 +336,7 @@ def torch_to_flax(
 
     for fkind, fpath, funit, tensors in aligned:
         _assign(params, stats, fkind, fpath, funit, tensors)
+    _strip_helper_keys(params)
 
     new_vars = dict(variables)
     new_vars["params"] = params
@@ -342,6 +385,13 @@ def _match_units(tunits, funits):
         left = [tunits[i][1] for i in range(len(tunits)) if not used[i]]
         raise ValueError(f"torch units left over after matching: {left}")
     return aligned
+
+
+def _strip_helper_keys(tree):
+    if isinstance(tree, dict):
+        tree.pop("_wn_scale_node", None)
+        for v in tree.values():
+            _strip_helper_keys(v)
 
 
 def _tree_to_numpy(tree):

@@ -446,3 +446,75 @@ def test_port_npss_cascade(ref_models):
                 np.testing.assert_allclose(np.asarray(fe), te.numpy(), atol=1e-5)
         else:
             np.testing.assert_allclose(np.asarray(fs), ts.numpy(), atol=1e-5)
+
+
+def test_port_conv1d_resnet_weightnorm(ref_models):
+    """Conv1dResnet: weight-normed convs port (flax WeightNorm scale is
+    reconstructed from the materialized torch weight)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.models import Conv1dResnet
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(31)
+    kw = dict(in_dim=10, hidden_dim=8, out_dim=3, num_layers=2)
+    tm = ref_models.Conv1dResnet(**kw).eval()
+    fm = Conv1dResnet(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 10)), jnp.asarray([8]), train=True,
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    assert n == 8
+    x = np.random.default_rng(5).normal(size=(1, 8, 10)).astype(np.float32)
+    with torch.no_grad():
+        t = tm(torch.from_numpy(x), [8])
+    f = fm.apply(pv, jnp.asarray(x), jnp.asarray([8]), train=False)
+    np.testing.assert_allclose(np.asarray(f), t.numpy(), atol=1e-5)
+
+
+def test_port_multitrack_variance_predictor(ref_models):
+    """MultiTrackVariancePredictor (the multitrack timing model): ported
+    MDN outputs match (incl. LayerNorm eps=1e-12 parity)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.models import (
+        MultiTrackVariancePredictor,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(31)
+    kw = dict(
+        in_dim=12, out_dim=1, num_layers=2, hidden_dim=8, kernel_size=5,
+        dropout=0.0, use_mdn=True, num_gaussians=2, dim_wise=True,
+        num_speaker=2, spk_embed_dim=4,
+    )
+    tm = ref_models.MultiTrackVariancePredictor(**kw).eval()
+    fm = MultiTrackVariancePredictor(**kw)
+    B, T = 1, 8
+    spks = (jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.int32))
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((B, T, 24)), spks, jnp.asarray([T]), train=True,
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    assert n == 8
+    x = np.random.default_rng(4).normal(size=(B, T, 24)).astype(np.float32)
+    with torch.no_grad():
+        t_pi, t_sig, t_mu = tm(
+            torch.from_numpy(x),
+            [torch.zeros(B, dtype=torch.long), torch.ones(B, dtype=torch.long)],
+            T,
+        )
+    f_pi, f_sig, f_mu = fm.apply(pv, jnp.asarray(x), spks, jnp.asarray([T]),
+                                 train=False)
+    np.testing.assert_allclose(np.asarray(f_mu), t_mu.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pi), t_pi.numpy(), atol=1e-4)
