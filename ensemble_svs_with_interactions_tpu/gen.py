@@ -96,21 +96,29 @@ class ModelPack:
     def prediction_type(self):
         return self.module.prediction_type()
 
-    def inference_batch(self, xs, spks=None):
+    def inference_batch(self, xs, spks=None, xs_sub=None):
         """Batched inference over a list of (T_i, D) sequences.
 
         All sequences are padded to a common bucketed length and run as one
         (B, T, D) batch — on TPU this amortizes the scan-latency of
-        LSTM/AR decoders across the whole ensemble.
+        LSTM/AR decoders across the whole ensemble.  ``xs_sub`` carries the
+        per-item sub-track features for multitrack (cross-conditioned)
+        models, which take ``(x_main, x_sub, spks, lengths)``.
         """
+
+        def _pack(seqs, T_pad):
+            b = np.zeros((len(seqs), T_pad, seqs[0].shape[1]), np.float32)
+            for i, s in enumerate(seqs):
+                b[i, : len(s)] = s
+            return jnp.asarray(b)
+
         B = len(xs)
-        T_pad = _round_up(max(len(x) for x in xs), self.bucket)
-        xb = np.zeros((B, T_pad, xs[0].shape[1]), np.float32)
-        lengths = np.zeros((B,), np.int32)
-        for i, x in enumerate(xs):
-            xb[i, : len(x)] = x
-            lengths[i] = len(x)
-        args = [jnp.asarray(xb)]
+        all_seqs = list(xs) + (list(xs_sub) if xs_sub is not None else [])
+        T_pad = _round_up(max(len(x) for x in all_seqs), self.bucket)
+        lengths = np.asarray([len(x) for x in xs], np.int32)
+        args = [_pack(xs, T_pad)]
+        if xs_sub is not None:
+            args.append(_pack(xs_sub, T_pad))
         if spks is not None:
             args.append(spks)
         out = self._jit_infer(self.variables, self._rng, *args, jnp.asarray(lengths))
@@ -176,8 +184,17 @@ def _prepare_linguistic_features(
 
 
 def _denorm_and_mlpg(pred, out_scaler, config, is_probabilistic: bool):
-    """Shared denormalization + optional per-stream MLPG."""
+    """Shared denormalization + optional per-stream MLPG.
+
+    MULTISTREAM_HYBRID models whose sub-decoders are all deterministic
+    return a plain point-estimate array from ``inference`` (the reference
+    returns ``(mu, sigma)`` with sigma unused when no dynamic features are
+    modeled, acoustic_models/util.py:100-137); treat a non-tuple as mu with
+    scaler variance.
+    """
     has_dyn = np.any(config.has_dynamic_features)
+    if is_probabilistic and not isinstance(pred, tuple):
+        is_probabilistic = False
     if is_probabilistic:
         mu, sigma = pred
         if has_dyn:

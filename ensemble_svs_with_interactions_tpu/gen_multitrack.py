@@ -198,6 +198,127 @@ def predict_duration_multitrack(
     return np.round(out)
 
 
+def predict_timing_multitrack_batch(
+    labels_list,
+    spk_ids,
+    pairs,
+    binary_dict,
+    numeric_dict,
+    timelag_model: gen.ModelPack,
+    timelag_in_scaler,
+    timelag_out_scaler,
+    duration_model: gen.ModelPack,
+    duration_in_scaler,
+    duration_out_scaler,
+    log_f0_conditioning: bool = True,
+    allowed_range=(-20, 20),
+    allowed_range_rest=(-40, 40),
+    force_clip_input_features: bool = True,
+    frame_period: float = 5,
+):
+    """Batched cross-conditioned timing for an N-part ensemble.
+
+    Track ``i`` is the main track of pair ``(i, pairs[i])``; every pair runs
+    through the joint timelag model (note level) and the joint duration
+    model (phone level) as ONE (N, T, D) batch each — two device calls for
+    the whole ensemble instead of 2N (reference synthesis_multitrack.py
+    loops predict_timing_multitrack per pair).
+
+    Returns a list of duration-modified label sequences, one per track.
+    """
+    hts_frame_shift = int(frame_period * 1e4)
+    pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+    N = len(labels_list)
+
+    note_labels, note_tl_feats, note_times = [], [], []
+    phone_du_feats, phone_times = [], []
+    for labels in labels_list:
+        labels.frame_shift = hts_frame_shift
+        labels.round_()
+        nl = labels[hts.get_note_indices(labels)]
+        note_labels.append(nl)
+        note_tl_feats.append(
+            gen._prepare_linguistic_features(
+                nl, binary_dict, numeric_dict, timelag_in_scaler,
+                pitch_indices, False, None, log_f0_conditioning,
+                force_clip_input_features, hts_frame_shift,
+            )
+        )
+        note_times.append(np.asarray(nl.start_times))
+        phone_du_feats.append(
+            gen._prepare_linguistic_features(
+                labels, binary_dict, numeric_dict, duration_in_scaler,
+                pitch_indices, False, None, log_f0_conditioning,
+                force_clip_input_features, hts_frame_shift,
+            )
+        )
+        phone_times.append(np.asarray(labels.start_times))
+
+    def _merged_pairs(feats, times):
+        xs, masks = [], []
+        for i in range(N):
+            j = pairs[i]
+            d_i = np.zeros((len(feats[i]), 1), np.float32)
+            d_j = np.zeros((len(feats[j]), 1), np.float32)
+            mx0, _, mask0, mx1, _, _ = merge_tracks_by_notes(
+                feats[i], d_i, times[i], feats[j], d_j, times[j]
+            )
+            xs.append(np.concatenate([mx0, mx1], axis=-1))
+            masks.append(mask0)
+        return xs, masks
+
+    spks = (
+        jnp.asarray([spk_ids[i] for i in range(N)], jnp.int32),
+        jnp.asarray([spk_ids[pairs[i]] for i in range(N)], jnp.int32),
+    )
+
+    tl_xs, tl_masks = _merged_pairs(note_tl_feats, note_times)
+    tl_preds = timelag_model.inference_batch(tl_xs, spks=spks)
+    du_xs, du_masks = _merged_pairs(phone_du_feats, phone_times)
+    du_preds = duration_model.inference_batch(du_xs, spks=spks)
+
+    tl_prob = timelag_model.prediction_type() == PredictionType.PROBABILISTIC
+    du_prob = duration_model.prediction_type() == PredictionType.PROBABILISTIC
+
+    outs = []
+    for i in range(N):
+        if tl_prob:
+            mu, _sigma = tl_preds[i]
+            lag = np.asarray(timelag_out_scaler.inverse_transform(np.asarray(mu)))
+        else:
+            lag = np.asarray(
+                timelag_out_scaler.inverse_transform(np.asarray(tl_preds[i]))
+            )
+        lag = np.round(lag[tl_masks[i]])
+        for idx in range(len(lag)):
+            rng = (
+                allowed_range_rest
+                if hts.is_silence_context(note_labels[i].contexts[idx])
+                else allowed_range
+            )
+            lag[idx] = np.clip(lag[idx], rng[0], rng[1])
+        lag = lag * hts_frame_shift
+
+        if du_prob:
+            mu, sigma = du_preds[i]
+            sigma_sq = np.maximum(
+                np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_),
+                1e-14,
+            )
+            mu = np.asarray(duration_out_scaler.inverse_transform(np.asarray(mu)))
+            durations = (mu[du_masks[i]], sigma_sq[du_masks[i]])
+        else:
+            d = np.asarray(
+                duration_out_scaler.inverse_transform(np.asarray(du_preds[i]))
+            )[du_masks[i]]
+            d[d <= 0] = 1
+            durations = np.round(d)
+        outs.append(
+            gen.postprocess_duration(labels_list[i], durations, lag, frame_period)[0]
+        )
+    return outs
+
+
 def predict_timing_multitrack(
     labels_list,
     spks_list,

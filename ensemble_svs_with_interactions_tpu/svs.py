@@ -27,7 +27,7 @@ from typing import Optional
 import numpy as np
 from flax import serialization
 
-from ensemble_svs_with_interactions_tpu import gen
+from ensemble_svs_with_interactions_tpu import gen, gen_multitrack
 from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.utils.config import (
     Config,
@@ -82,10 +82,17 @@ def _load_variables(module, config, params_path: Path):
             jnp.zeros((1, T, out_dim), jnp.float32),
         )
         template = module.init(rngs, x0, x1, spks, lengths, ys, train=True)
-    elif "spks" in sig_params:
-        x = jnp.zeros((1, T, in_dim), jnp.float32)
+    elif "spks" in sig_params and type(module).__name__.startswith("MultiTrack"):
+        # multitrack timing: x = concat(x_main, x_sub) -> 2*in_dim features,
+        # spks is a (main, sub) tuple (reference model.py:1246-1247)
+        x = jnp.zeros((1, T, 2 * in_dim), jnp.float32)
         spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
         template = module.init(rngs, x, spks, lengths, train=True)
+    elif "spks" in sig_params:
+        x = jnp.zeros((1, T, in_dim), jnp.float32)
+        template = module.init(
+            rngs, x, jnp.zeros((1,), jnp.int32), lengths, train=True
+        )
     else:
         x = jnp.zeros((1, T, in_dim), jnp.float32)
         template = module.init(rngs, x, lengths, train=True)
@@ -221,6 +228,17 @@ class SPSVS(BaseSVS):
             self.acoustic_model.config.num_windows,
         )
 
+        # multitrack (cross-conditioned) packs: the acoustic netG takes
+        # (x_main, x_sub, spks, lengths) and timing netGs take a spk tuple
+        # (reference nnsvs/bin/synthesis_multitrack.py:30-289)
+        import inspect
+
+        self.is_multitrack = (
+            "x_main"
+            in inspect.signature(self.acoustic_model.module.__call__).parameters
+        )
+        self.spk_list = list(self.config.get("spk_list", []) or [])
+
         # optional postfilter
         pf_yaml = model_dir / "postfilter_model.yaml"
         if pf_yaml.exists():
@@ -333,6 +351,41 @@ class SPSVS(BaseSVS):
             f0_shift_in_cent=f0_shift_in_cent,
         )
 
+    def predict_timing_multitrack(self, labels_list, spks_list, **kw):
+        """Pairwise timing: main track conditioned on the sub track
+        (reference gen.py predict_timing_multitrack:912-1005)."""
+        return gen_multitrack.predict_timing_multitrack(
+            [lab.copy() for lab in labels_list],
+            spks_list,
+            self.binary_dict,
+            self.numeric_dict,
+            self.timelag_model,
+            self.in_timelag_scaler,
+            self.out_timelag_scaler,
+            self.duration_model,
+            self.in_duration_scaler,
+            self.out_duration_scaler,
+            frame_period=self.frame_period,
+            **kw,
+        )
+
+    def predict_acoustic_multitrack(
+        self, labels_list, spks_list, f0_shift_in_cent: float = 0
+    ):
+        """Pairwise acoustic features for the main track
+        (reference gen.py predict_acoustic_multitrack:1160-1310)."""
+        return gen_multitrack.predict_acoustic_multitrack(
+            labels_list,
+            spks_list,
+            self.acoustic_model,
+            self.in_acoustic_scaler,
+            self.out_acoustic_scaler,
+            self.binary_dict,
+            self.numeric_dict,
+            frame_period=self.frame_period,
+            f0_shift_in_cent=f0_shift_in_cent,
+        )
+
     def postprocess_acoustic(self, acoustic_features, duration_modified_labels, **kw):
         return gen.postprocess_acoustic(
             acoustic_features,
@@ -388,6 +441,11 @@ class SPSVS(BaseSVS):
         segmented_synthesis: bool = False,
     ):
         """Full score-to-waveform synthesis.  Returns (wav, sample_rate)."""
+        if self.is_multitrack:
+            raise ValueError(
+                "this pack holds a multitrack (cross-conditioned) model; "
+                "use svs_ensemble(labels_list, spk_ids=...) instead"
+            )
         start = time.time()
         duration_modified_labels = self.predict_timing(labels)
 
@@ -443,44 +501,10 @@ class SPSVS(BaseSVS):
         self.last_rtf = rtf
         return wav, self.sample_rate
 
-    def svs_ensemble(
-        self,
-        labels_list,
-        vocoder_type: str = "world",
-        post_filter_type: str = "gv",
-        vuv_threshold: float = 0.5,
-        dtype=np.int16,
-    ):
-        """Synthesize an N-part ensemble with batched device inference.
-
-        Timing prediction runs per track (host-dominated, cheap); acoustic
-        inference and the vocoder run as one (N, T, D) batch so the
-        LSTM/AR scan latency is amortized over all parts.
-
-        Returns (list of wavs, sample_rate).
-        """
-        import jax
-
-        from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
-        from ensemble_svs_with_interactions_tpu.ops import world
-        from ensemble_svs_with_interactions_tpu.ops.pitch import interp1d
-
-        start = time.time()
-        duration_modified = gen.predict_timing_batch(
-            labels_list,
-            self.binary_dict,
-            self.numeric_dict,
-            self.timelag_model,
-            self.in_timelag_scaler,
-            self.out_timelag_scaler,
-            self.duration_model,
-            self.in_duration_scaler,
-            self.out_duration_scaler,
-            frame_period=self.frame_period,
-        )
-
-        # batched acoustic inference; per-track host-side feature prep is
-        # numpy-heavy, so thread it across tracks
+    # --------------------------------------------------- ensemble synthesis
+    def _frame_features(self, duration_modified):
+        """Per-track frame-level linguistic features (threaded: numpy-heavy
+        host work)."""
         from concurrent.futures import ThreadPoolExecutor
 
         hts_frame_shift = int(self.frame_period * 1e4)
@@ -502,28 +526,25 @@ class SPSVS(BaseSVS):
             )
 
         with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
-            feats = list(ex.map(_feat, duration_modified))
-        t_timing = time.time()
-        preds = self.acoustic_model.inference_batch(feats)
-        t_acoustic = time.time()
-        is_prob = self.acoustic_model.prediction_type().name in (
-            "PROBABILISTIC",
-            "MULTISTREAM_HYBRID",
-        )
-        def _post(lab_pred):
-            lab, pred = lab_pred
-            acoustic = gen._denorm_and_mlpg(
-                pred, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
-            )
+            return list(ex.map(_feat, duration_modified))
+
+    def _postprocess_batch(self, duration_modified, acoustics, post_filter_type):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _post(lab_ac):
+            lab, acoustic = lab_ac
             return self.postprocess_acoustic(
                 acoustic, lab, post_filter_type=post_filter_type
             )
 
         with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
-            streams_list = list(ex.map(_post, zip(duration_modified, preds)))
+            return list(ex.map(_post, zip(duration_modified, acoustics)))
 
-        t_post = time.time()
-        # batched vocoder
+    def _batched_vocoder(self, streams_list, vocoder_type, vuv_threshold, dtype):
+        """All tracks through the fused WORLD kernel as one (N, T, D) batch;
+        quantization + peak norm happen on device to halve D2H bytes."""
+        from ensemble_svs_with_interactions_tpu.ops import world
+
         if vocoder_type == "world" and self.config.get("use_world_codec", True):
             T_max = max(len(s[0]) for s in streams_list)
             T_pad = gen._round_up(T_max, gen.FRAME_BUCKET)
@@ -550,50 +571,162 @@ class SPSVS(BaseSVS):
                 highpass_cutoff=70.0,
             )
             if dtype in (np.int16, "int16"):
-                # peak-normalize + quantize on device: halves the D2H bytes
                 sample_lengths = np.asarray(
                     [len(s[0]) * hop for s in streams_list], np.int32
                 )
-                wavs = np.asarray(
-                    world.quantize_peak_norm_int16(
-                        wav_dev, jnp_lengths(sample_lengths)
-                    )
+                wav_dev = world.quantize_peak_norm_int16(
+                    wav_dev, jnp_lengths(sample_lengths)
                 )
-                outs = [
+                wav_dev.block_until_ready()
+                self._t_vocoder_device_done = time.time()
+                wavs = np.asarray(wav_dev)
+                return [
                     wavs[i, : sample_lengths[i]]
                     for i in range(len(streams_list))
                 ]
-            else:
-                wavs = np.asarray(wav_dev)
-                outs = [
-                    self.postprocess_waveform(
-                        wavs[i, : len(streams_list[i][0]) * hop],
-                        dtype=dtype,
-                        skip_bandpass=True,
-                    )
-                    for i in range(len(streams_list))
-                ]
-        else:
-            outs = [
+            wav_dev.block_until_ready()
+            self._t_vocoder_device_done = time.time()
+            wavs = np.asarray(wav_dev)
+            return [
                 self.postprocess_waveform(
-                    self.predict_waveform(
-                        s, vocoder_type=vocoder_type, vuv_threshold=vuv_threshold
-                    ),
+                    wavs[i, : len(streams_list[i][0]) * hop],
                     dtype=dtype,
+                    skip_bandpass=True,
                 )
-                for s in streams_list
+                for i in range(len(streams_list))
+            ]
+        self._t_vocoder_device_done = None
+        return [
+            self.postprocess_waveform(
+                self.predict_waveform(
+                    s, vocoder_type=vocoder_type, vuv_threshold=vuv_threshold
+                ),
+                dtype=dtype,
+            )
+            for s in streams_list
+        ]
+
+    def svs_ensemble(
+        self,
+        labels_list,
+        vocoder_type: str = "world",
+        post_filter_type: str = "gv",
+        vuv_threshold: float = 0.5,
+        dtype=np.int16,
+        spk_ids=None,
+        pairs=None,
+    ):
+        """Synthesize an N-part ensemble with batched device inference.
+
+        For a multitrack (cross-conditioned) pack this runs the paper's
+        pairwise pipeline: every track is the MAIN track of one pair,
+        conditioned on a sub track (``pairs[i]``, default the next track in
+        a ring), and all N pairs run through the joint timelag/duration/
+        acoustic models as single (N, T, D) batches
+        (reference nnsvs/bin/synthesis_multitrack.py:30-289, svs.py:619-746).
+        For single-track packs, timing/acoustic/vocoder are batched across
+        the independent tracks.
+
+        Returns (list of wavs, sample_rate).
+        """
+        start = time.time()
+        if self.is_multitrack:
+            N = len(labels_list)
+            if spk_ids is None:
+                spk_ids = list(range(N))
+            if pairs is None:
+                pairs = [(i + 1) % N for i in range(N)]
+            duration_modified = gen_multitrack.predict_timing_multitrack_batch(
+                [lab.copy() for lab in labels_list],
+                spk_ids,
+                pairs,
+                self.binary_dict,
+                self.numeric_dict,
+                self.timelag_model,
+                self.in_timelag_scaler,
+                self.out_timelag_scaler,
+                self.duration_model,
+                self.in_duration_scaler,
+                self.out_duration_scaler,
+                frame_period=self.frame_period,
+            )
+            feats = self._frame_features(duration_modified)
+            t_timing = time.time()
+            import jax.numpy as jnp
+
+            spks = (
+                jnp.asarray([spk_ids[i] for i in range(N)], jnp.int32),
+                jnp.asarray([spk_ids[pairs[i]] for i in range(N)], jnp.int32),
+            )
+            preds = self.acoustic_model.inference_batch(
+                feats, spks=spks, xs_sub=[feats[pairs[i]] for i in range(N)]
+            )
+            t_acoustic = time.time()
+            # multitrack inference returns (out_main, out_sub); each track
+            # appears exactly once as main, so keep the main output
+            acoustics = [
+                gen._denorm_and_mlpg(
+                    p[0] if isinstance(p, tuple) else p,
+                    self.out_acoustic_scaler,
+                    self.acoustic_model.config,
+                    False,
+                )
+                for p in preds
+            ]
+        else:
+            duration_modified = gen.predict_timing_batch(
+                labels_list,
+                self.binary_dict,
+                self.numeric_dict,
+                self.timelag_model,
+                self.in_timelag_scaler,
+                self.out_timelag_scaler,
+                self.duration_model,
+                self.in_duration_scaler,
+                self.out_duration_scaler,
+                frame_period=self.frame_period,
+            )
+            feats = self._frame_features(duration_modified)
+            t_timing = time.time()
+            preds = self.acoustic_model.inference_batch(feats)
+            t_acoustic = time.time()
+            is_prob = self.acoustic_model.prediction_type().name in (
+                "PROBABILISTIC",
+                "MULTISTREAM_HYBRID",
+            )
+            acoustics = [
+                gen._denorm_and_mlpg(
+                    p, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
+                )
+                for p in preds
             ]
 
-        total = time.time() - start
+        streams_list = self._postprocess_batch(
+            duration_modified, acoustics, post_filter_type
+        )
+        t_post = time.time()
+        outs = self._batched_vocoder(streams_list, vocoder_type, vuv_threshold, dtype)
+        t_end = time.time()
+
+        total = t_end - start
         dur = max(len(w) for w in outs) / self.sample_rate
         self.last_rtf = total / dur
+        self.last_stage_times = {
+            "timing_feats": t_timing - start,
+            "acoustic": t_acoustic - t_timing,
+            "postproc": t_post - t_acoustic,
+            "vocoder": t_end - t_post,
+        }
+        if getattr(self, "_t_vocoder_device_done", None):
+            self.last_stage_times["vocoder_device"] = (
+                self._t_vocoder_device_done - t_post
+            )
+            self.last_stage_times["vocoder_d2h"] = (
+                t_end - self._t_vocoder_device_done
+            )
         self.logger.info(
-            "ensemble stages: timing+feats %.3fs, acoustic %.3fs, "
-            "postproc %.3fs, vocoder %.3fs",
-            t_timing - start,
-            t_acoustic - t_timing,
-            t_post - t_acoustic,
-            time.time() - t_post,
+            "ensemble stages: %s",
+            ", ".join(f"{k} {v:.3f}s" for k, v in self.last_stage_times.items()),
         )
         self.logger.info(
             "ensemble: %d parts, %.2f s audio, total %.3f s, RTF %.4f",

@@ -1,0 +1,129 @@
+"""Engine-level ensemble synthesis tests (CPU, tiny models).
+
+Covers the two paths the headline benchmark exercises:
+- single-track packs batched across N independent tracks
+- multitrack (cross-conditioned) packs running the paper's pairwise
+  pipeline (reference nnsvs/bin/synthesis_multitrack.py:30-289,
+  nnsvs/svs.py:619-746)
+plus segmented_synthesis (reference svs.py segment_labels path).
+"""
+
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.svs import SPSVS
+from tests.util import build_tiny_multitrack_packed_model, build_tiny_packed_model
+
+SR = 24000
+
+
+@pytest.fixture
+def short_labels(reference_data_dir):
+    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    n = 0
+    for i, e in enumerate(labels.end_times):
+        if e > 7 * 1e7:
+            n = i
+            break
+    return labels[: max(n, 10)]
+
+
+@pytest.fixture(scope="module")
+def mt_engine(tmp_path_factory):
+    model_dir = tmp_path_factory.mktemp("packed_mt")
+    build_tiny_multitrack_packed_model(model_dir, sr=SR)
+    return SPSVS(model_dir, verbose=1)
+
+
+@pytest.fixture(scope="module")
+def st_engine(tmp_path_factory):
+    model_dir = tmp_path_factory.mktemp("packed_st")
+    build_tiny_packed_model(model_dir, sr=SR)
+    return SPSVS(model_dir, verbose=1)
+
+
+def test_multitrack_pack_detection(mt_engine, st_engine):
+    assert mt_engine.is_multitrack
+    assert mt_engine.spk_list == ["spk0", "spk1"]
+    assert not st_engine.is_multitrack
+
+
+def test_svs_ensemble_multitrack(mt_engine, short_labels):
+    """2-singer ensemble through a packed multitrack model: each track is
+    the main track of one cross-conditioned pair."""
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    wavs, sr = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    assert sr == SR
+    assert len(wavs) == 2
+    for wav in wavs:
+        assert wav.dtype == np.int16
+        assert len(wav) > sr
+        assert np.isfinite(wav.astype(np.float64)).all()
+        assert np.abs(wav.astype(np.int64)).max() > 0
+    # stage timings recorded for the benchmark JSON
+    assert set(mt_engine.last_stage_times) >= {
+        "timing_feats", "acoustic", "postproc", "vocoder",
+    }
+
+
+def test_svs_ensemble_multitrack_explicit_pairs(mt_engine, short_labels):
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    wavs, _ = mt_engine.svs_ensemble(
+        labels_list, spk_ids=[1, 0], pairs=[1, 0]
+    )
+    assert len(wavs) == 2
+
+
+def test_svs_raises_on_multitrack_pack(mt_engine, short_labels):
+    with pytest.raises(ValueError, match="multitrack"):
+        mt_engine.svs(short_labels)
+
+
+def test_svs_ensemble_singletrack(st_engine, short_labels):
+    """Ensemble of 3 independent tracks batches through the single-track
+    acoustic model + fused WORLD vocoder."""
+    wavs, sr = st_engine.svs_ensemble([short_labels.copy() for _ in range(3)])
+    assert sr == SR
+    assert len(wavs) == 3
+    for wav in wavs:
+        assert wav.dtype == np.int16
+        assert np.abs(wav.astype(np.int64)).max() > 0
+    # identical inputs -> identical acoustic predictions (batching must not
+    # leak between rows; the vocoder itself draws per-row aperiodicity
+    # noise, so waveforms are compared upstream of it)
+    assert len(wavs[0]) == len(wavs[1]) == len(wavs[2])
+    mod = st_engine.predict_timing(short_labels.copy())
+    feats = st_engine._frame_features([mod.copy(), mod.copy()])
+    preds = st_engine.acoustic_model.inference_batch(feats)
+    np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(preds[1]))
+
+
+def test_svs_ensemble_float_dtype(st_engine, short_labels):
+    wavs, _ = st_engine.svs_ensemble(
+        [short_labels.copy(), short_labels.copy()], dtype=np.float32
+    )
+    assert all(w.dtype != np.int16 for w in wavs)
+
+
+def test_segmented_synthesis(st_engine, reference_data_dir):
+    """segmented_synthesis splits long songs on rests and concatenates the
+    per-segment waveforms (reference svs.py segment_labels path)."""
+    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    # ~12 s prefix: enough to contain internal rests
+    n = 0
+    for i, e in enumerate(labels.end_times):
+        if e > 12 * 1e7:
+            n = i
+            break
+    labels = labels[: max(n, 10)]
+    segs = hts.segment_labels(labels.copy())
+    wav_seg, sr = st_engine.svs(labels.copy(), segmented_synthesis=True)
+    assert sr == SR
+    assert len(wav_seg) > sr
+    assert np.isfinite(wav_seg.astype(np.float64)).all()
+    if len(segs) > 1:
+        # total length is within one segment-boundary rounding of the
+        # unsegmented render
+        wav_full, _ = st_engine.svs(labels.copy(), segmented_synthesis=False)
+        assert abs(len(wav_seg) - len(wav_full)) < sr

@@ -57,6 +57,134 @@ def run_model_contract(model, x, lengths, out_dim, extra_args=(), y=None):
     return variables, fwd, inf
 
 
+def build_tiny_multitrack_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
+    """Pack a tiny random-weight MULTITRACK model (the paper's architecture
+    at toy dims): MultiTrackVariancePredictor MDN timing +
+    MultiTrackMultistreamSeparateF0ParametricModel acoustic with the AR
+    cross-conditioned lf0 decoder (reference recipes/jaCappella_ritsu/
+    dev-48k-world-multitrack/conf/train_acoustic/model/
+    multitrack_acoustic_nnsvs_world_multi_ar_f0.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+    from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+    from ensemble_svs_with_interactions_tpu.utils.scalers import (
+        MinMaxScaler,
+        StandardScaler,
+    )
+
+    pre = "ensemble_svs_with_interactions_tpu.models"
+    ss = [mgc_dim, 1, 1, bap_dim]
+    out_dim = sum(ss)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2),
+        "zoneout": jax.random.PRNGKey(3),
+    }
+
+    timing = {
+        "netG": {
+            "_target_": f"{pre}.MultiTrackVariancePredictor",
+            "in_dim": 82, "out_dim": 1, "num_speaker": 2, "spk_embed_dim": 4,
+            "num_layers": 1, "hidden_dim": 8, "kernel_size": 3,
+            "use_mdn": True, "num_gaussians": 2,
+        },
+        "stream_sizes": [1], "has_dynamic_features": [False], "num_windows": 1,
+    }
+
+    def init_timing(cfg):
+        module = instantiate(cfg["netG"])
+        spks = (jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32))
+        return module.init(
+            rngs, jnp.zeros((1, 8, 164)), spks, jnp.asarray([8]), train=True
+        )
+
+    lf0_kw = dict(
+        in_dim=86, out_dim=1, ff_hidden_dim=8, conv_hidden_dim=8,
+        lstm_hidden_dim=4, num_lstm_layers=1, decoder_layers=1,
+        decoder_hidden_dim=8, prenet_layers=0, prenet_hidden_dim=4,
+        prenet_dropout=0.5, scaled_tanh=True, zoneout=0.0,
+        reduction_factor=4, downsample_by_conv=True,
+        in_lf0_idx=51, out_lf0_idx=0, in_lf0_min=4.5, in_lf0_max=6.5,
+        out_lf0_mean=float(np.log(220.0)), out_lf0_scale=0.1,
+        in_ph_start_idx=3, in_ph_end_idx=50, embed_dim=8,
+    )
+    enc_out = 8
+    dec_kw = dict(in_dim=enc_out + 2, ff_hidden_dim=8, conv_hidden_dim=8,
+                  lstm_hidden_dim=4, num_lstm_layers=1)
+    ac = {
+        "netG": {
+            "_target_": f"{pre}.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
+            "in_dim": 86, "out_dim": out_dim, "stream_sizes": ss,
+            "reduction_factor": 4,
+            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": mgc_dim,
+            "in_lf0_min": 4.5, "in_lf0_max": 6.5,
+            "out_lf0_mean": float(np.log(220.0)), "out_lf0_scale": 0.1,
+            "encoder": {
+                "_target_": f"{pre}.MultiTrackLSTMEncoder",
+                "in_dim": 86, "hidden_dim": 4, "out_dim": enc_out,
+                "num_layers": 1, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
+                "embed_dim": 8,
+            },
+            "lf0_model": {
+                "_target_": f"{pre}.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+                **lf0_kw,
+            },
+            "mgc_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": ss[0]},
+            "vuv_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": ss[2]},
+            "bap_model": {"_target_": f"{pre}.FFConvLSTM", **dec_kw, "out_dim": ss[3]},
+            "speaker_embedding": {
+                "_target_": f"{pre}.SpeakerEmbedding",
+                "num_embeddings": 2, "embedding_dim": 8,
+            },
+        },
+        "stream_sizes": ss,
+        "has_dynamic_features": [False, False, False, False],
+        "num_windows": 1,
+    }
+
+    def init_acoustic(cfg):
+        module = instantiate(cfg["netG"])
+        T = 8
+        spks = (jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32))
+        ys = (jnp.zeros((1, T, out_dim)), jnp.zeros((1, T, out_dim)))
+        return module.init(
+            rngs, jnp.zeros((1, T, 86)), jnp.zeros((1, T, 86)), spks,
+            jnp.asarray([T]), ys, train=True,
+        )
+
+    mean = np.zeros(out_dim)
+    scale = np.ones(out_dim) * 0.1
+    mean[mgc_dim] = np.log(220.0)
+    pack_model(
+        out_dir,
+        {"sample_rate": sr, "frame_period": 5, "feature_type": "world",
+         "use_world_codec": True, "relative_f0": False,
+         "spk_list": ["spk0", "spk1"]},
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        {
+            "timelag": {
+                "model_config": timing, "variables": init_timing(timing),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.zeros(1), np.ones(1) * 4, np.ones(1) * 2),
+            },
+            "duration": {
+                "model_config": timing, "variables": init_timing(timing),
+                "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
+                "out_scaler": StandardScaler(np.ones(1) * 10, np.ones(1) * 4, np.ones(1) * 2),
+            },
+            "acoustic": {
+                "model_config": ac, "variables": init_acoustic(ac),
+                "in_scaler": MinMaxScaler(np.zeros(86), np.ones(86)),
+                "out_scaler": StandardScaler(mean, scale**2, scale),
+            },
+        },
+    )
+    return out_dir
+
+
 def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
     """Pack a tiny random-weight single-track model for CLI/e2e tests."""
     import jax
