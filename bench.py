@@ -1,12 +1,30 @@
-"""Headline benchmark: end-to-end 4-part ensemble synthesis RTF on one chip.
+"""Headline benchmark: the paper's flagship 4-part ensemble pipeline on one chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
+This benchmarks the FULL recipe-size flagship architecture (reference
+recipes/jaCappella_ritsu/dev-48k-world-multitrack/conf/train_acoustic/model/
+multitrack_acoustic_nnsvs_world_multi_ar_f0.yaml):
+
+  * timelag  — MultiTrackVariancePredictor MDN with DELTA windows
+               (exercising MLPG, reference master timelag default)
+  * duration — MultiTrackVariancePredictor MDN (hidden 256, 5 layers)
+  * acoustic — MultiTrackMultistreamSeparateF0ParametricModel:
+               MultiTrackLSTMEncoder (512x3 biLSTM, out 1024),
+               MultiTrackBiLSTMResF0NonAttentiveDecoder (AR lf0 decoder,
+               reduction factor 4), FFConvLSTM mgc/vuv/bap decoders
+  * vocoder  — fused WORLD synthesis kernel (codec + synthesis + highpass
+               + int16 in one jit)
+
+synthesized as a 4-part pairwise cross-conditioned ensemble
+(reference nnsvs/bin/synthesis_multitrack.py:30-289 semantics) via
+SPSVS.svs_ensemble.
+
 Baseline target (BASELINE.md): RTF < 0.05 for a 4-part ensemble on one
 TPU v5e chip.  vs_baseline = 0.05 / measured_rtf (>1 means better than
-target).  The benchmark packs a full-size (48 kHz WORLD, mgc60/bap5)
-model with random weights — runtime cost does not depend on weight values —
-and synthesizes 4 tracks of the bundled ~31 s reference song.
+target).  Weights are random — runtime cost does not depend on weight
+values.  The JSON also carries per-stage wall times (median run) so
+tunnel-latency noise is separable from device compute.
 """
 
 from __future__ import annotations
@@ -20,9 +38,10 @@ from pathlib import Path
 import numpy as np
 
 TARGET_RTF = 0.05
+PKG = "ensemble_svs_with_interactions_tpu"
 
 
-def build_engine(tmpdir: str):
+def build_flagship_engine(tmpdir: str):
     import jax
     import jax.numpy as jnp
 
@@ -36,83 +55,146 @@ def build_engine(tmpdir: str):
 
     SR = 48000
     MGC, BAP = 60, 5
-    # recipe layout (jaCappella multitrack config): no delta features
-    SS = [MGC, 1, 1, BAP]
+    SS = [MGC, 1, 1, BAP]  # recipe stream layout, no acoustic deltas
     OUT = sum(SS)
+    N_SPK = 4
 
-    def init(cfg, in_dim):
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2),
+        "zoneout": jax.random.PRNGKey(3),
+    }
+
+    def init_timing(cfg):
         module = instantiate(cfg["netG"])
+        spks = (jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32))
         return module.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 8, in_dim)),
-            jnp.asarray([8]),
+            rngs, jnp.zeros((1, 8, 164)), spks, jnp.asarray([8]), train=True
         )
 
-    timing_net = {
-        "_target_": "ensemble_svs_with_interactions_tpu.models.MDN",
-        "in_dim": 82,
-        "hidden_dim": 64,
-        "out_dim": 1,
-        "num_gaussians": 4,
-    }
+    # timelag: recipe multitrack_timelag_vp_mdn.yaml dims, with delta
+    # windows on the output (reference master timelag_mdn default) so the
+    # pipeline exercises MLPG
     tl = {
-        "netG": dict(timing_net),
-        "stream_sizes": [1],
-        "has_dynamic_features": [False],
-        "num_windows": 1,
+        "netG": {
+            "_target_": f"{PKG}.models.MultiTrackVariancePredictor",
+            "in_dim": 82, "out_dim": 3, "hidden_dim": 32, "num_layers": 3,
+            "kernel_size": 3, "dropout": 0.5, "use_mdn": True,
+            "num_gaussians": 4, "init_type": "kaiming_normal",
+            "num_speaker": N_SPK, "spk_embed_dim": 16,
+        },
+        "stream_sizes": [3],
+        "has_dynamic_features": [True],
+        "num_windows": 3,
     }
+    # duration: recipe multitrack_duration_vp_mdn.yaml dims (no deltas —
+    # MDN variance scaling needs per-note sigma)
     du = {
-        "netG": dict(timing_net),
+        "netG": {
+            "_target_": f"{PKG}.models.MultiTrackVariancePredictor",
+            "in_dim": 82, "out_dim": 1, "hidden_dim": 256, "num_layers": 5,
+            "kernel_size": 5, "dropout": 0.5, "use_mdn": True,
+            "num_gaussians": 4, "init_type": "kaiming_normal",
+            "num_speaker": N_SPK, "spk_embed_dim": 16,
+        },
         "stream_sizes": [1],
         "has_dynamic_features": [False],
         "num_windows": 1,
     }
+
+    # acoustic: multitrack_acoustic_nnsvs_world_multi_ar_f0.yaml, verbatim dims
+    lf0_model = {
+        "_target_": f"{PKG}.models.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+        "in_dim": 86, "out_dim": 1,
+        "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 256,
+        "ff_hidden_dim": 256, "conv_hidden_dim": 128, "lstm_hidden_dim": 64,
+        "num_lstm_layers": 2, "decoder_layers": 1, "decoder_hidden_dim": 256,
+        "prenet_layers": 0, "prenet_hidden_dim": 16, "prenet_dropout": 0.5,
+        "scaled_tanh": True, "zoneout": 0.0,
+        "reduction_factor": 4, "downsample_by_conv": True,
+        "in_lf0_idx": 51, "out_lf0_idx": 0,
+        "in_lf0_min": 4.72, "in_lf0_max": 6.84,
+        "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
+    }
+    encoder = {
+        "_target_": f"{PKG}.models.MultiTrackLSTMEncoder",
+        "in_dim": 86, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
+        "embed_dim": 256, "hidden_dim": 512, "out_dim": 1024,
+        "num_layers": 3, "dropout": 0.0, "bidirectional": True,
+        "init_type": "kaiming_normal",
+    }
+
+    def ffconvlstm(out_dim, ff, conv, lstm, dropout):
+        return {
+            "_target_": f"{PKG}.models.FFConvLSTM",
+            "in_dim": 1026, "ff_hidden_dim": ff, "conv_hidden_dim": conv,
+            "lstm_hidden_dim": lstm, "num_lstm_layers": 2,
+            "bidirectional": True, "out_dim": out_dim, "dropout": dropout,
+        }
+
     ac = {
         "netG": {
-            "_target_": "ensemble_svs_with_interactions_tpu.models.FFConvLSTM",
-            "in_dim": 86,
-            "ff_hidden_dim": 2048,
-            "conv_hidden_dim": 1024,
-            "lstm_hidden_dim": 256,
-            "out_dim": OUT,
+            "_target_": f"{PKG}.models.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
+            "in_dim": 86, "out_dim": OUT, "stream_sizes": SS,
+            "reduction_factor": 4,
+            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": MGC,
+            "in_lf0_min": 4.72, "in_lf0_max": 6.84,
+            "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
+            "encoder": encoder,
+            "lf0_model": lf0_model,
+            "mgc_model": ffconvlstm(MGC, 1024, 512, 256, 0.1),
+            "vuv_model": ffconvlstm(1, 256, 128, 64, 0.1),
+            "bap_model": ffconvlstm(BAP, 256, 128, 62, 0.0),
+            "speaker_embedding": {
+                "_target_": f"{PKG}.models.SpeakerEmbedding",
+                "num_embeddings": N_SPK, "embedding_dim": 256, "std": 0.01,
+            },
         },
         "stream_sizes": SS,
         "has_dynamic_features": [False, False, False, False],
         "num_windows": 1,
     }
+
+    def init_acoustic(cfg):
+        module = instantiate(cfg["netG"])
+        T = 8
+        spks = (jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32))
+        ys = (jnp.zeros((1, T, OUT)), jnp.zeros((1, T, OUT)))
+        return module.init(
+            rngs, jnp.zeros((1, T, 86)), jnp.zeros((1, T, 86)), spks,
+            jnp.asarray([T]), ys, train=True,
+        )
+
     mean = np.zeros(OUT)
     scale = np.ones(OUT) * 0.1
-    mean[MGC] = np.log(260.0)  # lf0 column
+    mean[MGC] = np.log(260.0)
+    scale[MGC] = 0.24
     pack_model(
         tmpdir,
         {
-            "sample_rate": SR,
-            "frame_period": 5,
-            "feature_type": "world",
-            "use_world_codec": True,
-            "relative_f0": False,
+            "sample_rate": SR, "frame_period": 5, "feature_type": "world",
+            "use_world_codec": True, "relative_f0": False,
+            "spk_list": [f"spk{i}" for i in range(N_SPK)],
         },
         "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
         {
             "timelag": {
-                "model_config": tl,
-                "variables": init(tl, 82),
+                "model_config": tl, "variables": init_timing(tl),
                 "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
                 "out_scaler": StandardScaler(
-                    np.zeros(1), np.ones(1) * 4, np.ones(1) * 2
+                    np.zeros(3), np.ones(3) * 4, np.ones(3) * 2
                 ),
             },
             "duration": {
-                "model_config": du,
-                "variables": init(du, 82),
+                "model_config": du, "variables": init_timing(du),
                 "in_scaler": MinMaxScaler(np.zeros(82), np.ones(82)),
                 "out_scaler": StandardScaler(
                     np.ones(1) * 10, np.ones(1) * 4, np.ones(1) * 2
                 ),
             },
             "acoustic": {
-                "model_config": ac,
-                "variables": init(ac, 86),
+                "model_config": ac, "variables": init_acoustic(ac),
                 "in_scaler": MinMaxScaler(np.zeros(86), np.ones(86)),
                 "out_scaler": StandardScaler(mean, scale**2, scale),
             },
@@ -131,34 +213,43 @@ def main():
         return 1
 
     with tempfile.TemporaryDirectory() as tmpdir:
-        engine = build_engine(tmpdir)
+        engine = build_flagship_engine(tmpdir)
         labels = hts.load(labels_path)
-
-        # warmup: compile every jit in the pipeline
         n_tracks = 4
-        engine.svs_ensemble([labels.copy() for _ in range(n_tracks)])
+        spk_ids = list(range(n_tracks))
 
-        # 4-part ensemble, batched: acoustic inference and the vocoder run
-        # as one (4, T, D) batch so scan latency amortizes over all parts
-        # (the pipeline cost is identical for 4 distinct parts).  Take the
-        # median of 5 runs — host<->TPU tunnel latency in this environment
-        # varies run to run.
-        times = []
+        # warmup: compile every jit in the pipeline (pairwise multitrack
+        # timing, cross-conditioned acoustic batch, fused WORLD vocoder)
+        engine.svs_ensemble(
+            [labels.copy() for _ in range(n_tracks)], spk_ids=spk_ids
+        )
+
+        # Median of 5 runs — host<->TPU tunnel latency in this environment
+        # varies run to run; per-stage times of the median run are reported
+        # so device compute is separable from transfer noise.
+        times, stage_times = [], []
         for _ in range(5):
             t0 = time.time()
             wavs, _ = engine.svs_ensemble(
-                [labels.copy() for _ in range(n_tracks)]
+                [labels.copy() for _ in range(n_tracks)], spk_ids=spk_ids
             )
             times.append(time.time() - t0)
-        elapsed = sorted(times)[len(times) // 2]
-        audio_seconds = len(wavs[0]) / engine.sample_rate  # ensemble duration
+            stage_times.append(dict(engine.last_stage_times))
+        order = int(np.argsort(times)[len(times) // 2])
+        elapsed = times[order]
+        audio_seconds = len(wavs[0]) / engine.sample_rate
         rtf = elapsed / audio_seconds
 
     result = {
-        "metric": "rtf_4part_ensemble_48k",
+        "metric": "rtf_4part_flagship_multitrack_48k",
         "value": round(rtf, 5),
         "unit": "ratio",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "audio_seconds": round(audio_seconds, 2),
+        "all_runs_sec": [round(t, 3) for t in times],
+        "stages_sec": {
+            k: round(v, 3) for k, v in stage_times[order].items()
+        },
     }
     print(json.dumps(result))
     return 0

@@ -5,17 +5,24 @@ Python re-design of the reference's bash orchestration
 (recipes/jaCappella_ritsu/dev-48k-world-multitrack/run.sh:40-74 +
 recipes/_common/spsvs/run_common_steps_dev.sh:5-109).  Stages:
 
-  0  split utterance lists (train_no_dev / dev / eval)
+  -1 corpus data preparation (jaCappella-style multitrack segmentation,
+     song-level splits; cfg.data_prep section)
+  0  split utterance lists (train_no_dev / dev / eval); when
+     cfg.data.lists_dir is set (e.g. written by stage -1), the song-level
+     lists are copied instead of re-split
   1  feature extraction (prepare_features; multitrack adds note times)
   2  fit scalers + normalize features
   3  train time-lag model
   4  train duration model
   5  train acoustic model
   6  pack models into an SPSVS directory
-  7  synthesis smoke run on eval utterances
+  7  synthesis smoke run on eval utterances (pairwise multitrack synthesis
+     when cfg.multitrack, reference run.sh stage 7)
   8  prepare postfilter training pairs (predicted vs GT statics)
   9  train + pack the learned postfilter
   10 prepare vocoder features + train a uSFGAN-family vocoder
+  11 timing evaluation: dump predicted timelag/duration for objective
+     scoring (reference evaluate_timing[_multitrack].sh)
 
 Usage: python -m ...bin.run_recipe recipe.yaml [--stage N] [--stop-stage M]
        [key=value ...]
@@ -42,8 +49,53 @@ from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
 logger = getLogger(verbose=1, name="recipe")
 
 
+def stage_m1_data_prep(cfg: Config, work: Path):
+    """Corpus preparation (reference recipes/_common/db/jaCappella_multi)."""
+    dp = cfg.get("data_prep", None)
+    if not dp:
+        logger.info("stage -1: no cfg.data_prep section, skipping")
+        return
+    from ensemble_svs_with_interactions_tpu.bin.data_prep_multitrack import (
+        prepare_corpus,
+    )
+
+    out_dir = Path(dp.get("out_dir") or (work / "data"))
+    prepare_corpus(
+        dp.corpus_root,
+        out_dir,
+        list(dp.spk_list),
+        silence_threshold=float(dp.get("silence_threshold", 1.0)),
+        force_split_threshold=float(dp.get("force_split_threshold", 8.0)),
+        timelag_allowed_range=tuple(dp.get("timelag_allowed_range", (-20, 19))),
+        timelag_allowed_range_rest=tuple(
+            dp.get("timelag_allowed_range_rest", (-40, 39))
+        ),
+        offset_correction_threshold=float(
+            dp.get("offset_correction_threshold", 0.01)
+        ),
+        dev_songs=list(dp.get("dev_songs", []) or []),
+        eval_songs=list(dp.get("eval_songs", []) or []),
+    )
+    logger.info("stage -1: corpus prepared at %s", out_dir)
+
+
 def stage0_utt_lists(cfg: Config, work: Path):
-    """Split the utterance list into train_no_dev / dev / eval."""
+    """Split the utterance list into train_no_dev / dev / eval.
+
+    When ``cfg.data.lists_dir`` is set (stage -1 writes song-level splits
+    there), the existing lists are copied verbatim — the reference's
+    split_by_song_multitrack keeps all segments of a song in one split.
+    """
+    lists_dir = cfg.data.get("lists_dir", None)
+    if lists_dir:
+        lists = work / "lists"
+        lists.mkdir(parents=True, exist_ok=True)
+        for name in ("train_no_dev", "dev", "eval"):
+            shutil.copyfile(
+                Path(lists_dir) / f"{name}.list", lists / f"{name}.list"
+            )
+        logger.info("stage 0: song-level lists copied from %s", lists_dir)
+        return
     utts = [
         line.strip()
         for line in open(cfg.data.utt_list)
@@ -288,14 +340,64 @@ def stage6_pack(cfg, work):
 
 
 def stage7_synthesis(cfg, work):
-    from ensemble_svs_with_interactions_tpu.bin import synthesis
-
     label_dir = cfg.get_path("synthesis.label_dir") or cfg.timelag_label_dir
     out_dir = work / "synthesis"
-    synthesis.main(
-        [str(work / "packed_model"), str(label_dir), str(out_dir), "--verbose", "1"]
-    )
+    if cfg.get("multitrack", False):
+        # pairwise cross-conditioned synthesis over same-segment singer
+        # pairs (reference run.sh stage 7 -> synthesis_multitrack.sh)
+        from ensemble_svs_with_interactions_tpu.bin import synthesis_multitrack
+
+        spk_names = cfg.get("spk_list", None) or cfg.get("synthesis", {}).get(
+            "spk_names", None
+        )
+        synthesis_multitrack.main(
+            [
+                str(work / "packed_model"),
+                str(label_dir),
+                str(out_dir),
+                "--spk-names",
+                ",".join(spk_names),
+                "--verbose",
+                "1",
+            ]
+        )
+    else:
+        from ensemble_svs_with_interactions_tpu.bin import synthesis
+
+        synthesis.main(
+            [str(work / "packed_model"), str(label_dir), str(out_dir),
+             "--verbose", "1"]
+        )
     logger.info("stage 7: synthesis outputs at %s", out_dir)
+
+
+def stage11_evaluate_timing(cfg, work):
+    """Dump predicted timelag/duration arrays for objective timing eval
+    (reference recipes/_common/spsvs/evaluate_timing[_multitrack].sh)."""
+    ev = cfg.get("timing_eval", None)
+    score_dir = (ev or {}).get("score_label_dir") or cfg.get_path(
+        "synthesis.label_dir"
+    )
+    align_dir = (ev or {}).get("align_label_dir") or score_dir
+    out_dir = work / "timing_eval"
+    argv = [
+        str(work / "packed_model"), str(score_dir), str(align_dir),
+        str(out_dir),
+    ]
+    if cfg.get("multitrack", False):
+        from ensemble_svs_with_interactions_tpu.bin import (
+            evaluate_timing_multitrack,
+        )
+
+        spk_names = cfg.get("spk_list", None)
+        if spk_names:
+            argv += ["--spk-names", ",".join(spk_names)]
+        evaluate_timing_multitrack.main(argv)
+    else:
+        from ensemble_svs_with_interactions_tpu.bin import evaluate_timing
+
+        evaluate_timing.main(argv)
+    logger.info("stage 11: timing dumps at %s", out_dir)
 
 
 def stage8_postfilter_features(cfg, work):
@@ -567,6 +669,7 @@ def stage10_train_vocoder(cfg, work):
 
 
 STAGES = {
+    -1: stage_m1_data_prep,
     0: stage0_utt_lists,
     1: stage1_features,
     2: stage2_scalers,
@@ -578,6 +681,7 @@ STAGES = {
     8: stage8_postfilter_features,
     9: stage9_train_postfilter,
     10: stage10_train_vocoder,
+    11: stage11_evaluate_timing,
 }
 
 

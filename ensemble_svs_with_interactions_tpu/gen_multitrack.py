@@ -95,12 +95,17 @@ def _merged_timing_inference(
     pred = model.inference(x, spks=spks)
     if model.prediction_type() == PredictionType.PROBABILISTIC:
         mu, sigma = pred
+        if np.any(model.config.has_dynamic_features):
+            # MLPG over the MERGED timeline, then un-merge
+            # (reference gen.py:364-411)
+            out = gen._denorm_and_mlpg((mu, sigma), out_scaler, model.config, True)
+            return out[mask0], None, mask0, note_labels0
         sigma_sq = np.maximum(
             np.asarray(sigma) ** 2 * np.asarray(out_scaler.var_), 1e-14
         )
         mu = np.asarray(out_scaler.inverse_transform(np.asarray(mu)))
         return mu[mask0], sigma_sq[mask0], mask0, note_labels0
-    out = np.asarray(out_scaler.inverse_transform(np.asarray(pred)))
+    out = gen._denorm_and_mlpg(pred, out_scaler, model.config, False)
     return out[mask0], None, mask0, note_labels0
 
 
@@ -230,29 +235,33 @@ def predict_timing_multitrack_batch(
     pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
     N = len(labels_list)
 
-    note_labels, note_tl_feats, note_times = [], [], []
-    phone_du_feats, phone_times = [], []
-    for labels in labels_list:
+    def _prep_track(labels):
         labels.frame_shift = hts_frame_shift
         labels.round_()
         nl = labels[hts.get_note_indices(labels)]
-        note_labels.append(nl)
-        note_tl_feats.append(
-            gen._prepare_linguistic_features(
-                nl, binary_dict, numeric_dict, timelag_in_scaler,
-                pitch_indices, False, None, log_f0_conditioning,
-                force_clip_input_features, hts_frame_shift,
-            )
+        tl_feats = gen._prepare_linguistic_features(
+            nl, binary_dict, numeric_dict, timelag_in_scaler,
+            pitch_indices, False, None, log_f0_conditioning,
+            force_clip_input_features, hts_frame_shift,
         )
-        note_times.append(np.asarray(nl.start_times))
-        phone_du_feats.append(
-            gen._prepare_linguistic_features(
-                labels, binary_dict, numeric_dict, duration_in_scaler,
-                pitch_indices, False, None, log_f0_conditioning,
-                force_clip_input_features, hts_frame_shift,
-            )
+        du_feats = gen._prepare_linguistic_features(
+            labels, binary_dict, numeric_dict, duration_in_scaler,
+            pitch_indices, False, None, log_f0_conditioning,
+            force_clip_input_features, hts_frame_shift,
         )
-        phone_times.append(np.asarray(labels.start_times))
+        return nl, tl_feats, np.asarray(nl.start_times), du_feats, np.asarray(
+            labels.start_times
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=N) as ex:
+        prepped = list(ex.map(_prep_track, labels_list))
+    note_labels = [p[0] for p in prepped]
+    note_tl_feats = [p[1] for p in prepped]
+    note_times = [p[2] for p in prepped]
+    phone_du_feats = [p[3] for p in prepped]
+    phone_times = [p[4] for p in prepped]
 
     def _merged_pairs(feats, times):
         xs, masks = [], []
@@ -272,23 +281,25 @@ def predict_timing_multitrack_batch(
         jnp.asarray([spk_ids[pairs[i]] for i in range(N)], jnp.int32),
     )
 
+    # dispatch both timing models before blocking: their device programs
+    # overlap and the host pays one transfer round trip instead of two
     tl_xs, tl_masks = _merged_pairs(note_tl_feats, note_times)
-    tl_preds = timelag_model.inference_batch(tl_xs, spks=spks)
+    tl_future = timelag_model.inference_batch(tl_xs, spks=spks, block=False)
     du_xs, du_masks = _merged_pairs(phone_du_feats, phone_times)
-    du_preds = duration_model.inference_batch(du_xs, spks=spks)
+    du_future = duration_model.inference_batch(du_xs, spks=spks, block=False)
+    tl_preds = tl_future()
+    du_preds = du_future()
 
     tl_prob = timelag_model.prediction_type() == PredictionType.PROBABILISTIC
     du_prob = duration_model.prediction_type() == PredictionType.PROBABILISTIC
 
     outs = []
     for i in range(N):
-        if tl_prob:
-            mu, _sigma = tl_preds[i]
-            lag = np.asarray(timelag_out_scaler.inverse_transform(np.asarray(mu)))
-        else:
-            lag = np.asarray(
-                timelag_out_scaler.inverse_transform(np.asarray(tl_preds[i]))
-            )
+        # MLPG (when delta windows are modeled) runs over the MERGED
+        # timeline before un-merging (reference gen.py:364-411)
+        lag = gen._denorm_and_mlpg(
+            tl_preds[i], timelag_out_scaler, timelag_model.config, tl_prob
+        )
         lag = np.round(lag[tl_masks[i]])
         for idx in range(len(lag)):
             rng = (

@@ -302,6 +302,35 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
     def inference(self, x_main, x_sub, spks=None, lengths=None):
         return self(x_main, x_sub, spks, lengths)
 
+    def inference_main(self, x_main, x_sub, spks=None, lengths=None):
+        """MAIN-track-only inference.
+
+        Pairwise ensemble synthesis uses each track once as the main track
+        and discards the sub-track outputs, so the sub-track encoder/decoder
+        passes in ``__call__`` are pure waste there (~2x compute).  This
+        path computes only lf0/enc/decoders for the main track —
+        numerically identical to ``inference(...)[0]``.
+        """
+        T = x_main.shape[1]
+        spk_m = self._expand_spk(spks[0], T)
+        spk_s = self._expand_spk(spks[1], T)
+        lf0_m, _ = self._lf0(
+            x_main, x_sub, spk_m, spk_s, lengths, None, train=False
+        )
+        if self._encoder is not None:
+            enc_m = self._encoder(
+                x_main, x_sub, spk_embs=(spk_m, spk_s), lengths=lengths,
+                train=False,
+            )
+            rest_m = x_main[:, :, self.in_rest_idx][..., None]
+            enc_m = jnp.concatenate([enc_m, rest_m, lf0_m], axis=-1)
+        else:
+            enc_m = x_main
+        mgc_m = self._mgc(enc_m, lengths, None, train=False)
+        vuv_m = self._vuv(enc_m, lengths, None, train=False)
+        bap_m = self._bap(enc_m, lengths, None, train=False)
+        return jnp.concatenate([mgc_m, lf0_m, vuv_m, bap_m], axis=-1)
+
 
 class MultistreamSeparateF0MelModel(BaseModel):
     """mel + lf0 + vuv multistream model (reference multistream.py:2055)."""

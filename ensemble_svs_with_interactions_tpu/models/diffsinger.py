@@ -369,4 +369,45 @@ class PitchPredictor(BaseModel):
         return jnp.concatenate([lf0, jax.nn.sigmoid(vuv)], axis=-1)
 
 
-PitchExtractor = PitchPredictor
+class PitchExtractor(BaseModel):
+    """Mel -> F0 extractor (reference nnsvs/diffsinger/pe.py:401): a conv
+    mel prenet + residual conv encoder feeding a :class:`PitchPredictor`
+    head; at inference the predicted lf0 is zeroed on frames the UV head
+    marks unvoiced (the reference's ``lf0[uv > 0] = 0`` gating)."""
+
+    in_dim: int = 80
+    hidden_dim: int = 256
+    prenet_layers: int = 3
+    conv_layers: int = 2
+    predictor_layers: int = 5
+    kernel_size: int = 5
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        h = x
+        # mel prenet (pe.py Prenet: conv-relu-norm stack + projection)
+        for _ in range(self.prenet_layers):
+            h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm(epsilon=1e-5)(h)
+        h = nn.Dense(self.hidden_dim)(h)
+        # residual conv encoder (pe.py ConvStacks, res=True)
+        for _ in range(self.conv_layers):
+            r = h
+            h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm(epsilon=1e-5)(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h) + r
+        return PitchPredictor(
+            in_dim=self.hidden_dim,
+            hidden_dim=self.hidden_dim,
+            num_layers=self.predictor_layers,
+            kernel_size=self.kernel_size,
+            dropout=self.dropout,
+        )(h, lengths, train=train)
+
+    def inference(self, x, lengths=None):
+        lf0, vuv = self(x, lengths)
+        voiced = jax.nn.sigmoid(vuv) < 0.5  # uv > 0 -> unvoiced (pe.py:459)
+        return jnp.where(voiced, lf0, 0.0)

@@ -211,34 +211,36 @@ def extract_vibrato_likelihood(
 
 
 def _vibrato_params_for_segment(pitch_seg: np.ndarray, sr: int):
-    """Rate/extent tracks for one vibrato segment (peak-pair method)."""
+    """Per-frame vibrato rate (m_f, Hz) and extent (m_a) tracks for one
+    vibrato segment, via the peak-pair method (Nakano et al. 2006; the
+    reference computes the same quantities per peak/trough pair,
+    nnsvs/pitch.py:190-250).
+
+    Merged-extrema formulation: let p_0 < p_1 < ... < p_{n-1} be the
+    strictly alternating extrema positions (peaks at even indices; a
+    valid vibrato segment starts and ends on a peak).  Then
+      * rate at p_i      = sr / (p_{i+2} - p_i)  — one full cycle spans
+        two same-type extrema — for i <= n-3;
+      * extent at an interior extremum p_i = half the distance between
+        its pitch and the mean of its two neighbors:
+        0.5 * |x[p_i] - (x[p_{i-1}] + x[p_{i+1}]) / 2|.
+    Frames without an extremum keep 0 (interpolated by the caller).
+    """
     hi_pos = argrelmax(pitch_seg)[0]
     lo_pos = argrelmin(pitch_seg)[0]
-    m_a = np.zeros(len(pitch_seg))
-    m_f = np.zeros(len(pitch_seg))
     if len(hi_pos) != len(lo_pos) + 1:
         return None, None
-    hi_diff = np.diff(hi_pos)
-    lo_diff = np.diff(lo_pos)
-    R = np.zeros(len(hi_diff) + len(lo_diff))
-    R[0::2] = hi_diff
-    R[1::2] = lo_diff
-    if len(R) == 0 or (R <= 0).any():
+    pos = np.empty(len(hi_pos) + len(lo_pos), dtype=int)
+    pos[0::2] = hi_pos
+    pos[1::2] = lo_pos
+    if len(pos) < 3 or (np.diff(pos) <= 0).any():
         return None, None
-    f_idx = np.zeros(len(R), dtype=int)
-    f_idx[0::2] = hi_pos[:-1]
-    f_idx[1::2] = lo_pos[:-1]
-    m_f[f_idx] = (1.0 / R) * sr
 
-    hi_pitch = pitch_seg[hi_pos]
-    lo_pitch = pitch_seg[lo_pos]
-    E = np.zeros(len(R))
-    E[0::2] = (hi_pitch[1:] + hi_pitch[:-1]) / 2 - lo_pitch
-    E[1::2] = hi_pitch[1:-1] - (lo_pitch[1:] + lo_pitch[:-1]) / 2
-    a_idx = np.zeros(len(R), dtype=int)
-    a_idx[0::2] = lo_pos
-    a_idx[1::2] = hi_pos[1:-1]
-    m_a[a_idx] = 0.5 * E
+    m_f = np.zeros(len(pitch_seg))
+    m_a = np.zeros(len(pitch_seg))
+    m_f[pos[:-2]] = sr / (pos[2:] - pos[:-2])
+    x = pitch_seg[pos]
+    m_a[pos[1:-1]] = 0.5 * np.abs(x[1:-1] - 0.5 * (x[:-2] + x[2:]))
     return m_a, m_f
 
 

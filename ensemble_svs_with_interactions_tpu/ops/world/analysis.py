@@ -52,16 +52,12 @@ def _frame_positions(n_samples: int, fs: int, frame_period: float) -> np.ndarray
 
 
 def _gather_frames(x: np.ndarray, centers: np.ndarray, length: int) -> np.ndarray:
-    """(T, length) windows of x centered at given sample positions."""
+    """(T, length) windows of x centered at given sample positions;
+    out-of-range samples are zeroed (not edge-replicated)."""
     half = length // 2
     idx = centers[:, None] + np.arange(-half, length - half)[None, :]
-    idx = np.clip(idx, 0, len(x) - 1)
-    out = x[idx]
-    # zero out-of-range samples instead of replicating edges
-    valid = (idx >= 0) & (centers[:, None] + np.arange(-half, length - half) < len(x))
-    lo = centers[:, None] + np.arange(-half, length - half)[None, :]
-    out = np.where((lo >= 0) & (lo < len(x)), out, 0.0)
-    return out
+    out = x[np.clip(idx, 0, len(x) - 1)]
+    return np.where((idx >= 0) & (idx < len(x)), out, 0.0)
 
 
 # --------------------------------------------------------------------------

@@ -21,10 +21,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host wiring (SURVEY.md section 5 item 8; the reference's NCCL
+    ``dist.init_process_group`` at bin/train_acoustic_multitrack.py:639-643).
+
+    With a ``coordinator`` address ("host:port"), joins the multi-host JAX
+    runtime: every host then sees the global device set, the 1-D data mesh
+    spans all hosts, and gradient psums ride ICI within a pod / DCN across
+    pods — no NCCL-style rank logic in the trainers.  ``num_processes`` /
+    ``process_id`` default to the standard cluster-env variables that
+    ``jax.distributed.initialize`` auto-detects.
+
+    No-op (returns process index 0) when no coordinator is given:
+    single-host training paths stay untouched.
+    """
+    if coordinator:
+        kwargs = {}
+        if num_processes is not None:
+            kwargs["num_processes"] = int(num_processes)
+        if process_id is not None:
+            kwargs["process_id"] = int(process_id)
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
+    return jax.process_index()
+
+
 def make_mesh(
     num_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:
-    """Create a mesh over the first ``num_devices`` devices (all if None)."""
+    """Create a mesh over the first ``num_devices`` devices (all if None).
+
+    Under multi-host (``maybe_initialize_distributed``), ``jax.devices()``
+    is the GLOBAL device list, so the data axis spans every host."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]

@@ -504,7 +504,8 @@ class SPSVS(BaseSVS):
     # --------------------------------------------------- ensemble synthesis
     def _frame_features(self, duration_modified):
         """Per-track frame-level linguistic features (threaded: numpy-heavy
-        host work)."""
+        host work).  Returns (normalized model inputs, raw features) —
+        the raw features are reused by postprocessing."""
         from concurrent.futures import ThreadPoolExecutor
 
         hts_frame_shift = int(self.frame_period * 1e4)
@@ -523,29 +524,46 @@ class SPSVS(BaseSVS):
                 True,
                 False,
                 hts_frame_shift,
+                return_raw=True,
             )
 
         with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
-            return list(ex.map(_feat, duration_modified))
+            pairs = list(ex.map(_feat, duration_modified))
+        return [p[0] for p in pairs], [p[1] for p in pairs]
 
-    def _postprocess_batch(self, duration_modified, acoustics, post_filter_type):
+    def _postprocess_batch(
+        self, duration_modified, acoustics, post_filter_type, raw_feats=None
+    ):
         from concurrent.futures import ThreadPoolExecutor
 
-        def _post(lab_ac):
-            lab, acoustic = lab_ac
+        if raw_feats is None:
+            raw_feats = [None] * len(duration_modified)
+
+        def _post(lab_ac_raw):
+            lab, acoustic, raw = lab_ac_raw
             return self.postprocess_acoustic(
-                acoustic, lab, post_filter_type=post_filter_type
+                acoustic,
+                lab,
+                post_filter_type=post_filter_type,
+                linguistic_features=raw,
             )
 
         with ThreadPoolExecutor(max_workers=len(duration_modified)) as ex:
-            return list(ex.map(_post, zip(duration_modified, acoustics)))
+            return list(
+                ex.map(_post, zip(duration_modified, acoustics, raw_feats))
+            )
 
     def _batched_vocoder(self, streams_list, vocoder_type, vuv_threshold, dtype):
-        """All tracks through the fused WORLD kernel as one (N, T, D) batch;
-        quantization + peak norm happen on device to halve D2H bytes."""
+        """All tracks through the fused WORLD kernel, chunked into two
+        dispatches so the device->host transfer of the first chunk overlaps
+        the second chunk's synthesis; quantization + peak norm happen on
+        device to halve D2H bytes."""
+        import jax
+
         from ensemble_svs_with_interactions_tpu.ops import world
 
         if vocoder_type == "world" and self.config.get("use_world_codec", True):
+            N = len(streams_list)
             T_max = max(len(s[0]) for s in streams_list)
             T_pad = gen._round_up(T_max, gen.FRAME_BUCKET)
             packed = []
@@ -561,39 +579,54 @@ class SPSVS(BaseSVS):
                 )
             batch = [np.stack([p[i] for p in packed]) for i in range(4)]
             hop = int(self.sample_rate * self.frame_period / 1000)
-            wav_dev = world.synthesize_from_streams(
-                *batch,
-                self.sample_rate,
-                self.frame_period,
-                vuv_threshold=vuv_threshold,
-                # fold the 70 Hz output high-pass into the kernel so no
-                # host-side Butterworth pass is needed
-                highpass_cutoff=70.0,
+            sample_lengths = np.asarray(
+                [len(s[0]) * hop for s in streams_list], np.int32
             )
-            if dtype in (np.int16, "int16"):
-                sample_lengths = np.asarray(
-                    [len(s[0]) * hop for s in streams_list], np.int32
+            want_int16 = dtype in (np.int16, "int16")
+
+            # two dispatches: while the first half streams back over the
+            # (slow) device->host link, the second half synthesizes on
+            # device (per-track chunks measured slower: B=1 kernels waste
+            # device time than they save in transfer overlap)
+            chunk = (N + 1) // 2 if N >= 4 else N
+            futures = []
+            for c0 in range(0, N, chunk):
+                sub = [b[c0 : c0 + chunk] for b in batch]
+                wav_dev = world.synthesize_from_streams(
+                    *sub,
+                    self.sample_rate,
+                    self.frame_period,
+                    vuv_threshold=vuv_threshold,
+                    # fold the 70 Hz output high-pass into the kernel so no
+                    # host-side Butterworth pass is needed
+                    highpass_cutoff=70.0,
+                    key=jax.random.PRNGKey(c0),
                 )
-                wav_dev = world.quantize_peak_norm_int16(
-                    wav_dev, jnp_lengths(sample_lengths)
-                )
-                wav_dev.block_until_ready()
-                self._t_vocoder_device_done = time.time()
-                wavs = np.asarray(wav_dev)
-                return [
-                    wavs[i, : sample_lengths[i]]
-                    for i in range(len(streams_list))
-                ]
-            wav_dev.block_until_ready()
-            self._t_vocoder_device_done = time.time()
-            wavs = np.asarray(wav_dev)
+                if want_int16:
+                    wav_dev = world.quantize_peak_norm_int16(
+                        wav_dev, jnp_lengths(sample_lengths[c0 : c0 + chunk])
+                    )
+                futures.append(wav_dev)
+
+            wavs = []
+            for i, wav_dev in enumerate(futures):
+                if i == len(futures) - 1:
+                    # all chunks were dispatched up front: once the last one
+                    # is ready, device compute is done (earlier fetches
+                    # overlapped it)
+                    wav_dev.block_until_ready()
+                    self._t_vocoder_device_done = time.time()
+                wavs.append(np.asarray(wav_dev))
+            wavs = np.concatenate(wavs, axis=0)
+            if want_int16:
+                return [wavs[i, : sample_lengths[i]] for i in range(N)]
             return [
                 self.postprocess_waveform(
-                    wavs[i, : len(streams_list[i][0]) * hop],
+                    wavs[i, : sample_lengths[i]],
                     dtype=dtype,
                     skip_bandpass=True,
                 )
-                for i in range(len(streams_list))
+                for i in range(N)
             ]
         self._t_vocoder_device_done = None
         return [
@@ -650,7 +683,8 @@ class SPSVS(BaseSVS):
                 self.out_duration_scaler,
                 frame_period=self.frame_period,
             )
-            feats = self._frame_features(duration_modified)
+            t_timing_device = time.time()
+            feats, raw_feats = self._frame_features(duration_modified)
             t_timing = time.time()
             import jax.numpy as jnp
 
@@ -658,8 +692,18 @@ class SPSVS(BaseSVS):
                 jnp.asarray([spk_ids[i] for i in range(N)], jnp.int32),
                 jnp.asarray([spk_ids[pairs[i]] for i in range(N)], jnp.int32),
             )
+            # each track appears exactly once as MAIN: skip the sub-track
+            # decoder passes when the model offers a main-only entry point
+            method = (
+                "inference_main"
+                if hasattr(self.acoustic_model.module, "inference_main")
+                else "inference"
+            )
             preds = self.acoustic_model.inference_batch(
-                feats, spks=spks, xs_sub=[feats[pairs[i]] for i in range(N)]
+                feats,
+                spks=spks,
+                xs_sub=[feats[pairs[i]] for i in range(N)],
+                method=method,
             )
             t_acoustic = time.time()
             # multitrack inference returns (out_main, out_sub); each track
@@ -686,7 +730,7 @@ class SPSVS(BaseSVS):
                 self.out_duration_scaler,
                 frame_period=self.frame_period,
             )
-            feats = self._frame_features(duration_modified)
+            feats, raw_feats = self._frame_features(duration_modified)
             t_timing = time.time()
             preds = self.acoustic_model.inference_batch(feats)
             t_acoustic = time.time()
@@ -702,7 +746,7 @@ class SPSVS(BaseSVS):
             ]
 
         streams_list = self._postprocess_batch(
-            duration_modified, acoustics, post_filter_type
+            duration_modified, acoustics, post_filter_type, raw_feats=raw_feats
         )
         t_post = time.time()
         outs = self._batched_vocoder(streams_list, vocoder_type, vuv_threshold, dtype)
@@ -717,6 +761,9 @@ class SPSVS(BaseSVS):
             "postproc": t_post - t_acoustic,
             "vocoder": t_end - t_post,
         }
+        if self.is_multitrack:
+            self.last_stage_times["timing_models"] = t_timing_device - start
+            self.last_stage_times["frame_feats"] = t_timing - t_timing_device
         if getattr(self, "_t_vocoder_device_done", None):
             self.last_stage_times["vocoder_device"] = (
                 self._t_vocoder_device_done - t_post

@@ -56,14 +56,27 @@ def _init_multitrack_variables(module, config, acoustic: bool, seed: int = 0):
         x1 = jnp.zeros((B, T, in_dim))
         ys = (jnp.zeros((B, T, out_dim)), jnp.zeros((B, T, out_dim)))
         return module.init(rngs, x0, x1, spks, lengths, ys, train=True)
-    # timing models consume concat(x0, x1)
-    x = jnp.zeros((B, T, in_dim))
+    # timing models consume concat(x0, x1) -> 2*in_dim features
+    # (reference model.py:1246-1247)
+    x = jnp.zeros((B, T, 2 * in_dim))
     return module.init(rngs, x, spks, lengths, train=True)
 
 
 def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float]:
     logger = getLogger(verbose=config.get("verbose", 1), name="train_mt")
     init_seed(int(config.get("seed", 1234)))
+    # multi-host: join the cluster before touching jax.devices()
+    # (reference NCCL init at bin/train_acoustic_multitrack.py:639-643)
+    dist_cfg = dict(config.get("distributed", None) or {})
+    from ensemble_svs_with_interactions_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(
+        dist_cfg.get("coordinator"),
+        dist_cfg.get("num_processes"),
+        dist_cfg.get("process_id"),
+    )
     if config.train.get("use_detect_anomaly", False):
         from ensemble_svs_with_interactions_tpu.utils.profiling import (
             enable_detect_anomaly,

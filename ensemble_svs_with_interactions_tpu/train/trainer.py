@@ -81,6 +81,18 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     """
     logger = getLogger(verbose=config.get("verbose", 1), name="train")
     init_seed(int(config.get("seed", 1234)))
+    # multi-host: join the cluster before touching jax.devices()
+    # (config distributed.coordinator=host:port [num_processes, process_id])
+    dist_cfg = dict(config.get("distributed", None) or {})
+    from ensemble_svs_with_interactions_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(
+        dist_cfg.get("coordinator"),
+        dist_cfg.get("num_processes"),
+        dist_cfg.get("process_id"),
+    )
     if config.train.get("use_detect_anomaly", False):
         from ensemble_svs_with_interactions_tpu.utils.profiling import (
             enable_detect_anomaly,

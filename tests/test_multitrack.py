@@ -221,8 +221,10 @@ def test_multitrack_timing_training(multitrack_dumps, tmp_path):
             },
             "model": {
                 "netG": {
+                    # in_dim is PER-TRACK (reference convention: the model
+                    # consumes concat(x_main, x_sub) = 2*in_dim features)
                     "_target_": "ensemble_svs_with_interactions_tpu.models.MultiTrackVariancePredictor",
-                    "in_dim": 16,
+                    "in_dim": 8,
                     "out_dim": 1,
                     "num_speaker": 2,
                     "spk_embed_dim": 4,

@@ -1,0 +1,269 @@
+"""End-to-end MULTITRACK recipe test: synthetic 2-singer corpus ->
+data prep (stage -1, jaCappella-style synchronized segmentation + song
+splits) -> features -> training with interaction losses -> packing ->
+pairwise multitrack synthesis -> timing evaluation.
+
+Covers the reference multitrack run.sh path
+(/root/reference/recipes/jaCappella_ritsu/dev-48k-world-multitrack/run.sh
+stages -1..7 + evaluate_timing_multitrack.sh)."""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+from scipy.io import wavfile
+
+from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+from ensemble_svs_with_interactions_tpu.io import hts
+
+SR = 24000
+HED = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
+FIXTURES = [
+    "/root/reference/tests/data/nitech_jp_song070_f001_004.lab",
+    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_007.lab",
+    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_010.lab",
+]
+SPKS = ["alto", "soprano"]
+PKG = "ensemble_svs_with_interactions_tpu"
+
+
+def _trim(labels, seconds):
+    n = len(labels)
+    for i, e in enumerate(labels.end_times):
+        if e > seconds * 1e7:
+            n = i
+            break
+    return labels[: max(n, 10)]
+
+
+def _synth_wav(labels, binary_dict, numeric_dict, rng):
+    feats = fe.linguistic_features(
+        labels, binary_dict, numeric_dict, add_frame_features=True,
+        subphone_features="coarse_coding",
+    )
+    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+    midi = feats[:, pitch_idx]
+    f0 = np.where(midi > 0, 440.0 * 2 ** ((midi - 69) / 12), 0.0)
+    hop = SR * 5 // 1000
+    f0s = np.repeat(f0, hop)
+    phase = 2 * np.pi * np.cumsum(f0s) / SR
+    x = np.where(f0s > 0, 0.3 * np.sin(phase) + 0.1 * np.sin(2 * phase),
+                 0.003 * rng.standard_normal(len(f0s)))
+    # tail padding: per-singer alignment shifts can extend past the score
+    x = np.concatenate([x, np.zeros(int(0.3 * SR))])
+    return (x * 32767).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """jaCappella-layout corpus: <root>/<spk>/<song>_{aligned,score}.lab +
+    <song>.wav, 2 singers x 3 songs (song-level splits need >= 3)."""
+    import pathlib
+
+    if not pathlib.Path(HED).exists():
+        pytest.skip("reference fixtures unavailable")
+    root = tmp_path_factory.mktemp("jacappella")
+    binary_dict, numeric_dict = hts.load_question_set(HED)
+    rng = np.random.default_rng(0)
+    for si, spk in enumerate(SPKS):
+        (root / spk).mkdir()
+        for fi, path in enumerate(FIXTURES):
+            song = f"song{fi}"
+            score = _trim(hts.load(path), 8.0)
+            # per-singer alignment: score times shifted by one frame
+            aligned = hts.full_to_mono(score.copy())
+            shift = 50000 * (si + 1)
+            aligned.start_times = [t + shift for t in aligned.start_times]
+            aligned.end_times = [t + shift for t in aligned.end_times]
+            aligned.start_times[0] = score.start_times[0]
+            score.save(root / spk / f"{song}_score.lab")
+            aligned.save(root / spk / f"{song}_aligned.lab")
+            wav = _synth_wav(score, binary_dict, numeric_dict, rng)
+            wavfile.write(root / spk / f"{song}.wav", SR, wav)
+    return root
+
+
+def _model_configs(conf_dir):
+    conf_dir.mkdir(parents=True, exist_ok=True)
+    timing = {
+        "netG": {
+            "_target_": f"{PKG}.models.MultiTrackVariancePredictor",
+            "in_dim": 82, "out_dim": 1, "hidden_dim": 8, "num_layers": 1,
+            "kernel_size": 3, "use_mdn": True, "num_gaussians": 2,
+            "num_speaker": 2, "spk_embed_dim": 4,
+        },
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    ss = [8, 1, 1, 3]
+    enc_out = 8
+    dec = {"in_dim": enc_out + 2, "ff_hidden_dim": 8, "conv_hidden_dim": 8,
+           "lstm_hidden_dim": 4, "num_lstm_layers": 1}
+    acoustic = {
+        "netG": {
+            "_target_": f"{PKG}.models.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
+            "in_dim": 86, "out_dim": sum(ss), "stream_sizes": ss,
+            "reduction_factor": 4,
+            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": ss[0],
+            "in_lf0_min": None, "in_lf0_max": None,
+            "out_lf0_mean": None, "out_lf0_scale": None,
+            "encoder": {
+                "_target_": f"{PKG}.models.MultiTrackLSTMEncoder",
+                "in_dim": 86, "hidden_dim": 4, "out_dim": enc_out,
+                "num_layers": 1, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
+                "embed_dim": 8,
+            },
+            "lf0_model": {
+                "_target_": f"{PKG}.models.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+                "in_dim": 86, "out_dim": 1, "ff_hidden_dim": 8,
+                "conv_hidden_dim": 8, "lstm_hidden_dim": 4,
+                "num_lstm_layers": 1, "decoder_layers": 1,
+                "decoder_hidden_dim": 8, "prenet_layers": 0,
+                "prenet_hidden_dim": 4, "prenet_dropout": 0.5,
+                "scaled_tanh": True, "zoneout": 0.0, "reduction_factor": 4,
+                "downsample_by_conv": True, "in_lf0_idx": 51,
+                "out_lf0_idx": 0, "in_lf0_min": None, "in_lf0_max": None,
+                "out_lf0_mean": None, "out_lf0_scale": None,
+                "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 8,
+            },
+            "mgc_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
+                          "out_dim": ss[0]},
+            "vuv_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
+                          "out_dim": 1},
+            "bap_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
+                          "out_dim": ss[3]},
+            "speaker_embedding": {
+                "_target_": f"{PKG}.models.SpeakerEmbedding",
+                "num_embeddings": 2, "embedding_dim": 8,
+            },
+        },
+        "stream_sizes": ss,
+        "has_dynamic_features": [False, False, False, False],
+        "num_windows": 1,
+    }
+    for name, cfg in (("timelag", timing), ("duration", timing),
+                      ("acoustic", acoustic)):
+        with open(conf_dir / f"{name}.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+
+def test_multitrack_recipe(corpus, tmp_path):
+    from ensemble_svs_with_interactions_tpu.bin.run_recipe import main
+
+    work = tmp_path / "work"
+    conf = tmp_path / "conf"
+    _model_configs(conf)
+    data_dir = work / "data"
+    train_common = {
+        "nepochs": 2,
+        "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}}},
+    }
+    mt_data = {"spk_names": SPKS}
+    recipe = {
+        "seed": 1234,
+        "verbose": 0,
+        "work_dir": str(work),
+        "question_path": HED,
+        "multitrack": True,
+        "spk_list": SPKS,
+        "data_prep": {
+            "corpus_root": str(corpus),
+            "out_dir": str(data_dir),
+            "spk_list": SPKS,
+            "silence_threshold": 0.4,
+            "force_split_threshold": 5.0,
+            "dev_songs": ["song1"],
+            "eval_songs": ["song2"],
+        },
+        "data": {"lists_dir": str(data_dir / "lists")},
+        "features": {
+            "n_jobs": 1,
+            "timelag": {
+                "label_phone_score_dir": str(data_dir / "timelag/label_phone_score"),
+                "label_phone_align_dir": str(data_dir / "timelag/label_phone_align"),
+            },
+            "duration": {"label_dir": str(data_dir / "duration/label_phone_align")},
+            "acoustic": {
+                "wav_dir": str(data_dir / "acoustic/wav"),
+                "label_dir": str(data_dir / "acoustic/label_phone_align"),
+                "params": {
+                    "sample_rate": SR,
+                    "f0_extractor": "dio",
+                    "f0_floor": 120,
+                    "f0_ceil": 700,
+                    "mgc_order": 7,
+                    "use_world_codec": True,
+                    "relative_f0": False,
+                    "dynamic_features_flags": [False, False, False, False],
+                },
+            },
+        },
+        "timelag": {
+            "model_config": str(conf / "timelag.yaml"),
+            "train": train_common, "data": mt_data,
+        },
+        "duration": {
+            "model_config": str(conf / "duration.yaml"),
+            "train": train_common, "data": mt_data,
+        },
+        "acoustic": {
+            "model_config": str(conf / "acoustic.yaml"),
+            "train": {**train_common, "pitch_reg_weight": 1.0,
+                      "logf0_diff_weight": 1.0, "mgc_diff_weight": 1.0},
+            "data": {**mt_data, "time_multiple": 32},
+        },
+        "synthesis": {
+            "label_dir": str(data_dir / "acoustic/label_phone_score"),
+        },
+        "timing_eval": {
+            "score_label_dir": str(data_dir / "acoustic/label_phone_score"),
+            "align_label_dir": str(data_dir / "acoustic/label_phone_align"),
+        },
+    }
+    recipe_path = tmp_path / "recipe.yaml"
+    with open(recipe_path, "w") as f:
+        yaml.safe_dump(recipe, f)
+
+    assert main([str(recipe_path), "--stage", "-1", "--stop-stage", "7"]) == 0
+
+    # stage -1 wrote the synchronized per-phase corpus + song-level lists
+    assert len(list((data_dir / "acoustic/wav").glob("*.wav"))) >= 4
+    assert len(list((data_dir / "timelag/label_phone_align").glob("*.lab"))) >= 4
+    lists = (data_dir / "lists")
+    train_list = (lists / "train_no_dev.list").read_text().split()
+    dev_list = (lists / "dev.list").read_text().split()
+    eval_list = (lists / "eval.list").read_text().split()
+    assert train_list and dev_list and eval_list
+    # song-level split: no song appears in two splits
+    songs = lambda us: {u.split("_")[1] for u in us}  # noqa: E731
+    assert not (songs(train_list) & songs(dev_list) & songs(eval_list))
+    assert songs(dev_list) == {"song1"} and songs(eval_list) == {"song2"}
+    # every split keeps both singers paired on the same segments
+    segs = lambda us: {u.split("_", 1)[1] for u in us}  # noqa: E731
+    for us in (train_list, dev_list, eval_list):
+        for seg in segs(us):
+            assert {f"{s}_{seg}" for s in SPKS} <= set(us)
+
+    # interaction losses were trained (logged per epoch)
+    metrics = work / "exp" / "acoustic" / "metrics.jsonl"
+    assert metrics.exists()
+    keys = set()
+    for line in metrics.read_text().splitlines():
+        keys |= set(json.loads(line).keys())
+    assert any("LogF0_Interaction" in k for k in keys), keys
+    assert any("MGC-0th_Interaction" in k for k in keys), keys
+
+    # stage 7 produced paired wavs + timing dumps (pairwise multitrack)
+    wavs = sorted((work / "synthesis" / "wav").glob("*_with_*.wav"))
+    assert len(wavs) >= 2
+    sr, x = wavfile.read(wavs[0])
+    assert sr == SR and np.abs(x.astype(np.int64)).max() > 0
+    assert len(list((work / "synthesis" / "timelag").glob("*.npy"))) >= 2
+    assert len(list((work / "synthesis" / "duration").glob("*.npy"))) >= 2
+
+    # stage 11: timing evaluation dumps
+    assert main([str(recipe_path), "--stage", "11", "--stop-stage", "11"]) == 0
+    assert (work / "timing_eval").exists()
+    assert len(list((work / "timing_eval").rglob("*.npy"))) >= 2

@@ -94,7 +94,7 @@ def test_svs_ensemble_singletrack(st_engine, short_labels):
     # noise, so waveforms are compared upstream of it)
     assert len(wavs[0]) == len(wavs[1]) == len(wavs[2])
     mod = st_engine.predict_timing(short_labels.copy())
-    feats = st_engine._frame_features([mod.copy(), mod.copy()])
+    feats, _raw = st_engine._frame_features([mod.copy(), mod.copy()])
     preds = st_engine.acoustic_model.inference_batch(feats)
     np.testing.assert_allclose(np.asarray(preds[0]), np.asarray(preds[1]))
 
