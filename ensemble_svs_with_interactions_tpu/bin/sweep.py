@@ -1,16 +1,23 @@
 """Hyperparameter sweep over training configs.
 
 Equivalent of the reference's hydra-sweeper/optuna setup
-(/root/reference/nnsvs/bin/conf/train/config.yaml:7-17: TPE sampler,
-minimize dev loss).  Optuna is not available in this environment, so this
-implements the search loop first-party: grid search over explicit lists,
-or random search over (log-)uniform ranges, minimizing the dev ``Loss``
-reported by the trainer.  Trials and the winner are written to
-``<out_dir>/sweep_results.jsonl`` / ``best_trial.yaml``.
+(/root/reference/nnsvs/bin/conf/train/config.yaml:7-17 and
+recipes/.../config.yaml:100-112: TPE sampler, minimize dev loss).  Optuna
+is not available in this environment, so the search loop is first-party:
+grid search over explicit lists, random search over (log-)uniform ranges,
+or ``tpe`` — a Tree-structured Parzen Estimator (Bergstra et al. 2011,
+the sampler Optuna defaults to): after ``n_startup`` random trials, each
+parameter's observations are split into the best gamma-quantile ("good")
+and the rest ("bad"), Parzen densities l(x)/g(x) are built over each set,
+and the next point maximizes the density ratio over ``n_ei_candidates``
+draws from l — minimizing the dev ``Loss`` reported by the trainer.
+Trials and the winner are written to ``<out_dir>/sweep_results.jsonl`` /
+``best_trial.yaml``.
 
 Sweep spec (YAML):
-  n_trials: 8            # random mode only; grid mode runs the full grid
-  mode: random           # random | grid
+  n_trials: 8            # random/tpe; grid mode runs the full grid
+  mode: tpe              # tpe | random | grid
+  n_startup: 5           # tpe: random warmup trials
   params:
     train.optim.optimizer.params.lr: {low: 1e-4, high: 1e-2, log: true}
     model.netG.hidden_dim: [32, 64, 128]
@@ -80,12 +87,119 @@ def sample_trials(spec: dict, seed: int = 123):
         yield trial
 
 
-def run_sweep(base: Config, spec: dict, multitrack: bool, acoustic: bool):
+class TPESampler:
+    """Minimal Tree-structured Parzen Estimator for the sweep spec above.
+
+    Numeric params use Parzen (Gaussian-kernel) densities in the search
+    space (log-space when ``log: true``) with Scott's-rule bandwidths
+    floored at 1/10 of the range; list params use smoothed categorical
+    frequencies.  Next point = argmax l(x)/g(x) over ``n_ei_candidates``
+    samples drawn from l (the good-trial density).
+    """
+
+    def __init__(self, params: dict, seed: int = 123, gamma: float = 0.25,
+                 n_startup: int = 5, n_ei_candidates: int = 24):
+        self.params = params
+        self.rng = np.random.default_rng(seed)
+        self.gamma = gamma
+        self.n_startup = n_startup
+        self.n_ei = n_ei_candidates
+        self.history: list = []  # (trial dict, loss)
+
+    def tell(self, trial: dict, loss: float):
+        if np.isfinite(loss):
+            self.history.append((trial, float(loss)))
+
+    # ---- per-parameter density machinery ---------------------------------
+    def _numeric_space(self, v):
+        lo, hi = float(v["low"]), float(v["high"])
+        if v.get("log", False):
+            return np.log(lo), np.log(hi), True
+        return lo, hi, False
+
+    def _sample_random(self):
+        trial = {}
+        for name, v in self.params.items():
+            if isinstance(v, (list, tuple)):
+                trial[name] = v[int(self.rng.integers(len(v)))]
+            else:
+                lo, hi, is_log = self._numeric_space(v)
+                x = float(self.rng.uniform(lo, hi))
+                x = float(np.exp(x)) if is_log else x
+                trial[name] = int(round(x)) if v.get("int", False) else x
+        return trial
+
+    @staticmethod
+    def _parzen_logpdf(x, obs, bw, lo, hi):
+        """log density of a uniform-floored Parzen mixture at x."""
+        if len(obs) == 0:
+            return np.full(np.shape(x), -np.log(hi - lo + 1e-12))
+        x = np.asarray(x)[..., None]
+        comp = (
+            -0.5 * ((x - obs[None, :]) / bw) ** 2
+            - np.log(bw * np.sqrt(2 * np.pi))
+        )
+        # mix with a uniform floor so g never vanishes inside the range
+        m = np.logaddexp.reduce(comp, axis=-1) - np.log(len(obs))
+        return np.logaddexp(m + np.log(0.9), np.log(0.1 / (hi - lo + 1e-12)))
+
+    def ask(self) -> dict:
+        if len(self.history) < self.n_startup:
+            return self._sample_random()
+        losses = np.asarray([l for _, l in self.history])
+        n_good = max(1, int(np.ceil(self.gamma * len(losses))))
+        good_idx = set(np.argsort(losses)[:n_good].tolist())
+
+        trial = {}
+        for name, v in self.params.items():
+            good = [t[name] for i, (t, _) in enumerate(self.history)
+                    if i in good_idx]
+            bad = [t[name] for i, (t, _) in enumerate(self.history)
+                   if i not in good_idx]
+            if isinstance(v, (list, tuple)):
+                choices = list(v)
+                pg = np.array(
+                    [1.0 + sum(g == c for g in good) for c in choices]
+                )
+                pb = np.array(
+                    [1.0 + sum(b == c for b in bad) for c in choices]
+                )
+                pg /= pg.sum()
+                pb /= pb.sum()
+                cand = self.rng.choice(len(choices), size=self.n_ei, p=pg)
+                best = cand[np.argmax(np.log(pg[cand]) - np.log(pb[cand]))]
+                trial[name] = choices[int(best)]
+            else:
+                lo, hi, is_log = self._numeric_space(v)
+                xf = lambda u: np.log(u) if is_log else u  # noqa: E731
+                g_obs = np.asarray([xf(u) for u in good])
+                b_obs = np.asarray([xf(u) for u in bad])
+                span = hi - lo
+                bw_g = max(span / 10.0, span * len(g_obs) ** -0.2 / 5.0)
+                bw_b = max(span / 10.0, span * max(len(b_obs), 1) ** -0.2 / 5.0)
+                # draw candidates from l: pick a good obs + kernel noise
+                centers = g_obs[self.rng.integers(len(g_obs), size=self.n_ei)]
+                cand = np.clip(
+                    centers + self.rng.normal(0, bw_g, self.n_ei), lo, hi
+                )
+                score = self._parzen_logpdf(
+                    cand, g_obs, bw_g, lo, hi
+                ) - self._parzen_logpdf(cand, b_obs, bw_b, lo, hi)
+                x = float(cand[np.argmax(score)])
+                x = float(np.exp(x)) if is_log else x
+                trial[name] = int(round(x)) if v.get("int", False) else x
+        return trial
+
+
+def run_sweep(base: Config, spec: dict, multitrack: bool, acoustic: bool,
+              train_fn=None):
     out_dir = Path(base.train.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     results_path = out_dir / "sweep_results.jsonl"
 
-    if multitrack:
+    if train_fn is not None:
+        _train = train_fn
+    elif multitrack:
         from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
             train_multitrack_model,
         )
@@ -99,9 +213,23 @@ def run_sweep(base: Config, spec: dict, multitrack: bool, acoustic: bool):
         def _train(cfg):
             return train_model(cfg, is_acoustic=acoustic)
 
+    mode = spec.get("mode", "random")
+    sampler = None
+    if mode == "tpe":
+        sampler = TPESampler(
+            spec["params"],
+            seed=int(spec.get("seed", 123)),
+            gamma=float(spec.get("gamma", 0.25)),
+            n_startup=int(spec.get("n_startup", 5)),
+            n_ei_candidates=int(spec.get("n_ei_candidates", 24)),
+        )
+        trial_iter = (sampler.ask() for _ in range(int(spec.get("n_trials", 10))))
+    else:
+        trial_iter = sample_trials(spec)
+
     best = (float("inf"), None, None)
     with open(results_path, "w") as f:
-        for i, trial in enumerate(sample_trials(spec)):
+        for i, trial in enumerate(trial_iter):
             overrides: dict = {}
             for name, value in trial.items():
                 _set_path(overrides, name, value)
@@ -109,6 +237,8 @@ def run_sweep(base: Config, spec: dict, multitrack: bool, acoustic: bool):
             cfg = merge(base, overrides)
             metrics = _train(cfg)
             loss = float(metrics.get("Loss", float("nan")))
+            if sampler is not None:
+                sampler.tell(trial, loss)
             row = {"trial": i, "params": trial, "dev_loss": loss}
             f.write(json.dumps(row) + "\n")
             f.flush()

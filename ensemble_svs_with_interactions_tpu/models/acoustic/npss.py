@@ -203,7 +203,21 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
             e = e[:, None, :]
         return jnp.broadcast_to(e, (e.shape[0], T, e.shape[-1]))
 
-    def _one_track(self, x, x_other, spk_e, spk_e_other, lengths, y, train):
+    @staticmethod
+    def _dec(mod, x, lengths, y, spk_e, train):
+        """Call a stream decoder, passing spk_embs only when its signature
+        accepts speaker conditioning (the reference always forwards
+        spk_embs, :1685-1737, but its configs pair this class with
+        spk-capable decoders; plain FFN/MDN decoders remain usable)."""
+        import inspect
+
+        if "spk_embs" in inspect.signature(mod.__call__).parameters:
+            return mod(x, lengths, y, spk_embs=spk_e, train=train)
+        return mod(x, lengths, y, train=train)
+
+    def _main_cascade(self, x, x_other, spk_e, spk_e_other, lengths, y, train):
+        """The full cascade for one track, speaker-conditioned sub-decoders
+        (reference forward :1685-1737 passes spk_embs to mgc/bap/vuv)."""
         is_inference = y is None
         if is_inference:
             y_mgc = y_lf0 = y_vuv = y_bap = None
@@ -213,51 +227,66 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
             x, x_other, spk_e, spk_e_other, lengths, y_lf0, train=train
         )
         cond_lf0 = lf0 if is_inference else y_lf0
-        mgc = self._mgc(
-            jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, train=train
+        mgc = self._dec(
+            self._mgc, jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc,
+            spk_e, train,
         )
-        bap = self._bap(
-            jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, train=train
+        bap = self._dec(
+            self._bap, jnp.concatenate([x, cond_lf0], -1), lengths, y_bap,
+            spk_e, train,
         )
         if is_inference:
             vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), lf0)
         else:
             vuv_inp = self._vuv_inputs(x, y_mgc, y_bap, y_lf0)
-        vuv = self._vuv(vuv_inp, lengths, y_vuv, train=train)
+        vuv = self._dec(self._vuv, vuv_inp, lengths, y_vuv, spk_e, train)
         return mgc, lf0, vuv, bap, lf0_residual
 
     def __call__(
         self, x_main, x_sub, spks_list, lengths=None, ys=None, train: bool = False
     ):
+        """Mirrors reference forward :1594-1768: the full cascade runs only
+        for the MAIN track; the sub track contributes its cross-conditioned
+        lf0 prediction (for the interaction losses), its other streams
+        come back as the teacher targets.  At inference the reference
+        returns ``(out, out)`` — the sub slot is a copy of the main output.
+
+        Deviation kept on purpose: the reference trains the AR lf0 model
+        free-running here (forward :1646-1651 omits y); we teacher-force
+        it like every other trainer path.
+        """
         is_inference = ys is None
         T = x_main.shape[1]
         e_m = self._expand(spks_list[0], T)
         e_s = self._expand(spks_list[1], T)
         y_m = None if ys is None else ys[0]
-        mgc, lf0, vuv, bap, res_m = self._one_track(
+        mgc, lf0, vuv, bap, res_m = self._main_cascade(
             x_main, x_sub, e_m, e_s, lengths, y_m, train
         )
         if is_inference:
             out_m = jnp.concatenate([_point(mgc), lf0, vuv, _point(bap)], -1)
-            if not self.output_subtrack:
-                return out_m, None
-            mgc_s, lf0_s, vuv_s, bap_s, _ = self._one_track(
-                x_sub, x_main, e_s, e_m, lengths, None, train
-            )
-            out_s = jnp.concatenate(
-                [_point(mgc_s), lf0_s, vuv_s, _point(bap_s)], -1
-            )
-            return out_m, out_s
+            return out_m, out_m
         if not self.output_subtrack:
             return ((mgc, lf0, vuv, bap), res_m), (None, None)
         y_s = ys[1]
-        mgc_s, lf0_s, vuv_s, bap_s, res_s = self._one_track(
-            x_sub, x_main, e_s, e_m, lengths, y_s, train
+        y_mgc_s, y_lf0_s, y_vuv_s, y_bap_s = split_streams(
+            y_s, list(self.stream_sizes)
         )
-        return ((mgc, lf0, vuv, bap), res_m), ((mgc_s, lf0_s, vuv_s, bap_s), res_s)
+        lf0_s, res_s = self._lf0(
+            x_sub, x_main, e_s, e_m, lengths, y_lf0_s, train=train
+        )
+        return ((mgc, lf0, vuv, bap), res_m), (
+            (y_mgc_s, lf0_s, y_vuv_s, y_bap_s),
+            res_s,
+        )
 
     def inference(self, x_main, x_sub, spks=None, lengths=None):
         return self(x_main, x_sub, spks, lengths)
+
+    def inference_main(self, x_main, x_sub, spks=None, lengths=None):
+        """Main-track-only inference (identical to ``inference(...)[0]``;
+        the reference's sub slot is a copy anyway)."""
+        return self(x_main, x_sub, spks, lengths)[0]
 
 
 class V2MultiTrackNPSSMDNMultistreamParametricModel(

@@ -88,9 +88,10 @@ class DiffNet(nn.Module):
         C = self.residual_channels
         x = nn.relu(nn.Conv(C, (1,), name="input_proj")(spec))
         emb = SinusoidalPosEmb(C)(diffusion_step)
-        emb = nn.Dense(C, name="mlp_out")(
-            jax.nn.silu(nn.Dense(C * 4, name="mlp_in")(emb))
-        )
+        h_emb = nn.Dense(C * 4, name="mlp_in")(emb)
+        # Mish, matching the reference step MLP (denoiser.py:9-11,84-86)
+        h_emb = h_emb * jnp.tanh(jax.nn.softplus(h_emb))
+        emb = nn.Dense(C, name="mlp_out")(h_emb)
         skips = []
         for i in range(self.residual_layers):
             x, skip = _DiffResidualBlock(

@@ -184,6 +184,76 @@ def default_windows(num_windows: int = 3) -> List[Window]:
     return windows
 
 
+def _build_banded_system_np(means, precisions, windows: Sequence[Window]):
+    """NumPy twin of :func:`build_banded_system` for the host solver."""
+    coeff_list = window_coeffs(windows)
+    W = len(coeff_list)
+    T = means.shape[0]
+    D = means.shape[1] // W
+    k = 2 * max((len(c) - 1) // 2 for c in coeff_list)
+
+    band = np.zeros((k + 1, T, D), dtype=np.float64)
+    rhs = np.zeros((T, D), dtype=np.float64)
+
+    def shifted(x, j):
+        if j == 0:
+            return x
+        out = np.zeros_like(x)
+        if j > 0:
+            out[j:] = x[:-j]
+        else:
+            out[:j] = x[-j:]
+        return out
+
+    for w, coefs in enumerate(coeff_list):
+        half = (len(coefs) - 1) // 2
+        p_w = precisions[:, w * D : (w + 1) * D]
+        u_w = means[:, w * D : (w + 1) * D]
+        pu_w = p_w * u_w
+        for j in range(-half, half + 1):
+            c_j = float(coefs[j + half])
+            if c_j == 0.0:
+                continue
+            rhs += c_j * shifted(pu_w, j)
+            for delta in range(0, k + 1):
+                jd = j + delta
+                if jd < -half or jd > half:
+                    continue
+                c_jd = float(coefs[jd + half])
+                if c_jd == 0.0:
+                    continue
+                band[delta] += c_j * c_jd * shifted(p_w, j)
+    return band, rhs
+
+
+def _mlpg_host(means, variances, num_windows: int) -> np.ndarray:
+    """Host-side MLPG via LAPACK's SPD banded solver (scipy solveh_banded).
+
+    For inference-pipeline arrays (timing streams of a few hundred notes,
+    acoustic statics of a few thousand frames) this is far cheaper than
+    dispatching the scan kernel to a remote accelerator: the solve itself
+    is microseconds and there is no device round trip.
+    """
+    from scipy.linalg import solveh_banded
+
+    windows = default_windows(num_windows)
+    precisions = 1.0 / np.maximum(np.asarray(variances, np.float64), _VAR_FLOOR)
+    band, rhs = _build_banded_system_np(
+        np.asarray(means, np.float64), precisions, windows
+    )
+    k = band.shape[0] - 1
+    T, D = rhs.shape
+    y = np.empty((T, D))
+    ab = np.zeros((k + 1, T))
+    for d in range(D):
+        for delta in range(k + 1):
+            ab[k - delta, delta:] = band[delta, : T - delta, d]
+            if delta:
+                ab[k - delta, :delta] = 0.0
+        y[:, d] = solveh_banded(ab, rhs[:, d], lower=False)
+    return y
+
+
 def mlpg(means, variances, windows: Sequence[Window] | int = 3):
     """MLPG for a single sequence.
 
@@ -194,17 +264,26 @@ def mlpg(means, variances, windows: Sequence[Window] | int = 3):
 
     Returns:
         (T, D) static trajectory.
+
+    Host NumPy inputs are solved on the host (LAPACK banded Cholesky);
+    device arrays go through the jitted scan kernel so MLPG can live
+    inside larger XLA programs.
     """
     if isinstance(windows, int):
         num_windows = windows
     else:
         num_windows = len(windows)
+    if num_windows == 1:
+        return means
+    if isinstance(means, np.ndarray):
+        v = np.asarray(variances)
+        if v.ndim == 1:
+            v = np.broadcast_to(v[None, :], means.shape)
+        return _mlpg_host(means, v, num_windows)
     means = jnp.asarray(means)
     variances = jnp.asarray(variances)
     if variances.ndim == 1:
         variances = jnp.broadcast_to(variances[None, :], means.shape)
-    if num_windows == 1:
-        return means
     return _mlpg_jit(means, variances, num_windows)
 
 

@@ -142,7 +142,13 @@ def multi_stream_mlpg(
             f"stream sizes {stream_sizes} do not sum to feature dim {D}"
         )
 
-    variances = jnp.asarray(variances)
+    # keep host arrays on the host: mlpg() picks the LAPACK banded solver
+    # for NumPy inputs (no device round trip) and the scan kernel for
+    # device arrays
+    if isinstance(inputs, np.ndarray):
+        variances = np.asarray(variances)
+    else:
+        variances = jnp.asarray(variances)
     per_frame_var = variances.ndim == 2
 
     ret = []

@@ -205,19 +205,104 @@ def dio(
 def harvest(
     x, fs, frame_period: float = 5.0, f0_floor: float = 71.0, f0_ceil: float = 800.0
 ):
-    """Harvest-compatible interface: same estimator with a laxer voicing gate."""
-    return dio(
+    """Harvest-style F0 estimation: higher recall than :func:`dio` plus
+    refined contours.
+
+    Mirrors the structure of WORLD's Harvest (pyworld call site:
+    /root/reference/nnsvs/data/data_source.py:339-349) on top of the shared
+    NCCF candidate front end:
+      1. candidate generation + DP tracking with a LAX voicing gate
+         (Harvest favors recall; unvoiced detection is left to
+         aperiodicity downstream);
+      2. per-frame instantaneous-frequency refinement of the selected
+         contour (Harvest's GetRefinedF0);
+      3. contour fixing: short unvoiced gaps (< 50 ms) between voiced
+         regions whose endpoints agree within one semitone are bridged by
+         log-linear interpolation (Harvest's FixF0Contour connection step).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    f0, t = dio(
         x, fs, frame_period, f0_floor, f0_ceil, voicing_threshold=0.45
     )
+    centers = np.rint(t * fs).astype(np.int64)
+    voiced = f0 > 0
+    if voiced.any():
+        est = _refine_f0_if(x, np.where(voiced, f0, DEFAULT_F0), centers, fs)
+        f0 = np.where(voiced, est, 0.0)
+
+    # ---- contour fixing: bridge short, consistent unvoiced gaps ----------
+    max_gap = max(1, int(round(50.0 / frame_period)))  # 50 ms
+    v = f0 > 0
+    idx = np.where(v)[0]
+    if len(idx) >= 2:
+        gaps = np.where(np.diff(idx) > 1)[0]
+        for g in gaps:
+            a, b = idx[g], idx[g + 1]
+            if (b - a - 1) <= max_gap and abs(
+                np.log2(f0[b] / f0[a])
+            ) <= 1.0 / 12.0:
+                span = np.arange(a + 1, b)
+                f0[span] = np.exp(
+                    np.interp(span, [a, b], np.log([f0[a], f0[b]]))
+                )
+    f0 = np.where((f0 >= f0_floor) & (f0 <= f0_ceil), f0, 0.0)
+    return f0, t
+
+
+def _refine_f0_if(
+    x: np.ndarray,
+    est: np.ndarray,
+    centers: np.ndarray,
+    fs: int,
+    periods: float = 6.0,
+    n_harm: int = 6,
+    iters: int = 2,
+) -> np.ndarray:
+    """Instantaneous-frequency F0 refinement (shared by stonemask/harvest).
+
+    The IF at each harmonic bin is the cross-spectrum phase advance of two
+    DFTs one sample apart; the refined F0 is the power-weighted mean of
+    IF/k over the first ``n_harm`` harmonics.  A ``periods``-long window
+    keeps adjacent-harmonic leakage out of the mainlobe (3-period windows
+    leave ~1.5 Hz frame-to-frame jitter at 440 Hz; 6 periods + iteration
+    leave < 0.1 Hz, below synthesis phase-modulation audibility).
+    """
+    for _ in range(iters):
+        win_len_f = periods * fs / est
+        max_len = int(2 ** np.ceil(np.log2(win_len_f.max() + 2)))
+        seg0 = _gather_frames(x, centers, max_len)
+        seg1 = _gather_frames(x, centers + 1, max_len)
+        offs = np.arange(max_len) - max_len // 2
+        rel = offs[None, :] / (win_len_f[:, None] / 2.0)
+        win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
+        S0 = np.fft.rfft(seg0 * win, axis=1)
+        S1 = np.fft.rfft(seg1 * win, axis=1)
+        inst_cycles = np.angle(np.conj(S0) * S1) / (2 * np.pi) * fs
+
+        num = np.zeros(len(est))
+        den = np.zeros(len(est))
+        freq_per_bin = fs / max_len
+        rows = np.arange(len(est))
+        for k in range(1, n_harm + 1):
+            bins = np.clip(
+                np.rint(k * est / freq_per_bin).astype(np.int64),
+                0,
+                S0.shape[1] - 1,
+            )
+            power = np.abs(S0[rows, bins]) ** 2
+            inst = inst_cycles[rows, bins] / k
+            ok = (inst > 0) & np.isfinite(inst) & (k * est < 0.95 * fs / 2)
+            num += np.where(ok, power * inst, 0.0)
+            den += np.where(ok, power, 0.0)
+        refined = np.where(den > _EPS, num / np.maximum(den, _EPS), est)
+        good = np.abs(refined - est) / est < 0.2
+        est = np.where(good, refined, est)
+    return est
 
 
 def stonemask(x: np.ndarray, f0: np.ndarray, temporal_positions, fs: int):
-    """Refine F0 using harmonic instantaneous frequencies.
-
-    For each voiced frame, the instantaneous frequency at the first
-    harmonics is measured from the phase difference of two DFTs one sample
-    apart; the refined F0 is their amplitude-weighted mean.
-    """
+    """Refine F0 using harmonic instantaneous frequencies (pyworld
+    stonemask's role; estimator described in :func:`_refine_f0_if`)."""
     x = np.asarray(x, dtype=np.float64)
     t = np.asarray(temporal_positions)
     f0 = np.asarray(f0, dtype=np.float64)
@@ -225,41 +310,8 @@ def stonemask(x: np.ndarray, f0: np.ndarray, temporal_positions, fs: int):
     if not voiced.any():
         return f0.copy()
     centers = np.rint(t * fs).astype(np.int64)
-
-    f0_safe = np.where(voiced, f0, DEFAULT_F0)
-    win_len_f = 3.0 * fs / f0_safe
-    max_len = int(2 ** np.ceil(np.log2(win_len_f.max() + 2)))
-
-    seg0 = _gather_frames(x, centers, max_len)
-    seg1 = _gather_frames(x, centers + 1, max_len)
-    offs = np.arange(max_len) - max_len // 2
-    # per-frame Hanning over the pitch-adaptive length, zero outside
-    rel = offs[None, :] / (win_len_f[:, None] / 2.0)
-    win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
-
-    S0 = np.fft.rfft(seg0 * win, axis=1)
-    S1 = np.fft.rfft(seg1 * win, axis=1)
-    # instantaneous frequency per bin from cross-spectrum phase
-    cross = np.conj(S0) * S1
-    inst_cycles = np.angle(cross) / (2 * np.pi) * fs  # Hz per bin
-
-    n_harm = 3
-    num = np.zeros(len(f0))
-    den = np.zeros(len(f0))
-    freq_per_bin = fs / max_len
-    for k in range(1, n_harm + 1):
-        bins = np.rint(k * f0_safe / freq_per_bin).astype(np.int64)
-        bins = np.clip(bins, 0, S0.shape[1] - 1)
-        amp = np.abs(S0[np.arange(len(bins)), bins])
-        inst = inst_cycles[np.arange(len(bins)), bins] / k
-        ok = (inst > 0) & np.isfinite(inst)
-        num += np.where(ok, amp * inst, 0.0)
-        den += np.where(ok, amp, 0.0)
-    refined = np.where(den > _EPS, num / np.maximum(den, _EPS), f0_safe)
-    # reject wild refinements (> 20% off)
-    good = np.abs(refined - f0_safe) / f0_safe < 0.2
-    out = np.where(voiced & good, refined, f0)
-    return np.where(voiced, out, 0.0)
+    est = _refine_f0_if(x, np.where(voiced, f0, DEFAULT_F0), centers, fs)
+    return np.where(voiced, est, 0.0)
 
 
 # --------------------------------------------------------------------------
@@ -368,11 +420,18 @@ def d4c(
 ):
     """Band aperiodicity, (T, fft_size//2+1), linear amplitude ratio [0, 1].
 
-    Per 3 kHz band, the aperiodic-to-total amplitude ratio is estimated from
-    the inter-harmonic valley level relative to the harmonic peak level of a
-    pitch-synchronous spectrum.  Frames whose overall periodicity (peak
-    normalized autocorrelation) is below ``threshold`` are treated as fully
-    aperiodic, mirroring D4C LoveTrain.
+    Comb-cancellation estimator: around each frame, the periodic component
+    is predicted as the mean of the waveform delayed/advanced by +-1 and
+    +-2 exact pitch periods (fractional delays applied as phase ramps in
+    the frequency domain of a long centered segment, so the cancellation
+    is exact for stationary harmonics at ANY f0/fs — no window-leakage
+    floor).  The comb residual contains only the aperiodic part (white
+    noise passes with a known power gain of 1 + 1/K); the per-3kHz-band
+    aperiodicity is sqrt(residual band power / (gain * total band power)).
+    Frames whose periodicity (normalized autocorrelation at the f0 lag)
+    falls below ``threshold`` are treated as fully aperiodic, mirroring
+    D4C LoveTrain (reference call site: pyworld.d4c at
+    /root/reference/nnsvs/data/data_source.py:369).
     """
     x = np.asarray(x, dtype=np.float64)
     f0 = np.asarray(f0, dtype=np.float64)
@@ -386,46 +445,49 @@ def d4c(
 
     voiced = f0 > 0
     f0_safe = np.where(voiced, np.maximum(f0, 3.0 * fs / (fft_size - 3.0)), DEFAULT_F0)
+    period = fs / f0_safe  # samples, fractional
 
-    # pitch-synchronous windowed spectrum (4 periods, Blackman-like Hann)
-    seg = _gather_frames(x, centers, fft_size)
-    offs = np.arange(fft_size) - fft_size // 2
-    half_win_f = 2.0 * fs / f0_safe
-    rel = offs[None, :] / half_win_f[:, None]
-    win = np.where(np.abs(rel) <= 1.0, 0.5 + 0.5 * np.cos(np.pi * rel), 0.0)
-    wave = seg * win
-    wave = wave - win * (
-        wave.sum(axis=1, keepdims=True)
-        / np.maximum(win.sum(axis=1, keepdims=True), _EPS)
-    )
-    ps = np.abs(np.fft.rfft(wave, n=fft_size, axis=1)) ** 2  # (T, half+1)
+    # long segment: must hold the analysis window plus +-2 periods of shift
+    shifts = np.array([-2.0, -1.0, 1.0, 2.0])
+    max_shift = 2.0 * period.max()
+    L_long = int(2 ** np.ceil(np.log2(fft_size + 2 * max_shift + 4)))
+    comb_gain = 1.0 + 1.0 / len(shifts)  # white-noise power gain of x - mean
 
-    freq_per_bin = fs / fft_size
-
-    # harmonic peak level / inter-harmonic valley level per band
-    coarse = np.zeros((T, n_bands))
-    bin_freqs = np.arange(half + 1) * freq_per_bin
+    freqs_long = np.fft.rfftfreq(L_long, d=1.0)  # cycles/sample
+    win = np.hanning(fft_size)
+    lo = (L_long - fft_size) // 2
+    band_masks = []
+    bin_freqs = np.arange(half + 1) * (fs / fft_size)
     for b in range(n_bands):
         f_lo = FREQUENCY_INTERVAL * (b + 0.5)
         f_hi = FREQUENCY_INTERVAL * (b + 1.5)
-        band = (bin_freqs >= f_lo) & (bin_freqs < f_hi)
-        band_ps = np.where(band[None, :], ps, 0.0)
-        nbins = band.sum()
-        if nbins == 0:
-            coarse[:, b] = 1.0
-            continue
-        # harmonic comb: distance (in cycles) of each bin from nearest harmonic
-        harm_pos = bin_freqs[None, :] / f0_safe[:, None]
-        dist = np.abs(harm_pos - np.rint(harm_pos))
-        near = dist < 0.2  # within 20% of a harmonic
-        far = dist > 0.35  # valley region
-        peak_level = np.where(band[None, :] & near, ps, 0.0).max(axis=1)
-        far_count = np.maximum((band[None, :] & far).sum(axis=1), 1)
-        valley_level = (
-            np.where(band[None, :] & far, ps, 0.0).sum(axis=1) / far_count
+        band_masks.append((bin_freqs >= f_lo) & (bin_freqs < f_hi))
+
+    coarse = np.ones((T, n_bands))
+    chunk = max(1, int(64 * 1024 * 1024 / (L_long * 16 * 2)))
+    for c0 in range(0, T, chunk):
+        c1 = min(c0 + chunk, T)
+        seg = _gather_frames(x, centers[c0:c1], L_long)
+        S = np.fft.rfft(seg, axis=1)
+        # mean of the K phase ramps = the comb's periodic-part predictor
+        theta = (
+            2.0 * np.pi
+            * period[c0:c1, None, None]
+            * shifts[None, :, None]
+            * freqs_long[None, None, :]
         )
-        ratio = valley_level / np.maximum(peak_level, _EPS)
-        coarse[:, b] = np.clip(np.sqrt(ratio), 0.001, 1.0)
+        comb = np.exp(-1j * theta).mean(axis=1)  # (chunk, L_long//2+1)
+        resid = np.fft.irfft(S * (1.0 - comb), n=L_long, axis=1)
+        resid = resid[:, lo : lo + fft_size] * win
+        orig = seg[:, lo : lo + fft_size] * win
+        P_r = np.abs(np.fft.rfft(resid, axis=1)) ** 2
+        P_x = np.abs(np.fft.rfft(orig, axis=1)) ** 2
+        for b, mask in enumerate(band_masks):
+            if not mask.any():
+                continue
+            r = P_r[:, mask].sum(axis=1) / (comb_gain * np.maximum(
+                P_x[:, mask].sum(axis=1), _EPS))
+            coarse[c0:c1, b] = np.clip(np.sqrt(r), 0.001, 1.0)
 
     # LoveTrain-style gate: low-periodicity frames are fully aperiodic
     max_lag = int(fs / 71.0)

@@ -88,9 +88,31 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     k = jnp.floor(phase)
     new_pulse = jnp.concatenate([jnp.zeros((1,), k.dtype), jnp.diff(k)]) > 0
     amp = PULSE_CALIBRATION * jnp.sqrt(fs / jnp.repeat(f0_safe, hop))
-    pulses = jnp.where(
-        new_pulse & (f0_samples > 0), amp, jnp.zeros_like(amp)
-    ).astype(jnp.float32)
+    # fractional pulse placement: the true phase crossing lies mu samples
+    # BEFORE the sample where floor(phase) increments; rounding it to the
+    # grid phase-modulates the pulse train (sidebands ~2*pi*f*mu/fs between
+    # harmonics).  An 8-tap Hann-windowed-sinc split realizes the
+    # fractional delay with a flat passband (pyworld likewise
+    # phase-corrects per pulse).
+    cycles_per_sample = jnp.maximum(f0_samples / fs, 1e-9)
+    mu = jnp.clip((phase - k) / cycles_per_sample, 0.0, 1.0)
+    fire = new_pulse & (f0_samples > 0)
+    a = jnp.where(fire, amp, 0.0)
+    zero = jnp.zeros((1,), amp.dtype)
+    # pulse at s = t0 - mu; tap at t0 + j carries h(j + mu),
+    # h(u) = sinc(u) * hann(u / HALF) for |u| < HALF
+    HALF = 4
+    parts = []
+    for j in range(-HALF, HALF):
+        u = j + mu
+        h = jnp.sinc(u) * (0.5 + 0.5 * jnp.cos(jnp.pi * u / HALF))
+        tap = a * h
+        if j < 0:
+            tap = jnp.concatenate([tap[-j:], jnp.tile(zero, -j)])
+        elif j > 0:
+            tap = jnp.concatenate([jnp.tile(zero, j), tap[:-j]])
+        parts.append(tap)
+    pulses = sum(parts).astype(jnp.float32)
 
     # ---- per-frame responses --------------------------------------------
     ap2 = jnp.clip(ap, 0.0, 1.0) ** 2

@@ -314,14 +314,47 @@ def create_train_step(
 
 
 class MetricsWriter:
-    """JSONL metrics log + optional TensorBoard."""
+    """JSONL metrics log + optional TensorBoard or MLflow backend.
 
-    def __init__(self, out_dir, use_tensorboard: bool = True):
+    Mirrors the reference's mutually-exclusive TensorBoard/MLflow writers
+    (nnsvs/train_util.py:1477-1489).  MLflow is optional in this
+    environment: when the package is missing the writer degrades to
+    JSONL-only with a warning (the JSONL stream is always on — it is the
+    source of truth for sweeps and plot_metrics).
+    """
+
+    def __init__(
+        self,
+        out_dir,
+        use_tensorboard: bool = True,
+        use_mlflow: bool = False,
+        mlflow_experiment: str = "default",
+        mlflow_run_name: str = None,
+        mlflow_params: Dict = None,
+    ):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.jsonl = open(self.out_dir / "metrics.jsonl", "a")
         self.tb = None
-        if use_tensorboard:
+        self.mlflow = None
+        if use_mlflow:
+            try:
+                import mlflow
+
+                mlflow.set_tracking_uri(f"file://{self.out_dir}/mlruns")
+                mlflow.set_experiment(mlflow_experiment)
+                mlflow.start_run(run_name=mlflow_run_name)
+                if mlflow_params:
+                    mlflow.log_params(_flatten_params(mlflow_params))
+                self.mlflow = mlflow
+            except ImportError:
+                import warnings
+
+                warnings.warn(
+                    "mlflow requested but not installed; metrics go to "
+                    "JSONL (and TensorBoard if enabled) only"
+                )
+        elif use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -336,8 +369,32 @@ class MetricsWriter:
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.add_scalar(f"{prefix}{k}", float(v), step)
+        if self.mlflow is not None:
+            self.mlflow.log_metrics(
+                {
+                    f"{prefix}{k}".replace("/", "_"): float(v)
+                    for k, v in metrics.items()
+                },
+                step=step,
+            )
 
     def close(self):
         self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
+        if self.mlflow is not None:
+            self.mlflow.end_run()
+
+
+def _flatten_params(tree, prefix: str = "", out=None) -> Dict[str, str]:
+    """Flatten a nested config into dotted MLflow param keys (reference
+    train_util.py:73-88)."""
+    out = {} if out is None else out
+    from collections.abc import Mapping
+
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            _flatten_params(v, f"{prefix}{k}.", out)
+    else:
+        out[prefix[:-1]] = str(tree)
+    return out

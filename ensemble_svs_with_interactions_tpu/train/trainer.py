@@ -200,7 +200,14 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
         out["in_feats"], out["out_feats"], out["lengths"] = new_x, new_y, new_len
         return out
 
-    writer = MetricsWriter(out_dir, use_tensorboard=config.train.get("use_tensorboard", False))
+    writer = MetricsWriter(
+        out_dir,
+        use_tensorboard=config.train.get("use_tensorboard", False),
+        use_mlflow=config.train.get("use_mlflow", False),
+        mlflow_experiment=str(config.get("mlflow", {}).get("experiment", "default") if config.get("mlflow", None) else "default"),
+        mlflow_run_name=(config.get("mlflow", {}) or {}).get("run_name", None) if config.get("mlflow", None) else None,
+        mlflow_params=dict(config.model) if config.train.get("use_mlflow", False) else None,
+    )
     nepochs = int(config.train.get("nepochs", 10))
     best_dev_loss = float("inf")
     rng = jax.random.PRNGKey(int(config.get("seed", 1234)))

@@ -518,3 +518,173 @@ def test_port_multitrack_variance_predictor(ref_models):
                                  train=False)
     np.testing.assert_allclose(np.asarray(f_mu), t_mu.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(f_pi), t_pi.numpy(), atol=1e-4)
+
+
+def test_port_multitrack_npss_cascade(ref_models):
+    """MultiTrackNPSSMDNMultistreamParametricModel: ported inference output
+    (the main-track cascade with speaker-conditioned decoders) matches the
+    reference forward bit-near-exactly (VERDICT round-1 item 8)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (
+        MultiTrackBiLSTMResF0NonAttentiveDecoder as TLf0,
+        MultiTrackNPSSMDNMultistreamParametricModel as TTop,
+    )
+
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap
+    from ensemble_svs_with_interactions_tpu.utils.config import (
+        instantiate as finst,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(21)
+    IN, OUT = 8, 17
+    SS = [10, 1, 1, 5]
+    EMB = 8  # speaker embedding adds onto the phoneme embedding: dims match
+    ph = dict(in_ph_start_idx=1, in_ph_end_idx=4, embed_dim=EMB)
+    lf0_kw = dict(
+        in_dim=IN, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=1, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=0, prenet_dropout=0.0, zoneout=0.0, reduction_factor=1,
+        downsample_by_conv=False, in_lf0_idx=5, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+        **ph,
+    )
+    # mgc/bap consume cat(x, lf0); vuv consumes cat(x, lf0, bap); the
+    # decoders use phoneme embedding so the additive speaker embedding has
+    # a matching width (the reference recipe's configuration)
+    mgc_kw = dict(in_dim=IN + 1, ff_hidden_dim=8, conv_hidden_dim=8,
+                  lstm_hidden_dim=4, **ph)
+    vuv_kw = dict(in_dim=IN + 1 + SS[3], ff_hidden_dim=8, conv_hidden_dim=8,
+                  lstm_hidden_dim=4, **ph)
+    tm = TTop(
+        in_dim=IN, out_dim=OUT, stream_sizes=SS, reduction_factor=1,
+        lf0_model=TLf0(**lf0_kw),
+        mgc_model=ref_models.FFConvLSTM(**mgc_kw, out_dim=SS[0]),
+        bap_model=ref_models.FFConvLSTM(**mgc_kw, out_dim=SS[3]),
+        vuv_model=ref_models.FFConvLSTM(**vuv_kw, out_dim=SS[2]),
+        speaker_embedding=ref_models.SpeakerEmbedding(2, IN, None),
+        in_rest_idx=0, in_lf0_idx=5, in_lf0_min=5.0, in_lf0_max=6.5,
+        out_lf0_idx=SS[0], out_lf0_mean=5.9, out_lf0_scale=0.23,
+        output_subtrack=True,
+    ).eval()
+    pre = "ensemble_svs_with_interactions_tpu.models"
+    netG = {
+        "_target_": f"{pre}.acoustic.MultiTrackNPSSMDNMultistreamParametricModel",
+        "in_dim": IN, "out_dim": OUT, "stream_sizes": SS,
+        "reduction_factor": 1,
+        "in_rest_idx": 0, "in_lf0_idx": 5, "out_lf0_idx": SS[0],
+        "in_lf0_min": 5.0, "in_lf0_max": 6.5,
+        "out_lf0_mean": 5.9, "out_lf0_scale": 0.23,
+        "output_subtrack": True,
+        "lf0_model": {
+            "_target_": f"{pre}.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+            **lf0_kw,
+        },
+        "mgc_model": {"_target_": f"{pre}.FFConvLSTM", **mgc_kw,
+                      "out_dim": SS[0]},
+        "bap_model": {"_target_": f"{pre}.FFConvLSTM", **mgc_kw,
+                      "out_dim": SS[3]},
+        "vuv_model": {"_target_": f"{pre}.FFConvLSTM", **vuv_kw,
+                      "out_dim": SS[2]},
+        "speaker_embedding": {
+            "_target_": f"{pre}.SpeakerEmbedding",
+            "num_embeddings": 2, "embedding_dim": IN,
+        },
+    }
+    fm = finst(_wrap(netG))
+    B, T = 1, 6
+    rngs = {
+        "params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+        "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3),
+    }
+    spks = (jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.int32))
+    ys0 = (jnp.zeros((B, T, OUT)), jnp.zeros((B, T, OUT)))
+    fv = fm.init(
+        rngs, jnp.zeros((B, T, IN)), jnp.zeros((B, T, IN)), spks,
+        jnp.asarray([T]), ys0, train=True,
+    )
+    SCOPES = [
+        ("lf0_model.", "/lf0_model"), ("mgc_model.", "/mgc_model"),
+        ("bap_model.", "/bap_model"), ("vuv_model.", "/vuv_model"),
+        ("speaker_embedding.", "/speaker_embedding"),
+    ]
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv,
+        scope_pairs=SCOPES,
+    )
+    assert n >= 40
+
+    rng = np.random.default_rng(12)
+    xm = (rng.normal(size=(B, T, IN)) * 0.3).astype(np.float32)
+    xs = (rng.normal(size=(B, T, IN)) * 0.3).astype(np.float32)
+    for x in (xm, xs):
+        x[:, :, 1:4] = 0
+        for t in range(T):
+            x[0, t, 1 + rng.integers(0, 3)] = 1.0
+        x[:, :, 5] = rng.uniform(0.2, 0.8, size=(1, T))
+    with __import__("torch").no_grad():
+        t_out, t_out_sub = tm(
+            __import__("torch").from_numpy(xm),
+            __import__("torch").from_numpy(xs),
+            [__import__("torch").zeros(B, dtype=__import__("torch").long),
+             __import__("torch").ones(B, dtype=__import__("torch").long)],
+            [T],
+        )
+    f_out, f_out_sub = fm.apply(
+        pv, jnp.asarray(xm), jnp.asarray(xs), spks, jnp.asarray([T]),
+        train=False, rngs={"prenet": jax.random.PRNGKey(9)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_out), t_out.numpy(), atol=2e-5
+    )
+    # the reference's sub slot is a copy of the main output at inference
+    np.testing.assert_allclose(np.asarray(f_out_sub), t_out_sub.numpy(),
+                               atol=2e-5)
+
+
+def test_port_diffnet_denoiser(ref_models):
+    """GaussianDiffusion's DiffNet denoiser weights port with exact
+    forward parity (VERDICT round-1 item 8; layout torch (B,1,M,T) vs
+    flax (B,T,M))."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.diffsinger.denoiser import DiffNet as TDiffNet
+
+    from ensemble_svs_with_interactions_tpu.models.diffsinger import DiffNet
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(5)
+    kw = dict(in_dim=6, encoder_hidden_dim=5, residual_layers=3,
+              residual_channels=8, dilation_cycle_length=2)
+    tm = TDiffNet(**kw).eval()
+    fm = DiffNet(**kw)
+    B, T = 2, 10
+    fv = fm.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, T, 6)), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, T, 5)),
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    assert n >= 14
+    rng = np.random.default_rng(3)
+    spec = rng.normal(size=(B, T, 6)).astype(np.float32)
+    cond = rng.normal(size=(B, T, 5)).astype(np.float32)
+    step = np.array([3, 17], np.int64)
+    with torch.no_grad():
+        t_out = tm(
+            torch.from_numpy(np.moveaxis(spec, 1, 2)[:, None]),  # (B,1,M,T)
+            torch.from_numpy(step),
+            torch.from_numpy(np.moveaxis(cond, 1, 2)),           # (B,E,T)
+        )[:, 0]
+    f_out = fm.apply(pv, jnp.asarray(spec), jnp.asarray(step),
+                     jnp.asarray(cond))
+    np.testing.assert_allclose(
+        np.asarray(f_out), np.moveaxis(t_out.numpy(), 1, 2), atol=2e-5
+    )

@@ -152,24 +152,40 @@ def test_synthesize_shapes_and_sanity():
     assert ac[lag] / ac[0] > 0.5
 
 
-def test_copy_synthesis_preserves_f0_and_energy():
-    """Full analysis->synthesis loop: F0 and band energy must survive."""
-    f0_true = 220.0
-    x = make_harmonic_signal(FS, dur=1.0, f0_hz=f0_true)
-    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
-    f0 = world.stonemask(x, f0, t, FS)
-    sp = world.cheaptrick(x, f0, t, FS)
-    ap = world.d4c(x, f0, t, FS)
-    y = np.asarray(world.synthesize(f0, sp, ap, FS, 5.0))
+@pytest.mark.parametrize(
+    "fs,f0_true",
+    [
+        (24000, 110.0),   # low male range
+        (24000, 220.0),
+        (24000, 440.0),   # sparse harmonics vs fft grid
+        (44100, 220.0),   # non-pow2-friendly rate
+        (48000, 110.0),
+        (48000, 440.0),
+    ],
+)
+def test_copy_synthesis_preserves_f0_and_energy(fs, f0_true):
+    """Full analysis->synthesis loop across sample rates and F0 ranges.
 
-    # 1. F0 of the resynthesized signal matches
-    f0_resyn, _ = world.dio(y.astype(np.float64), FS, f0_floor=100, f0_ceil=500)
+    Tight bars (VERDICT round-1 item 4): envelope median <= 3 dB,
+    resynthesized F0 <= 10 cents median, RMS within 3 dB.  These stress
+    the analysis/synthesis calibration constants rather than fitting them.
+    """
+    x = make_harmonic_signal(fs, dur=1.0, f0_hz=f0_true,
+                             n_harm=min(int(fs / 2 / f0_true) - 1, 12))
+    f0, t = world.dio(x, fs, f0_floor=70, f0_ceil=800)
+    f0 = world.stonemask(x, f0, t, fs)
+    sp = world.cheaptrick(x, f0, t, fs)
+    ap = world.d4c(x, f0, t, fs)
+    y = np.asarray(world.synthesize(f0, sp, ap, fs, 5.0))
+
+    # 1. F0 of the resynthesized signal matches within 10 cents
+    f0_resyn, _ = world.dio(y.astype(np.float64), fs, f0_floor=70, f0_ceil=800)
     v = (f0_resyn > 0) & (np.resize(f0, len(f0_resyn)) > 0)
     assert v.mean() > 0.5
     err_cent = 1200 * np.abs(
         np.log2(f0_resyn[v] / np.resize(f0, len(f0_resyn))[v])
     )
-    assert np.median(err_cent) < 30
+    assert np.median(err_cent) < 10
 
     # 2. overall RMS within 3 dB
     n = min(len(x), len(y))
@@ -181,16 +197,140 @@ def test_copy_synthesis_preserves_f0_and_energy():
     def band_spectrum(sig):
         from scipy.signal import welch
 
-        fr, pxx = welch(sig[:n], FS, nperseg=1024)
+        fr, pxx = welch(sig[:n], fs, nperseg=1024)
         return fr, pxx
 
     fr, p_in = band_spectrum(x)
     _, p_out = band_spectrum(y)
-    sel = (fr > 100) & (fr < 4000)
+    # envelope parity is only observable where the source has energy:
+    # compare at the harmonic bins (between them the synthetic input is
+    # numerical silence while any vocoder has an aperiodicity noise floor)
+    n_harm = min(int(fs / 2 / f0_true) - 1, 12)
+    bw = fr[1] - fr[0]
+    harm_bins = np.zeros_like(fr, bool)
+    for h in range(1, n_harm + 1):
+        if h * f0_true < min(4000, (n_harm - 0.5) * f0_true):
+            harm_bins |= np.abs(fr - h * f0_true) <= bw
     db_err = np.abs(
-        10 * np.log10(p_out[sel] + 1e-12) - 10 * np.log10(p_in[sel] + 1e-12)
+        10 * np.log10(p_out[harm_bins] + 1e-12)
+        - 10 * np.log10(p_in[harm_bins] + 1e-12)
     )
-    assert np.median(db_err) < 6.0
+    assert np.median(db_err) < 3.0
+
+    # 4. spectral purity: inter-harmonic energy (pulse-placement sidebands
+    # + aperiodicity floor) stays >= 25 dB below the harmonic peaks —
+    # guards against pulse-position phase-modulation regressions
+    inter = (fr > 1.5 * f0_true) & (fr < min(4000, (n_harm - 0.5) * f0_true))
+    for h in range(1, n_harm + 1):
+        inter &= np.abs(fr - h * f0_true) > 3 * bw
+    if inter.sum() >= 8:
+        purity_db = 10 * np.log10(
+            np.median(p_out[harm_bins]) / np.median(p_out[inter])
+        )
+        assert purity_db > 25.0, purity_db
+
+
+def test_d4c_clean_signal_low_aperiodicity():
+    """On a clean harmonic signal D4C must report a deep aperiodicity
+    floor (no window-leakage bias), across f0 ranges."""
+    for f0_true in (110.0, 440.0):
+        x = make_harmonic_signal(FS, f0_hz=f0_true,
+                                 n_harm=min(int(FS / 2 / f0_true) - 1, 12))
+        f0, t = world.dio(x, FS, f0_floor=70, f0_ceil=800)
+        f0 = world.stonemask(x, f0, t, FS)
+        ap = world.d4c(x, f0, t, FS)
+        coarse = np.asarray(world.code_aperiodicity(ap, FS))
+        v = f0 > 0
+        assert np.median(coarse[v, 0]) < -30.0, f0_true
+
+
+def test_d4c_matches_known_hnr():
+    """Harmonic signal + white noise at a known level: the per-band
+    aperiodicity must match the analytic ratio within ~2 dB."""
+    fs, f0_true, noise_db = 24000, 220.0, -20.0
+    n_harm = 12
+    t = np.arange(fs) / fs
+    amps = [1.0 / k for k in range(1, n_harm + 1)]
+    x = sum(a * np.sin(2 * np.pi * k * f0_true * t)
+            for k, a in enumerate(amps, start=1))
+    scale = 0.3 / np.abs(x).max()
+    x = x * scale
+    amps = [a * scale for a in amps]
+    sig_rms = np.sqrt(np.mean(x**2))
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(len(x))
+    noise *= sig_rms * 10 ** (noise_db / 20) / np.sqrt(np.mean(noise**2))
+    x = x + noise
+    noise_power = np.mean(noise**2)
+
+    f0, tt = world.dio(x, fs, f0_floor=70, f0_ceil=800)
+    f0 = world.stonemask(x, f0, tt, fs)
+    ap = world.d4c(x, f0, tt, fs)
+    coarse = np.asarray(world.code_aperiodicity(ap, fs))
+    v = f0 > 0
+
+    for b in range(world.get_num_aperiodicities(fs)):
+        f_lo, f_hi = 3000 * (b + 0.5), min(3000 * (b + 1.5), fs / 2)
+        harm_p = sum(
+            a**2 / 2 for k, a in enumerate(amps, start=1)
+            if f_lo <= k * f0_true < f_hi
+        )
+        noise_p = noise_power * (f_hi - f_lo) / (fs / 2)
+        expected_db = 20 * np.log10(
+            np.sqrt(noise_p / (noise_p + harm_p))
+        )
+        measured_db = np.median(coarse[v, b])
+        assert abs(measured_db - expected_db) < 2.0, (b, measured_db, expected_db)
+
+
+def test_harvest_bridges_short_gaps():
+    """Harvest's contour fixing: a short dropout inside a steady voiced
+    region is bridged; a long unvoiced stretch is not."""
+    fs = FS
+    x = make_harmonic_signal(fs, dur=1.0, f0_hz=220.0)
+    # 30 ms dropout in the middle, 300 ms silence at the end
+    mid = len(x) // 2
+    x[mid : mid + int(0.03 * fs)] = 0.0
+    x[-int(0.3 * fs):] = 0.0
+    f0, t = world.harvest(x, fs, f0_floor=100, f0_ceil=500)
+    n = len(f0)
+    mid_frames = slice(int(0.45 * n), int(0.55 * n))
+    assert (f0[mid_frames] > 0).all()  # gap bridged
+    assert (f0[int(0.9 * n):] == 0).mean() > 0.8  # long silence stays unvoiced
+
+
+def test_harvest_low_f0_male_range():
+    """82 Hz fundamental at 48 kHz tracks within 10 cents."""
+    fs, f0_true = 48000, 82.4
+    x = make_harmonic_signal(fs, dur=1.0, f0_hz=f0_true, n_harm=12)
+    f0, t = world.harvest(x, fs, f0_floor=60, f0_ceil=400)
+    v = f0 > 0
+    assert v[10:-10].mean() > 0.9
+    err_cent = 1200 * np.abs(np.log2(f0[v] / f0_true))
+    assert np.median(err_cent) < 10
+
+
+def test_harvest_breathy_onset():
+    """A breathy (noise-heavy) onset must not produce wild F0 before the
+    harmonic part establishes, and the steady region stays accurate."""
+    fs = FS
+    t = np.arange(fs) / fs
+    f0_true = 196.0
+    phase = 2 * np.pi * f0_true * t
+    rng = np.random.default_rng(1)
+    env = np.clip((t - 0.05) / 0.25, 0.0, 1.0)  # slow harmonic fade-in
+    x = env * (0.3 * np.sin(phase) + 0.15 * np.sin(2 * phase))
+    x += 0.05 * rng.standard_normal(len(x)) * (1.0 - 0.7 * env)
+    f0, tt = world.harvest(x, fs, f0_floor=100, f0_ceil=500)
+    n = len(f0)
+    steady = slice(int(0.5 * n), int(0.95 * n))
+    v = f0[steady] > 0
+    assert v.mean() > 0.9
+    err_cent = 1200 * np.abs(np.log2(f0[steady][v] / f0_true))
+    assert np.median(err_cent) < 10
+    # voiced frames anywhere must stay in a plausible range (no octave wilds)
+    anyv = f0 > 0
+    assert (np.abs(1200 * np.log2(np.maximum(f0[anyv], 1) / f0_true)) < 700).all()
 
 
 def test_f0_viterbi_rejects_octave_errors():
