@@ -166,6 +166,32 @@ def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path)
     return n_units
 
 
+def convert_nnsvs_pack(src_dir, out_dir):
+    """Convert a reference NNSVS packed-model directory (config.yaml +
+    ``{phase}_model.{yaml,pth}`` + .npy scalers — the layout of the
+    published pretrained tarballs, reference svs.py:122-241) into a
+    runnable flax pack.  Returns the list of (phase, units) ported."""
+    src_dir, out_dir = Path(src_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for name in ("config.yaml", "qst.hed"):
+        if (src_dir / name).exists():
+            shutil.copyfile(src_dir / name, out_dir / name)
+    for npy in src_dir.glob("*_scaler_*.npy"):
+        shutil.copyfile(npy, out_dir / npy.name)
+    ported = []
+    for phase in ("timelag", "duration", "acoustic", "postfilter"):
+        yaml_path = src_dir / f"{phase}_model.yaml"
+        ckpt = src_dir / f"{phase}_model.pth"
+        if not yaml_path.exists() or not ckpt.exists():
+            continue
+        model_yaml = yaml.safe_load(yaml_path.read_text())
+        n = try_port_phase(phase, model_yaml, ckpt, out_dir)
+        ported.append((phase, n))
+    if not ported:
+        raise ValueError(f"no portable phases found in {src_dir}")
+    return ported
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("enunu_dir")

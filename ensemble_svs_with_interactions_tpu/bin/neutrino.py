@@ -36,7 +36,11 @@ def main(argv=None):
         model_dir = Path("model") / model_dir
     engine = NEUTRINO(model_dir, verbose=1)
 
-    full_labels = hts.load(args.input_file)
+    if str(args.input_file).lower().endswith((".xml", ".musicxml")):
+        # score input (reference accepts MusicXML via sinsy, svs.py:783-788)
+        full_labels = engine.musicxml_to_labels(args.input_file)
+    else:
+        full_labels = hts.load(args.input_file)
     timing_labels = engine.predict_timing(full_labels.copy())
     timing_labels.save(args.timing_lab)
 

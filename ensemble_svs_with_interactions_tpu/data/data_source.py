@@ -278,6 +278,19 @@ class WORLDAcousticSource(FileDataSource):
                 x, fs, frame_period=self.frame_period, f0_floor=min_f0, f0_ceil=max_f0
             )
             f0 = world.stonemask(x, f0, timeaxis, fs)
+        elif self.f0_extractor == "parselmouth":
+            # praat-style autocorrelation estimator with the score-informed
+            # search range (reference data_source.py:313-338 requires an
+            # explicit floor/ceil and praat's 0.6 voicing threshold; our
+            # NCCF+Viterbi front end plays the same role first-party)
+            assert (
+                self.f0_floor is not None and self.f0_ceil is not None
+            ), "parselmouth mode requires explicit f0_floor/f0_ceil"
+            f0, timeaxis = world.dio(
+                x, fs, frame_period=self.frame_period,
+                f0_floor=min_f0, f0_ceil=max_f0, voicing_threshold=0.6,
+            )
+            f0 = world.stonemask(x, f0, timeaxis, fs)
         else:
             raise ValueError(f"unknown f0 extractor: {self.f0_extractor}")
         f0 = np.maximum(f0, 0)

@@ -117,8 +117,14 @@ def linguistic_features(
         binary_dict, numeric_dict: question sets from
             :func:`ensemble_svs_with_interactions_tpu.io.hts.load_question_set`.
         add_frame_features: emit one row per frame instead of per phone.
-        subphone_features: ``None`` or ``"coarse_coding"`` (3 position
-            features + phone frame count appended per frame).
+        subphone_features: ``None``, ``"coarse_coding"`` (3 position
+            features + phone frame count appended per frame) or
+            ``"minimal_phoneme"`` (fraction through the phone forward /
+            backward + phone frame count, nnmnkwii's other phone-level
+            mode).  The state-level modes ("full", "state_only", ...)
+            require HMM state alignments, which singing labels never
+            carry — they raise, matching nnmnkwii's behavior for
+            phone-level alignment labels.
         frame_shift: frame shift in 100 ns units.
 
     Returns:
@@ -126,9 +132,10 @@ def linguistic_features(
     """
     dict_size = len(binary_dict) + len(numeric_dict)
     frame_size = get_frame_feature_size(subphone_features)
-    if subphone_features not in (None, "coarse_coding"):
+    if subphone_features not in (None, "coarse_coding", "minimal_phoneme"):
         raise NotImplementedError(
-            f"subphone feature type not supported: {subphone_features}"
+            "subphone feature type not supported for phone-level alignment "
+            f"labels: {subphone_features}"
         )
     if subphone_features is not None and not add_frame_features:
         raise ValueError("subphone features require add_frame_features=True")
@@ -151,6 +158,11 @@ def linguistic_features(
         if subphone_features == "coarse_coding":
             block[:, dict_size : dict_size + 3] = _coarse_coding_features(nframes)
             block[:, dict_size + 3] = float(nframes)
+        elif subphone_features == "minimal_phoneme":
+            frac = (np.arange(nframes) + 1) / max(nframes, 1)
+            block[:, dict_size] = frac                  # forward fraction
+            block[:, dict_size + 1] = frac[::-1]        # backward fraction
+            block[:, dict_size + 2] = float(nframes)    # phone duration
         rows.append(block)
     return np.concatenate(rows, axis=0).astype(np.float32)
 

@@ -27,12 +27,15 @@ class NEUTRINO(SPSVS):
     def get_num_aperiodicities(self) -> int:
         return get_world_num_aperiodicities(self.sample_rate)
 
-    def musicxml_to_labels(self, *args, **kwargs):
-        raise NotImplementedError(
-            "MusicXML parsing requires an external frontend (the reference "
-            "uses the native sinsy engine); provide full-context labels "
-            "directly (BaseSVS contract)."
+    def musicxml_to_labels(self, musicxml_path):
+        """MusicXML score -> Sinsy-style full-context labels via the
+        first-party frontend (replaces the reference's pysinsy call,
+        svs.py:783-788)."""
+        from ensemble_svs_with_interactions_tpu.frontend.musicxml import (
+            musicxml_to_labels,
         )
+
+        return musicxml_to_labels(musicxml_path)
 
     def predict_timing(self, labels):
         """Full labels -> duration-modified (timing) labels."""

@@ -1,19 +1,24 @@
-"""Pretrained packed-model registry.
+"""Pretrained packed-model registry with cached download.
 
 Parity target: /root/reference/nnsvs/pretrained/__init__.py:14-60 (a named
-registry with remote URLs, cached download, and create_svs_engine).  This
-environment has no network egress, so the registry resolves:
+registry with remote URLs, cached tarball download, and
+create_svs_engine).  Named entries mirror the reference's published
+models; downloaded torch checkpoints are converted to runnable flax packs
+via the enunu2nnsvs porting path.  Resolution order:
 
   1. local directories registered at runtime (register_model),
-  2. entries in the ``ESVS_MODEL_ROOT`` directory (default ~/.cache),
-  3. explicit paths.
+  2. the ``ESVS_MODEL_ROOT`` cache directory (default ~/.cache/esvs_tpu),
+  3. named registry entries (downloaded + ported when egress exists),
+  4. explicit paths.
 """
 
 from __future__ import annotations
 
 import os
+import tarfile
 from pathlib import Path
 from typing import Dict, Optional
+from urllib.request import urlretrieve
 
 DEFAULT_CACHE_DIR = Path(
     os.environ.get(
@@ -21,34 +26,96 @@ DEFAULT_CACHE_DIR = Path(
     )
 )
 
-# name -> local path or (url, md5) once remote hosting exists
-model_registry: Dict[str, str] = {}
+# Named entries published by the reference project (torch packs that the
+# porting pipeline converts on first use).  ``_target_`` selects the
+# engine class.
+_PKG = "ensemble_svs_with_interactions_tpu"
+model_registry: Dict[str, dict] = {
+    "r9y9/yoko_latest": {
+        "url": "https://www.dropbox.com/s/k8mya65yt52m0ps/yoko_latest.tar.gz?dl=1",
+        "_target_": f"{_PKG}.svs:SPSVS",
+        "format": "torch",
+    },
+    "r9y9/20220322_yoko_timelag_mdn_duration_mdn_acoustic_resf0conv": {
+        "url": "https://www.dropbox.com/s/olsfyqol9ryk5kx/"
+        "20220322_yoko_timelag_mdn_duration_mdn_acoustic_resf0conv.tar.gz?dl=1",
+        "_target_": f"{_PKG}.svs:SPSVS",
+        "format": "torch",
+    },
+}
 
 
-def register_model(name: str, path) -> None:
-    model_registry[name] = str(path)
+def register_model(name: str, path, target: Optional[str] = None) -> None:
+    """Register a local packed-model directory under a name."""
+    model_registry[name] = {
+        "path": str(path),
+        "_target_": target or f"{_PKG}.svs:SPSVS",
+        "format": "flax",
+    }
+
+
+def get_available_model_ids():
+    return sorted(model_registry)
+
+
+def _download_and_port(name: str, entry: dict) -> Path:
+    """Download a reference torch pack and convert it to a flax pack."""
+    cache = DEFAULT_CACHE_DIR
+    cache.mkdir(parents=True, exist_ok=True)
+    safe = name.replace("/", "_")
+    tar_path = cache / f"{safe}.tar.gz"
+    raw_dir = cache / f"{safe}_torch"
+    out_dir = cache / safe
+    if not raw_dir.exists():
+        urlretrieve(entry["url"], tar_path)  # requires network egress
+        raw_dir.mkdir(parents=True, exist_ok=True)
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(raw_dir)
+    # locate the packed dir (the tarball may nest one directory)
+    src = raw_dir
+    if not (src / "config.yaml").exists():
+        subdirs = [d for d in src.iterdir() if d.is_dir()]
+        if len(subdirs) == 1:
+            src = subdirs[0]
+    from ensemble_svs_with_interactions_tpu.bin.enunu2nnsvs import (
+        convert_nnsvs_pack,
+    )
+
+    convert_nnsvs_pack(src, out_dir)
+    return out_dir
 
 
 def retrieve_pretrained_model(name: str) -> Path:
-    """Resolve a model name to a packed-model directory."""
-    if name in model_registry:
-        p = Path(model_registry[name])
+    """Resolve a model name to a packed-model directory (downloading and
+    porting a registry entry when it is not cached yet)."""
+    entry = model_registry.get(name)
+    if entry and entry.get("path"):
+        p = Path(entry["path"])
         if p.exists():
             return p
-    cached = DEFAULT_CACHE_DIR / name
+    cached = DEFAULT_CACHE_DIR / name.replace("/", "_")
     if cached.exists():
         return cached
+    legacy_cached = DEFAULT_CACHE_DIR / name
+    if legacy_cached.exists():
+        return legacy_cached
+    if entry and entry.get("url"):
+        return _download_and_port(name, entry)
     direct = Path(name)
     if direct.exists():
         return direct
     raise ValueError(
         f"unknown pretrained model: {name}. Registered: "
-        f"{sorted(model_registry)}; cache dir: {DEFAULT_CACHE_DIR}"
+        f"{get_available_model_ids()}; cache dir: {DEFAULT_CACHE_DIR}"
     )
 
 
 def create_svs_engine(name: str, **kwargs):
-    """Instantiate an SVS engine for a registry entry."""
-    from ensemble_svs_with_interactions_tpu.svs import SPSVS
+    """Instantiate an SVS engine for a registry entry (reference
+    pretrained/__init__.py:27-54)."""
+    from ensemble_svs_with_interactions_tpu.utils.misc import dynamic_import
 
-    return SPSVS(retrieve_pretrained_model(name), **kwargs)
+    entry = model_registry.get(name, {})
+    target = entry.get("_target_", f"{_PKG}.svs:SPSVS")
+    cls = dynamic_import(target.replace(":", "."))
+    return cls(retrieve_pretrained_model(name), **kwargs)

@@ -281,3 +281,16 @@ def test_synthesis_multitrack_cli(tmp_path, reference_data_dir):
         assert len(list((out / sub).glob("*.npy"))) == 2, sub
     lag = np.load(next((out / "timelag").glob("*.npy")))
     assert lag.ndim == 1 and len(lag) > 0
+
+
+def test_pretrained_named_entries():
+    """The registry ships the reference's published model names
+    (reference pretrained/__init__.py:14-25)."""
+    from ensemble_svs_with_interactions_tpu.pretrained import (
+        get_available_model_ids,
+        model_registry,
+    )
+
+    ids = get_available_model_ids()
+    assert "r9y9/yoko_latest" in ids
+    assert model_registry["r9y9/yoko_latest"]["url"].startswith("https://")

@@ -84,3 +84,38 @@ def test_logmelfilterbank():
     mel = logmelfilterbank(x, 24000, num_mels=80)
     assert mel.shape[1] == 80
     assert np.isfinite(mel).all()
+
+
+def test_world_acoustic_source_parselmouth_mode(utt_list, reference_data_dir):
+    """The parselmouth-style extractor (praat AC + score-informed range,
+    reference data_source.py:313-338) needs explicit floor/ceil and
+    produces a well-formed feature matrix."""
+    src = WORLDAcousticSource(
+        utt_list,
+        str(reference_data_dir),
+        str(reference_data_dir),
+        HED,
+        f0_extractor="parselmouth",
+        f0_floor=120,
+        f0_ceil=700,
+        sample_rate=24000,
+        mgc_order=24,
+        relative_f0=False,
+        use_world_codec=True,
+    )
+    wavs, labs = src.collect_files()
+    features, wave, _ = src.collect_features(wavs[0], labs[0])
+    assert np.isfinite(features).all()
+    vuv = features[:, 25 * 3 + 3]
+    assert 0.1 < vuv.mean() < 0.95
+
+    # the explicit-range requirement is enforced
+    import pytest as _pytest
+
+    bad = WORLDAcousticSource(
+        utt_list, str(reference_data_dir), str(reference_data_dir), HED,
+        f0_extractor="parselmouth", sample_rate=24000, mgc_order=24,
+        f0_floor=None, f0_ceil=None,
+    )
+    with _pytest.raises(AssertionError):
+        bad.collect_features(wavs[0], labs[0])
