@@ -35,6 +35,7 @@ def get_frame_feature_size(subphone_features: Optional[str] = None) -> int:
         "state_only": 1,
         "frame_only": 1,
         "uniform_state": 2,
+        "minimal_frame": 2,
         "minimal_phoneme": 3,
         "coarse_coding": 4,
     }
@@ -117,19 +118,28 @@ def linguistic_features(
         binary_dict, numeric_dict: question sets from
             :func:`ensemble_svs_with_interactions_tpu.io.hts.load_question_set`.
         add_frame_features: emit one row per frame instead of per phone.
-        subphone_features: ``None``, ``"coarse_coding"`` (3 position
-            features + phone frame count appended per frame) or
-            ``"minimal_phoneme"`` (fraction through the phone forward /
-            backward + phone frame count, nnmnkwii's other phone-level
-            mode).  The state-level modes ("full", "state_only", ...)
-            require HMM state alignments, which singing labels never
-            carry — they raise, matching nnmnkwii's behavior for
-            phone-level alignment labels.
+        subphone_features: for phone-level alignment labels (the singing
+            case): ``None``, ``"coarse_coding"`` (3 position features +
+            phone frame count appended per frame) or ``"minimal_phoneme"``
+            (fraction through the phone forward / backward + phone frame
+            count).  For HMM state-level alignment labels (``...[k]``
+            contexts) the Merlin state modes are supported too:
+            ``"full"`` (9 dims), ``"state_only"``, ``"frame_only"``,
+            ``"uniform_state"``, ``"minimal_frame"``, ``"coarse_coding"``.
         frame_shift: frame shift in 100 ns units.
 
     Returns:
-        (N, D) float32 array, N = num phones or num frames.
+        (N, D) float32 array, N = num phones, states or frames.
     """
+    if labels.is_state_alignment():
+        return _state_alignment_features(
+            labels,
+            binary_dict,
+            numeric_dict,
+            add_frame_features=add_frame_features,
+            subphone_features=subphone_features,
+            frame_shift=frame_shift,
+        )
     dict_size = len(binary_dict) + len(numeric_dict)
     frame_size = get_frame_feature_size(subphone_features)
     if subphone_features not in (None, "coarse_coding", "minimal_phoneme"):
@@ -167,8 +177,148 @@ def linguistic_features(
     return np.concatenate(rows, axis=0).astype(np.float32)
 
 
+def _state_alignment_features(
+    labels: HTSLabels,
+    binary_dict,
+    numeric_dict,
+    add_frame_features: bool = False,
+    subphone_features: Optional[str] = None,
+    frame_shift: int = 50000,
+) -> np.ndarray:
+    """Merlin featurizer for HMM state-level alignment labels.
+
+    Each label line carries a ``[k]`` state suffix (states numbered
+    2..S+1, HTK convention).  Feature semantics follow Merlin's
+    ``load_labels_with_state_alignment`` (inherited by the reference via
+    nnmnkwii; /root/reference/nnsvs never feeds state-aligned singing
+    labels, but the mode surface is part of the frontend contract):
+
+      * ``full`` (9): fraction through state fwd/bwd, state length,
+        state index fwd/bwd, phone length, state/phone length ratio,
+        fraction through phone bwd/fwd.
+      * ``state_only`` (1): state index.
+      * ``frame_only`` (1): fraction through phone (forward).
+      * ``uniform_state`` (2): fraction through phone + state index a
+        uniform 1..S split of the phone would assign to the frame.
+      * ``minimal_frame`` (2): fraction through state (fwd) + state index.
+      * ``coarse_coding`` (4): 3 coarse-coded phone positions + phone
+        frame count.
+
+    Without ``add_frame_features``: one row per phone (``None``) or one
+    row per state (``state_only``).
+    """
+    dict_size = len(binary_dict) + len(numeric_dict)
+    frame_size = get_frame_feature_size(subphone_features)
+    if subphone_features == "minimal_phoneme":
+        raise NotImplementedError(
+            "minimal_phoneme is a phone-level alignment mode; state-level "
+            "labels support full/state_only/frame_only/uniform_state/"
+            "minimal_frame/coarse_coding"
+        )
+    if not add_frame_features and subphone_features not in (None, "state_only"):
+        raise ValueError(
+            "without add_frame_features, subphone_features must be None "
+            "(one row per phone) or 'state_only' (one row per state)"
+        )
+    dim = dict_size + (frame_size if add_frame_features else 0)
+
+    # ---- split into phones: state index sequence 2,3,...,S+1 per phone ----
+    entries = []  # (frames, state_index_1based, context)
+    for s, e, context in labels:
+        state_1b = int(context[-2]) - 1  # HTK state 2..S+1 -> 1..S
+        frames = int(e / frame_shift) - int(s / frame_shift)
+        entries.append((frames, state_1b, context[:-3]))
+    phones = []  # list of lists of (frames, state_index)
+    for ent in entries:
+        if ent[1] == 1 or not phones:
+            phones.append([ent])
+        else:
+            phones[-1].append(ent)
+    state_number = max(len(p) for p in phones)
+
+    rows = []
+    for phone in phones:
+        context = phone[0][2]
+        phone_vec = np.concatenate(
+            [
+                _binary_answers(binary_dict, context),
+                _numeric_answers(numeric_dict, context),
+            ]
+        )
+        phone_duration = sum(f for f, _, _ in phone)
+        if not add_frame_features:
+            n = len(phone) if subphone_features == "state_only" else 1
+            rows.append(np.tile(phone_vec[None, :], (n, 1)))
+            continue
+        if subphone_features == "coarse_coding":
+            cc = _coarse_coding_features(phone_duration)
+        state_duration_base = 0
+        frame_in_phone = 0
+        for frames, state_index, _ in phone:
+            if frames <= 0:
+                continue
+            block = np.zeros((frames, dim), dtype=np.float32)
+            block[:, :dict_size] = phone_vec[None, :]
+            i = np.arange(frames, dtype=np.float32)
+            d = dict_size
+            if subphone_features == "full":
+                block[:, d] = (i + 1) / frames
+                block[:, d + 1] = (frames - i) / frames
+                block[:, d + 2] = float(frames)
+                block[:, d + 3] = float(state_index)
+                block[:, d + 4] = float(state_number + 1 - state_index)
+                block[:, d + 5] = float(phone_duration)
+                block[:, d + 6] = float(frames) / phone_duration
+                block[:, d + 7] = (phone_duration - i - state_duration_base) / phone_duration
+                block[:, d + 8] = (state_duration_base + i + 1) / phone_duration
+            elif subphone_features == "state_only":
+                block[:, d] = float(state_index)
+            elif subphone_features == "frame_only":
+                block[:, d] = (frame_in_phone + i + 1) / phone_duration
+            elif subphone_features == "uniform_state":
+                cur = frame_in_phone + i + 1
+                block[:, d] = cur / phone_duration
+                avg = phone_duration / float(state_number)
+                block[:, d + 1] = np.minimum(
+                    np.floor((cur - 1) / avg) + 1, state_number
+                )
+            elif subphone_features == "minimal_frame":
+                block[:, d] = (i + 1) / frames
+                block[:, d + 1] = float(state_index)
+            elif subphone_features == "coarse_coding":
+                sl = slice(frame_in_phone, frame_in_phone + frames)
+                block[:, d : d + 3] = cc[sl]
+                block[:, d + 3] = float(phone_duration)
+            elif subphone_features is not None:
+                raise ValueError(
+                    f"unknown subphone feature type: {subphone_features}"
+                )
+            rows.append(block)
+            state_duration_base += frames
+            frame_in_phone += frames
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
 def duration_features(labels: HTSLabels, frame_shift: int = 50000) -> np.ndarray:
-    """Per-phone durations in frames, shape (N, 1) float32."""
+    """Per-phone durations in frames, shape (N, 1) float32.
+
+    For state-alignment labels: one row per phone with the per-state
+    durations, shape (num_phones, num_states), Merlin-style.
+    """
+    if labels.is_state_alignment():
+        rows, cur = [], []
+        for s, e, context in labels:
+            if int(context[-2]) - 1 == 1 and cur:
+                rows.append(cur)
+                cur = []
+            cur.append(int(e / frame_shift) - int(s / frame_shift))
+        if cur:
+            rows.append(cur)
+        n_states = max(len(r) for r in rows)
+        out = np.zeros((len(rows), n_states), dtype=np.float32)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+        return out
     s = np.asarray(labels.start_times) // frame_shift
     e = np.asarray(labels.end_times) // frame_shift
     return (e - s).astype(np.float32).reshape(-1, 1)

@@ -99,6 +99,16 @@ class HTSLabels:
     def is_full_context(self) -> bool:
         return "@" in self.contexts[0]
 
+    def is_state_alignment(self) -> bool:
+        """True for HMM state-level alignment labels (``...[k]`` suffix).
+
+        Same detection rule as nnmnkwii's ``is_state_alignment_label``
+        (reference dependency): the first context ends with a bracketed
+        single-digit state index.
+        """
+        c = self.contexts[0]
+        return len(c) >= 3 and c[-1] == "]" and c[-3] == "["
+
     def num_frames(self, frame_shift: int | None = None) -> int:
         fs = int(frame_shift or self.frame_shift)
         return int(self.end_times[-1] / fs) - int(self.start_times[0] / fs)

@@ -143,3 +143,96 @@ def test_roundtrip_save(tmp_path, fixture_labels):
     loaded = hts.load(out)
     assert loaded.start_times == fixture_labels.start_times
     assert loaded.contexts == fixture_labels.contexts
+
+
+# ---------------------------------------------------------------------------
+# State-alignment (HMM) label support — the Merlin state-level modes the
+# reference inherits via nnmnkwii (frontend contract completeness).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def state_labels(fixture_labels):
+    """Synthesize a 5-state alignment from the phone-level fixture."""
+    out = hts.HTSLabels()
+    for s, e, c in fixture_labels:
+        # split each phone into 5 states on 50000-unit boundaries
+        bounds = np.linspace(s, e, 6)
+        bounds = (np.round(bounds / 50000) * 50000).astype(np.int64)
+        bounds[0], bounds[-1] = s, e
+        for k in range(5):
+            if bounds[k + 1] > bounds[k]:
+                out.append((bounds[k], bounds[k + 1], f"{c}[{k + 2}]"), strict=False)
+    return out
+
+
+def test_is_state_alignment(fixture_labels, state_labels):
+    assert not fixture_labels.is_state_alignment()
+    assert state_labels.is_state_alignment()
+
+
+def test_state_alignment_full_features(dev_hed_path, fixture_labels, state_labels):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    feats = merlin.linguistic_features(
+        state_labels,
+        binary_dict,
+        numeric_dict,
+        add_frame_features=True,
+        subphone_features="full",
+    )
+    assert feats.shape == (fixture_labels.num_frames(), 82 + 9)
+    d = 82
+    # fractions in (0, 1]
+    for col in (d, d + 1, d + 7, d + 8):
+        assert feats[:, col].min() > 0.0 and feats[:, col].max() <= 1.0 + 1e-6
+    # state indices forward 1..5, backward 5..1, and they mirror
+    assert set(np.unique(feats[:, d + 3])) <= set(np.arange(1.0, 6.0))
+    np.testing.assert_allclose(feats[:, d + 3] + feats[:, d + 4], 6.0)
+    # phone duration column consistent with the phone-level durations
+    phone_durs = merlin.duration_features(fixture_labels)[:, 0]
+    expanded = np.repeat(phone_durs, phone_durs.astype(int))
+    np.testing.assert_allclose(feats[:, d + 5], expanded)
+    # fraction-through-phone forward is increasing within each phone
+    fwd = feats[:, d + 8]
+    starts = np.concatenate([[0], np.cumsum(phone_durs.astype(int))[:-1]])
+    for st, dur in zip(starts[:5], phone_durs[:5].astype(int)):
+        seg = fwd[st : st + dur]
+        assert (np.diff(seg) > 0).all()
+        assert abs(seg[-1] - 1.0) < 1e-6
+    # phone-context features match the phone-level extraction
+    phone_feats = merlin.linguistic_features(fixture_labels, binary_dict, numeric_dict)
+    np.testing.assert_allclose(feats[:, :82], np.repeat(phone_feats, phone_durs.astype(int), axis=0))
+
+
+@pytest.mark.parametrize(
+    "mode,ncols",
+    [("state_only", 1), ("frame_only", 1), ("uniform_state", 2),
+     ("minimal_frame", 2), ("coarse_coding", 4)],
+)
+def test_state_alignment_modes(dev_hed_path, fixture_labels, state_labels, mode, ncols):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    feats = merlin.linguistic_features(
+        state_labels, binary_dict, numeric_dict,
+        add_frame_features=True, subphone_features=mode,
+    )
+    assert feats.shape == (fixture_labels.num_frames(), 82 + ncols)
+    if mode == "uniform_state":
+        assert set(np.unique(feats[:, 83])) <= set(np.arange(1.0, 6.0))
+    if mode == "frame_only":
+        assert feats[:, 82].min() > 0 and feats[:, 82].max() <= 1.0 + 1e-6
+
+
+def test_state_alignment_rows_without_frame_features(dev_hed_path, fixture_labels, state_labels):
+    binary_dict, numeric_dict = hts.load_question_set(dev_hed_path)
+    per_phone = merlin.linguistic_features(state_labels, binary_dict, numeric_dict)
+    assert per_phone.shape == (len(fixture_labels), 82)
+    per_state = merlin.linguistic_features(
+        state_labels, binary_dict, numeric_dict, subphone_features="state_only"
+    )
+    assert per_state.shape == (len(state_labels), 82)
+    # state-level duration features: one row per phone, 5 state columns
+    durs = merlin.duration_features(state_labels)
+    assert durs.shape[0] == len(fixture_labels)
+    np.testing.assert_allclose(
+        durs.sum(axis=1), merlin.duration_features(fixture_labels)[:, 0]
+    )
