@@ -120,22 +120,26 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     ap2 = jnp.where(voiced[:, None], ap2, jnp.ones_like(ap2))
     per_power = sp * (1.0 - ap2)
     apr_power = sp * ap2
-    h_per = minimum_phase_ir(per_power, fft_size)
-    h_apr = minimum_phase_ir(apr_power, fft_size)
+    # one batched cepstrum pass for both paths (3 large FFT calls, not 6)
+    h_both = minimum_phase_ir(
+        jnp.concatenate([per_power, apr_power], axis=0), fft_size
+    )
+    h_per, h_apr = h_both[:T], h_both[T:]
 
     # ---- time-varying filtering (chunked FFT convolution + OLA) ----------
     conv_len = fft_size + hop
     Lfft = int(2 ** np.ceil(np.log2(conv_len)))
 
-    def filt(excitation, h):
-        chunks = excitation.reshape(T, hop)
-        X = jnp.fft.rfft(chunks, n=Lfft, axis=-1)
-        H = jnp.fft.rfft(h, n=Lfft, axis=-1)
-        y = jnp.fft.irfft(X * H, n=Lfft, axis=-1)[:, :conv_len]
-        return _overlap_add(y, hop, N)
-
-    y = filt(pulses, h_per) + filt(noise.astype(jnp.float32), h_apr)
-    return y
+    # batched excitation/IR transforms; the periodic and aperiodic paths
+    # are summed in the FREQUENCY domain so one inverse FFT covers both
+    exc = jnp.stack([pulses, noise.astype(jnp.float32)]).reshape(2 * T, hop)
+    X = jnp.fft.rfft(exc, n=Lfft, axis=-1).reshape(2, T, -1)
+    H = jnp.fft.rfft(
+        jnp.concatenate([h_per, h_apr], axis=0), n=Lfft, axis=-1
+    ).reshape(2, T, -1)
+    Y = X[0] * H[0] + X[1] * H[1]
+    y = jnp.fft.irfft(Y, n=Lfft, axis=-1)[:, :conv_len]
+    return _overlap_add(y, hop, N)
 
 
 def quantize_peak_norm_int16(wav, lengths=None):
