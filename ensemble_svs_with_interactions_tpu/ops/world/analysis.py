@@ -33,6 +33,10 @@ from ensemble_svs_with_interactions_tpu.ops.world.codec import (
     get_cheaptrick_fft_size,
     get_num_aperiodicities,
 )
+from ensemble_svs_with_interactions_tpu import native
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
 
 DEFAULT_F0 = 500.0  # WORLD's kDefaultF0 for unvoiced spectral analysis
 _EPS = 1e-12
@@ -78,6 +82,8 @@ def _nccf_candidates(
     Returns (f0_cand (T, K), score (T, K), energy (T,)); missing
     candidates have score 0 and f0 = f0_floor.
     """
+    if native.available():
+        return native.nccf(x, centers, fs, f0_floor, f0_ceil, n_candidates)
     max_lag = int(fs / f0_floor)
     win_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
     frames = _gather_frames(x, centers, win_len)
@@ -267,6 +273,8 @@ def _refine_f0_if(
     leave ~1.5 Hz frame-to-frame jitter at 440 Hz; 6 periods + iteration
     leave < 0.1 Hz, below synthesis phase-modulation audibility).
     """
+    if native.available():
+        return native.refine_if(x, est, centers, fs, periods, n_harm, iters)
     for _ in range(iters):
         win_len_f = periods * fs / est
         max_len = int(2 ** np.ceil(np.log2(win_len_f.max() + 2)))
@@ -340,6 +348,11 @@ def cheaptrick(
     f0_safe = np.where(f0 > 0, f0, DEFAULT_F0)
     # lowest F0 CheapTrick can analyze with this FFT size
     f0_safe = np.maximum(f0_safe, 3.0 * fs / (fft_size - 3.0))
+
+    if native.available() and _is_pow2(fft_size):
+        return native.cheaptrick(
+            x, f0_safe, centers, fs, fft_size, q1, NOISE_CALIBRATION
+        )
 
     # ---- 1. pitch-adaptive windowed waveform -----------------------------
     half_win_f = 1.5 * fs / f0_safe
@@ -463,9 +476,18 @@ def d4c(
         f_hi = FREQUENCY_INTERVAL * (b + 1.5)
         band_masks.append((bin_freqs >= f_lo) & (bin_freqs < f_hi))
 
-    coarse = np.ones((T, n_bands))
+    use_native = (
+        native.available() and _is_pow2(fft_size) and _is_pow2(L_long)
+    )
+    if use_native:
+        coarse = native.d4c_coarse(
+            x, period, centers, fs, fft_size, L_long,
+            FREQUENCY_INTERVAL, n_bands,
+        )
+    else:
+        coarse = np.ones((T, n_bands))
     chunk = max(1, int(64 * 1024 * 1024 / (L_long * 16 * 2)))
-    for c0 in range(0, T, chunk):
+    for c0 in [] if use_native else range(0, T, chunk):
         c1 = min(c0 + chunk, T)
         seg = _gather_frames(x, centers[c0:c1], L_long)
         S = np.fft.rfft(seg, axis=1)
@@ -491,14 +513,17 @@ def d4c(
 
     # LoveTrain-style gate: low-periodicity frames are fully aperiodic
     max_lag = int(fs / 71.0)
-    ac_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
-    frames = _gather_frames(x, centers, ac_len)
-    frames = frames - frames.mean(axis=1, keepdims=True)
-    spec = np.fft.rfft(frames, n=2 * ac_len, axis=1)
-    ac = np.fft.irfft(spec * np.conj(spec), axis=1)
-    r0 = np.maximum(ac[:, 0], _EPS)
-    lag = np.clip(np.rint(fs / f0_safe).astype(np.int64), 2, max_lag)
-    periodicity = ac[np.arange(T), lag] / r0
+    if native.available():
+        periodicity = native.periodicity(x, f0_safe, centers, fs, max_lag)
+    else:
+        ac_len = int(2 ** np.ceil(np.log2(2 * max_lag + 1)))
+        frames = _gather_frames(x, centers, ac_len)
+        frames = frames - frames.mean(axis=1, keepdims=True)
+        spec = np.fft.rfft(frames, n=2 * ac_len, axis=1)
+        ac = np.fft.irfft(spec * np.conj(spec), axis=1)
+        r0 = np.maximum(ac[:, 0], _EPS)
+        lag = np.clip(np.rint(fs / f0_safe).astype(np.int64), 2, max_lag)
+        periodicity = ac[np.arange(T), lag] / r0
     aperiodic_frame = (~voiced) | (periodicity < (1.0 - threshold))
     coarse = np.where(aperiodic_frame[:, None], 1.0 - 1e-12, coarse)
 
