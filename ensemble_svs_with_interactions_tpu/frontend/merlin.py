@@ -44,6 +44,37 @@ def get_frame_feature_size(subphone_features: Optional[str] = None) -> int:
     return sizes[sp]
 
 
+# Phone-level question answers depend only on the context string, and the
+# same contexts are featurized several times per synthesis (timelag +
+# duration at phone level, then the acoustic frame features after timing
+# modification — durations change, context strings don't).  Memoize per
+# question set; the registry keeps a strong reference to the question-set
+# objects so id() keys can never be recycled.
+_ANSWER_CACHE: dict = {}
+_ANSWER_CACHE_MAX = 65536
+
+
+def _phone_answers(binary_dict, numeric_dict, context: str) -> np.ndarray:
+    entry = _ANSWER_CACHE.get(id(binary_dict))
+    if entry is None or entry[0] is not binary_dict or entry[1] is not numeric_dict:
+        entry = (binary_dict, numeric_dict, {})
+        _ANSWER_CACHE[id(binary_dict)] = entry
+    cache = entry[2]
+    vec = cache.get(context)
+    if vec is None:
+        vec = np.concatenate(
+            [
+                _binary_answers(binary_dict, context),
+                _numeric_answers(numeric_dict, context),
+            ]
+        )
+        vec.flags.writeable = False
+        if len(cache) >= _ANSWER_CACHE_MAX:
+            cache.clear()
+        cache[context] = vec
+    return vec
+
+
 def _binary_answers(binary_dict, context: str) -> np.ndarray:
     out = np.zeros(len(binary_dict), dtype=np.float32)
     for i in range(len(binary_dict)):
@@ -153,12 +184,7 @@ def linguistic_features(
     dim = dict_size + frame_size
     rows = []
     for s, e, context in labels:
-        phone_vec = np.concatenate(
-            [
-                _binary_answers(binary_dict, context),
-                _numeric_answers(numeric_dict, context),
-            ]
-        )
+        phone_vec = _phone_answers(binary_dict, numeric_dict, context)
         if not add_frame_features:
             rows.append(phone_vec[None, :])
             continue
@@ -239,12 +265,7 @@ def _state_alignment_features(
     rows = []
     for phone in phones:
         context = phone[0][2]
-        phone_vec = np.concatenate(
-            [
-                _binary_answers(binary_dict, context),
-                _numeric_answers(numeric_dict, context),
-            ]
-        )
+        phone_vec = _phone_answers(binary_dict, numeric_dict, context)
         phone_duration = sum(f for f, _, _ in phone)
         if not add_frame_features:
             n = len(phone) if subphone_features == "state_only" else 1

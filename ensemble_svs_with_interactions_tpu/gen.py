@@ -81,7 +81,7 @@ class ModelPack:
         # CPU keeps float32 so tests stay bit-exact.
         self._half_transfer = jax.default_backend() != "cpu"
 
-        def _infer(method, variables, rng, *args, **kwargs):
+        def _infer(method, half, variables, rng, *args, **kwargs):
             # AR decoders use prenet dropout at inference (stochastic
             # sampling); deterministic models ignore the rng
             out = self.module.apply(
@@ -91,7 +91,9 @@ class ModelPack:
                 rngs={"prenet": rng},
                 **kwargs,
             )
-            if self._half_transfer:
+            if half:
+                # fp16 over the device->host link (host consumers only);
+                # device-resident consumers get full f32
                 out = jax.tree_util.tree_map(
                     lambda a: a.astype(jnp.float16)
                     if a.dtype == jnp.float32
@@ -100,8 +102,12 @@ class ModelPack:
                 )
             return out
 
-        self._jit_infer = partial(jax.jit(_infer, static_argnums=0), "inference")
-        self._jit_infer_method = jax.jit(_infer, static_argnums=0)
+        jitted = jax.jit(_infer, static_argnums=(0, 1))
+        self._jit_infer = partial(jitted, "inference", self._half_transfer)
+        self._jit_infer_method = lambda method, *a, **kw: jitted(
+            method, self._half_transfer, *a, **kw
+        )
+        self._jit_infer_raw = jitted
         self._rng = jax.random.PRNGKey(1234)
         # pin weights on device once — deserialized variables are numpy
         # arrays, and passing those to jit re-uploads the full parameter set
@@ -112,7 +118,13 @@ class ModelPack:
         return self.module.prediction_type()
 
     def inference_batch(
-        self, xs, spks=None, xs_sub=None, method="inference", block=True
+        self,
+        xs,
+        spks=None,
+        xs_sub=None,
+        method="inference",
+        block=True,
+        device_out=False,
     ):
         """Batched inference over a list of (T_i, D) sequences.
 
@@ -128,6 +140,11 @@ class ModelPack:
         returns a zero-arg callable producing the result — dispatching
         several model calls before blocking overlaps their device time and
         hides transfer latency (one round trip instead of N).
+
+        With ``device_out=True`` the raw full-precision device batch is
+        returned as ``(out, lengths)`` without any host transfer, for
+        device-resident downstream stages (the fused postprocess+vocoder
+        path).
         """
 
         def _pack(seqs, T_pad):
@@ -145,6 +162,12 @@ class ModelPack:
             args.append(_pack(xs_sub, T_pad))
         if spks is not None:
             args.append(spks)
+        if device_out:
+            out = self._jit_infer_raw(
+                method, False, self.variables, self._rng, *args,
+                jnp.asarray(lengths),
+            )
+            return out, lengths
         out = self._jit_infer_method(
             method, self.variables, self._rng, *args, jnp.asarray(lengths)
         )

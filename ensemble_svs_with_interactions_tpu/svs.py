@@ -20,6 +20,7 @@ svs.py:327-345,448-452,578-582,743-745).
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Optional
@@ -531,6 +532,111 @@ class SPSVS(BaseSVS):
             pairs = list(ex.map(_feat, duration_modified))
         return [p[0] for p in pairs], [p[1] for p in pairs]
 
+    # ----------------------------------------------- fused device postproc
+    def _fused_post_ok(self, vocoder_type, post_filter_type, lengths):
+        """True when the whole postprocess+vocoder chain can run on device
+        (the paper's flagship configuration: static WORLD streams, GV or no
+        postfilter, no relative-F0).  ESVS_DISABLE_FUSED_POST=1 forces the
+        host path (used by the parity tests)."""
+        if os.environ.get("ESVS_DISABLE_FUSED_POST", "0") == "1":
+            return False
+        cfg = getattr(self.acoustic_model, "config", None)
+        if cfg is None:
+            return False
+        try:
+            ss = list(cfg.stream_sizes)
+            hd = list(cfg.has_dynamic_features)
+        except Exception:
+            return False
+        return (
+            vocoder_type == "world"
+            and self.config.get("use_world_codec", True)
+            and self.feature_type == "world"
+            and post_filter_type in ("gv", "off", "none", None)
+            and len(ss) == 4
+            and not any(hd)
+            and not self.config.get("relative_f0", False)
+            # host lowpass_filter skips signals <= 18 frames; keep parity
+            and min(lengths) > 18
+        )
+
+    def _fused_assets(self):
+        if getattr(self, "_fused_cache", None) is None:
+            import jax
+
+            from ensemble_svs_with_interactions_tpu.ops import device_post
+
+            cfg = self.acoustic_model.config
+            dim = int(sum(cfg.stream_sizes))
+            a, b = device_post.scaler_affine(self.out_acoustic_scaler, dim)
+            gv = (
+                np.asarray(self.acoustic_out_static_scaler.var_)
+                .reshape(-1)[: cfg.stream_sizes[0]]
+                .astype(np.float32)
+            )
+            modfs = int(1 / (self.frame_period * 0.001))
+            cutoffs = (
+                [50.0] * int(cfg.stream_sizes[0])
+                + [50.0] * int(cfg.stream_sizes[3])
+                + [20.0]
+            )
+            fb, fa, fzi = device_post.filtfilt_coeffs(cutoffs, modfs)
+            arrays = jax.device_put((a, b, gv, fb, fa, fzi))
+            self._fused_cache = (
+                arrays,
+                device_post.jit_fused_world_postprocess(),
+            )
+        return self._fused_cache
+
+    def _fused_postprocess(self, out_dev, lengths, raw_feats, post_filter_type):
+        """Device (N, T_pad, D) normalized predictions -> device
+        (mgc, lf0, vuv, bap) via one jitted program (ops/device_post.py)."""
+        import jax.numpy as jnp
+
+        (a, b, gv, fb, fa, fzi), jit_fn = self._fused_assets()
+        cfg = self.acoustic_model.config
+        N, T_pad = out_dev.shape[0], out_dev.shape[1]
+        note_mask = np.zeros((N, T_pad), bool)
+        for i, raw in enumerate(raw_feats):
+            idx = hts.get_note_frame_indices(
+                self.binary_dict, self.numeric_dict, raw
+            )
+            idx = idx[idx < lengths[i]]
+            note_mask[i, idx] = True
+        return jit_fn(
+            out_dev,
+            jnp.asarray(np.asarray(lengths, np.int32)),
+            jnp.asarray(note_mask),
+            a,
+            b,
+            gv,
+            fb,
+            fa,
+            fzi,
+            stream_sizes=tuple(int(s) for s in cfg.stream_sizes),
+            apply_gv=post_filter_type == "gv",
+            gate_threshold=0.5,
+            smooth=True,
+        )
+
+    def _fused_vocoder(self, streams_dev, lengths, vuv_threshold, dtype):
+        self._t_vocoder_device_done = None
+        hop = int(self.sample_rate * self.frame_period / 1000)
+        sample_lengths = np.asarray(lengths, np.int64) * hop
+        want_int16 = dtype in (np.int16, "int16")
+        wavs = self._vocoder_core(
+            list(streams_dev), sample_lengths, vuv_threshold, want_int16
+        )
+        N = len(lengths)
+        if want_int16:
+            return [wavs[i, : sample_lengths[i]] for i in range(N)]
+        return [
+            self.postprocess_waveform(
+                wavs[i, : sample_lengths[i]], dtype=dtype, skip_bandpass=True
+            )
+            for i in range(N)
+        ]
+
     def _postprocess_batch(
         self, duration_modified, acoustics, post_filter_type, raw_feats=None
     ):
@@ -553,11 +659,51 @@ class SPSVS(BaseSVS):
                 ex.map(_post, zip(duration_modified, acoustics, raw_feats))
             )
 
+    def _vocoder_core(self, batch, sample_lengths, vuv_threshold, want_int16):
+        """Chunked WORLD-kernel dispatch over a 4-array (N, T_pad, D)
+        stream batch (numpy or device-resident): two dispatches so the
+        first chunk's device->host transfer overlaps the second chunk's
+        synthesis (per-track chunks measured slower: B=1 kernels waste
+        more device time than the overlap saves).  Returns (N, S) wavs."""
+        import jax
+
+        from ensemble_svs_with_interactions_tpu.ops import world
+
+        N = batch[0].shape[0]
+        chunk = (N + 1) // 2 if N >= 4 else N
+        futures = []
+        for c0 in range(0, N, chunk):
+            sub = [b[c0 : c0 + chunk] for b in batch]
+            wav_dev = world.synthesize_from_streams(
+                *sub,
+                self.sample_rate,
+                self.frame_period,
+                vuv_threshold=vuv_threshold,
+                # fold the 70 Hz output high-pass into the kernel so no
+                # host-side Butterworth pass is needed
+                highpass_cutoff=70.0,
+                key=jax.random.PRNGKey(c0),
+            )
+            if want_int16:
+                wav_dev = world.quantize_peak_norm_int16(
+                    wav_dev, jnp_lengths(sample_lengths[c0 : c0 + chunk])
+                )
+            futures.append(wav_dev)
+
+        wavs = []
+        for i, wav_dev in enumerate(futures):
+            if i == len(futures) - 1:
+                # all chunks were dispatched up front: once the last one
+                # is ready, device compute is done (earlier fetches
+                # overlapped it)
+                wav_dev.block_until_ready()
+                self._t_vocoder_device_done = time.time()
+            wavs.append(np.asarray(wav_dev))
+        return np.concatenate(wavs, axis=0)
+
     def _batched_vocoder(self, streams_list, vocoder_type, vuv_threshold, dtype):
-        """All tracks through the fused WORLD kernel, chunked into two
-        dispatches so the device->host transfer of the first chunk overlaps
-        the second chunk's synthesis; quantization + peak norm happen on
-        device to halve D2H bytes."""
+        """All tracks through the fused WORLD kernel via :meth:`_vocoder_core`;
+        quantization + peak norm happen on device to halve D2H bytes."""
         import jax
 
         from ensemble_svs_with_interactions_tpu.ops import world
@@ -584,40 +730,9 @@ class SPSVS(BaseSVS):
             )
             want_int16 = dtype in (np.int16, "int16")
 
-            # two dispatches: while the first half streams back over the
-            # (slow) device->host link, the second half synthesizes on
-            # device (per-track chunks measured slower: B=1 kernels waste
-            # device time than they save in transfer overlap)
-            chunk = (N + 1) // 2 if N >= 4 else N
-            futures = []
-            for c0 in range(0, N, chunk):
-                sub = [b[c0 : c0 + chunk] for b in batch]
-                wav_dev = world.synthesize_from_streams(
-                    *sub,
-                    self.sample_rate,
-                    self.frame_period,
-                    vuv_threshold=vuv_threshold,
-                    # fold the 70 Hz output high-pass into the kernel so no
-                    # host-side Butterworth pass is needed
-                    highpass_cutoff=70.0,
-                    key=jax.random.PRNGKey(c0),
-                )
-                if want_int16:
-                    wav_dev = world.quantize_peak_norm_int16(
-                        wav_dev, jnp_lengths(sample_lengths[c0 : c0 + chunk])
-                    )
-                futures.append(wav_dev)
-
-            wavs = []
-            for i, wav_dev in enumerate(futures):
-                if i == len(futures) - 1:
-                    # all chunks were dispatched up front: once the last one
-                    # is ready, device compute is done (earlier fetches
-                    # overlapped it)
-                    wav_dev.block_until_ready()
-                    self._t_vocoder_device_done = time.time()
-                wavs.append(np.asarray(wav_dev))
-            wavs = np.concatenate(wavs, axis=0)
+            wavs = self._vocoder_core(
+                batch, sample_lengths, vuv_threshold, want_int16
+            )
             if want_int16:
                 return [wavs[i, : sample_lengths[i]] for i in range(N)]
             return [
@@ -699,24 +814,42 @@ class SPSVS(BaseSVS):
                 if hasattr(self.acoustic_model.module, "inference_main")
                 else "inference"
             )
-            preds = self.acoustic_model.inference_batch(
-                feats,
-                spks=spks,
-                xs_sub=[feats[pairs[i]] for i in range(N)],
-                method=method,
+            lengths = [len(f) for f in feats]
+            use_fused = self._fused_post_ok(
+                vocoder_type, post_filter_type, lengths
             )
-            t_acoustic = time.time()
-            # multitrack inference returns (out_main, out_sub); each track
-            # appears exactly once as main, so keep the main output
-            acoustics = [
-                gen._denorm_and_mlpg(
-                    p[0] if isinstance(p, tuple) else p,
-                    self.out_acoustic_scaler,
-                    self.acoustic_model.config,
-                    False,
+            if use_fused:
+                out_dev, lengths = self.acoustic_model.inference_batch(
+                    feats,
+                    spks=spks,
+                    xs_sub=[feats[pairs[i]] for i in range(N)],
+                    method=method,
+                    device_out=True,
                 )
-                for p in preds
-            ]
+                # multitrack inference returns (out_main, out_sub); each
+                # track appears exactly once as main
+                if isinstance(out_dev, tuple):
+                    out_dev = out_dev[0]
+                t_acoustic = time.time()
+            else:
+                preds = self.acoustic_model.inference_batch(
+                    feats,
+                    spks=spks,
+                    xs_sub=[feats[pairs[i]] for i in range(N)],
+                    method=method,
+                )
+                t_acoustic = time.time()
+                # multitrack inference returns (out_main, out_sub); each
+                # track appears exactly once as main, so keep the main output
+                acoustics = [
+                    gen._denorm_and_mlpg(
+                        p[0] if isinstance(p, tuple) else p,
+                        self.out_acoustic_scaler,
+                        self.acoustic_model.config,
+                        False,
+                    )
+                    for p in preds
+                ]
         else:
             duration_modified = gen.predict_timing_batch(
                 labels_list,
@@ -732,24 +865,47 @@ class SPSVS(BaseSVS):
             )
             feats, raw_feats = self._frame_features(duration_modified)
             t_timing = time.time()
-            preds = self.acoustic_model.inference_batch(feats)
-            t_acoustic = time.time()
-            is_prob = self.acoustic_model.prediction_type().name in (
-                "PROBABILISTIC",
-                "MULTISTREAM_HYBRID",
+            lengths = [len(f) for f in feats]
+            use_fused = self._fused_post_ok(
+                vocoder_type, post_filter_type, lengths
             )
-            acoustics = [
-                gen._denorm_and_mlpg(
-                    p, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
+            if use_fused:
+                out_dev, lengths = self.acoustic_model.inference_batch(
+                    feats, device_out=True
                 )
-                for p in preds
-            ]
+                # probabilistic heads return (mu, sigma); with static-only
+                # streams the host path keeps mu (gen._denorm_and_mlpg)
+                if isinstance(out_dev, tuple):
+                    out_dev = out_dev[0]
+                t_acoustic = time.time()
+            else:
+                preds = self.acoustic_model.inference_batch(feats)
+                t_acoustic = time.time()
+                is_prob = self.acoustic_model.prediction_type().name in (
+                    "PROBABILISTIC",
+                    "MULTISTREAM_HYBRID",
+                )
+                acoustics = [
+                    gen._denorm_and_mlpg(
+                        p, self.out_acoustic_scaler, self.acoustic_model.config, is_prob
+                    )
+                    for p in preds
+                ]
 
-        streams_list = self._postprocess_batch(
-            duration_modified, acoustics, post_filter_type, raw_feats=raw_feats
-        )
-        t_post = time.time()
-        outs = self._batched_vocoder(streams_list, vocoder_type, vuv_threshold, dtype)
+        if use_fused:
+            streams_dev = self._fused_postprocess(
+                out_dev, lengths, raw_feats, post_filter_type
+            )
+            t_post = time.time()
+            outs = self._fused_vocoder(streams_dev, lengths, vuv_threshold, dtype)
+        else:
+            streams_list = self._postprocess_batch(
+                duration_modified, acoustics, post_filter_type, raw_feats=raw_feats
+            )
+            t_post = time.time()
+            outs = self._batched_vocoder(
+                streams_list, vocoder_type, vuv_threshold, dtype
+            )
         t_end = time.time()
 
         total = t_end - start

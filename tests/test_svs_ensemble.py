@@ -127,3 +127,42 @@ def test_segmented_synthesis(st_engine, reference_data_dir):
         # unsegmented render
         wav_full, _ = st_engine.svs(labels.copy(), segmented_synthesis=False)
         assert abs(len(wav_seg) - len(wav_full)) < sr
+
+
+def test_fused_postprocess_parity(mt_engine, short_labels, monkeypatch):
+    """The fused device postprocess+vocoder path must reproduce the host
+    pipeline (GV postfilter, interp1d, filtfilt trajectory smoothing):
+    identical int16 wavs up to float32-vs-float64 rounding."""
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    wavs_fused, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    assert mt_engine.last_stage_times  # fused path ran
+
+    monkeypatch.setenv("ESVS_DISABLE_FUSED_POST", "1")
+    wavs_host, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+
+    for wf, wh in zip(wavs_fused, wavs_host):
+        assert len(wf) == len(wh)
+        a = wf.astype(np.float64) / 32767.0
+        b = wh.astype(np.float64) / 32767.0
+        # bit-near: tiny quantization-level differences only
+        diff = np.abs(a - b)
+        assert np.median(diff) <= 2 / 32767.0
+        assert np.sqrt((diff**2).mean()) < 5e-3, np.sqrt((diff**2).mean())
+        # strongly correlated waveforms (same audio)
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.999, corr
+
+
+def test_fused_postprocess_parity_gv_off(mt_engine, short_labels, monkeypatch):
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    wavs_fused, _ = mt_engine.svs_ensemble(
+        labels_list, spk_ids=[0, 1], post_filter_type="off"
+    )
+    monkeypatch.setenv("ESVS_DISABLE_FUSED_POST", "1")
+    wavs_host, _ = mt_engine.svs_ensemble(
+        labels_list, spk_ids=[0, 1], post_filter_type="off"
+    )
+    for wf, wh in zip(wavs_fused, wavs_host):
+        a = wf.astype(np.float64) / 32767.0
+        b = wh.astype(np.float64) / 32767.0
+        assert np.sqrt(((a - b) ** 2).mean()) < 5e-3
