@@ -166,3 +166,20 @@ def test_fused_postprocess_parity_gv_off(mt_engine, short_labels, monkeypatch):
         a = wf.astype(np.float64) / 32767.0
         b = wh.astype(np.float64) / 32767.0
         assert np.sqrt(((a - b) ** 2).mean()) < 5e-3
+
+
+def test_fused_postprocess_parity_ragged(mt_engine, short_labels, monkeypatch):
+    """Tracks of different lengths exercise the ragged (roll/flip)
+    filtfilt and masked GV paths; both must still match the host."""
+    shorter = short_labels[: max(len(short_labels) - 4, 10)]
+    labels_list = [short_labels.copy(), shorter.copy()]
+    wavs_fused, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    monkeypatch.setenv("ESVS_DISABLE_FUSED_POST", "1")
+    wavs_host, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    assert len(wavs_fused[0]) != len(wavs_fused[1])
+    for wf, wh in zip(wavs_fused, wavs_host):
+        assert len(wf) == len(wh)
+        a = wf.astype(np.float64) / 32767.0
+        b = wh.astype(np.float64) / 32767.0
+        assert np.sqrt(((a - b) ** 2).mean()) < 5e-3
+        assert np.corrcoef(a, b)[0, 1] > 0.999
