@@ -183,7 +183,7 @@ def prepare_corpus(
     timelag_allowed_range_rest=(-40, 39),
     offset_correction_threshold: float = 0.01,
     global_offset_correction: bool = False,
-    sample_rate: int = 48000,
+    sample_rate: int = 0,  # resample wavs to this rate; 0 keeps source
     dev_songs=None,
     eval_songs=None,
 ):
@@ -221,7 +221,29 @@ def prepare_corpus(
             )
             aligned = _round_to_frames(aligned)
             score = _round_to_frames(score)
-            songs.setdefault(song, {})[spk] = (aligned, score)
+            # song-level offset between alignment and score, over
+            # sil-removed note onsets (reference data_prep_multitrack.py:
+            # 476-497): the correction gate for every segment of the song
+            a_ns = _remove_sil(aligned.copy())
+            s_ns = _remove_sil(score.copy())
+            g_ni = hts.get_note_indices(s_ns)
+            if len(g_ni):
+                g_off = int(
+                    round(
+                        float(
+                            np.mean(
+                                np.asarray(a_ns[g_ni].start_times)
+                                - np.asarray(s_ns[g_ni].start_times)
+                            )
+                        )
+                        / HTS_FRAME_SHIFT
+                    )
+                    * HTS_FRAME_SHIFT
+                )
+            else:
+                g_off = 0
+            apply_corr = abs(g_off * 1e-7) > offset_correction_threshold
+            songs.setdefault(song, {})[spk] = (aligned, score, g_off, apply_corr)
 
     utt_ids, blacklist = [], set()
     song_of_utt = {}
@@ -235,7 +257,7 @@ def prepare_corpus(
             logger.warning("%s: no valid cut positions, skipped", song)
             continue
         for spk in sorted(tracks):
-            aligned, score = tracks[spk]
+            aligned, score, g_off, apply_corr = tracks[spk]
             segs, idx = segment_by_positions(aligned, cuts)
             score_segs = [score[i0 : i1 + 1] for (i0, i1) in idx]
             wav_path = root / spk / f"{song}.wav"
@@ -244,6 +266,14 @@ def prepare_corpus(
                 sr, wav = wavfile.read(wav_path)
                 if wav.dtype == np.int16:
                     wav = wav.astype(np.float32) / 32768.0
+                if sample_rate and sr != sample_rate:
+                    from scipy.signal import resample_poly
+
+                    g = np.gcd(int(sample_rate), int(sr))
+                    wav = resample_poly(
+                        wav, sample_rate // g, sr // g, axis=0
+                    ).astype(np.float32)
+                    sr = int(sample_rate)
 
             for seg_idx, (a_seg, s_seg) in enumerate(zip(segs, score_segs)):
                 utt = f"{spk}_{song}_seg{seg_idx}"
@@ -264,8 +294,11 @@ def prepare_corpus(
                     round(float(np.mean(onset_a - onset_s)) / HTS_FRAME_SHIFT)
                     * HTS_FRAME_SHIFT
                 )
-                if abs(seg_off * 1e-7) > offset_correction_threshold:
-                    offset = seg_off  # per-segment correction
+                # the song-level offset gates the correction; the applied
+                # value is the song offset (global mode) or this segment's
+                # (reference data_prep_multitrack.py:537-543)
+                if apply_corr:
+                    offset = g_off if global_offset_correction else seg_off
                 else:
                     offset = 0
                 s_shift = s_trim.copy()
@@ -275,7 +308,9 @@ def prepare_corpus(
 
                 valid = []
                 for k, ni in enumerate(note_indices):
-                    lag = (onset_a[k] - onset_s[k]) / HTS_FRAME_SHIFT
+                    # absolute lag, as in the reference's validity check
+                    # (data_prep_multitrack.py:553 lag = np.abs(a - b)/50000)
+                    lag = abs(onset_a[k] - onset_s[k]) / HTS_FRAME_SHIFT
                     rng = (
                         timelag_allowed_range_rest
                         if _is_silence(s_shift.contexts[ni])
@@ -357,6 +392,11 @@ def main(argv=None):
     ap.add_argument("--silence-threshold", type=float, default=1.0)
     ap.add_argument("--force-split-threshold", type=float, default=8.0)
     ap.add_argument("--offset-correction-threshold", type=float, default=0.01)
+    ap.add_argument("--global-offset-correction", action="store_true",
+                    help="apply the song-level offset to every segment "
+                    "instead of per-segment offsets")
+    ap.add_argument("--sample-rate", type=int, default=0,
+                    help="resample wavs to this rate (0 = keep source rate)")
     ap.add_argument("--dev-songs", default="",
                     help="comma-separated song names for the dev split")
     ap.add_argument("--eval-songs", default="",
@@ -369,6 +409,8 @@ def main(argv=None):
         silence_threshold=args.silence_threshold,
         force_split_threshold=args.force_split_threshold,
         offset_correction_threshold=args.offset_correction_threshold,
+        global_offset_correction=args.global_offset_correction,
+        sample_rate=args.sample_rate,
         dev_songs=[s for s in args.dev_songs.split(",") if s],
         eval_songs=[s for s in args.eval_songs.split(",") if s],
     )

@@ -70,11 +70,11 @@ def main(argv=None):
 
         # ground truth
         note_indices = hts.get_note_indices(score)
+        frame_shift = int(engine.frame_period * 1e4)
         gt_lag = (
             np.asarray(align.start_times)[note_indices]
             - np.asarray(score.start_times)[note_indices]
-        ) / 50000.0
-        frame_shift = int(engine.frame_period * 1e4)
+        ) / frame_shift
         gt_dur = (
             np.asarray(align.end_times) - np.asarray(align.start_times)
         ) / frame_shift
@@ -105,7 +105,23 @@ def _main_multitrack(args, engine, out_dir):
 
     spk_names = [s for s in args.spk_names.split(",") if s]
     by_segment = {}
+    # match the singer prefix against the declared names (longest first)
+    # rather than a generic regex: singer names may themselves contain
+    # underscores (e.g. lead_vocal_song0_seg1.lab)
     for path in sorted(Path(args.score_label_dir).glob("*.lab")):
+        spk = next(
+            (
+                s
+                for s in sorted(spk_names, key=len, reverse=True)
+                if path.stem.startswith(s + "_")
+            ),
+            None,
+        )
+        if spk is not None:
+            by_segment.setdefault(path.stem[len(spk) + 1 :], []).append(
+                (spk, path)
+            )
+            continue
         m = re.match(r"^([A-Za-z0-9]+)_(.+)$", path.stem)
         if not m:
             continue
@@ -146,11 +162,11 @@ def _main_multitrack(args, engine, out_dir):
                 if align_path.exists():
                     align = hts.load(align_path)
                     note_indices = hts.get_note_indices(score_m)
+                    frame_shift = int(engine.frame_period * 1e4)
                     gt_lag = (
                         np.asarray(align.start_times)[note_indices]
                         - np.asarray(score_m.start_times)[note_indices]
-                    ) / 50000.0
-                    frame_shift = int(engine.frame_period * 1e4)
+                    ) / frame_shift
                     gt_dur = (
                         np.asarray(align.end_times)
                         - np.asarray(align.start_times)

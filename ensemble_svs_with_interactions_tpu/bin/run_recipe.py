@@ -73,6 +73,8 @@ def stage_m1_data_prep(cfg: Config, work: Path):
         offset_correction_threshold=float(
             dp.get("offset_correction_threshold", 0.01)
         ),
+        global_offset_correction=bool(dp.get("global_offset_correction", False)),
+        sample_rate=int(dp.get("sample_rate", 0)),
         dev_songs=list(dp.get("dev_songs", []) or []),
         eval_songs=list(dp.get("eval_songs", []) or []),
     )
@@ -350,6 +352,11 @@ def stage7_synthesis(cfg, work):
         spk_names = cfg.get("spk_list", None) or cfg.get("synthesis", {}).get(
             "spk_names", None
         )
+        if not spk_names:
+            raise ValueError(
+                "multitrack stage 7 needs the singer names: set `spk_list:` "
+                "(or `synthesis.spk_names:`) in the recipe config"
+            )
         synthesis_multitrack.main(
             [
                 str(work / "packed_model"),

@@ -57,6 +57,11 @@ _ANSWER_CACHE_MAX = 65536
 def _phone_answers(binary_dict, numeric_dict, context: str) -> np.ndarray:
     entry = _ANSWER_CACHE.get(id(binary_dict))
     if entry is None or entry[0] is not binary_dict or entry[1] is not numeric_dict:
+        if len(_ANSWER_CACHE) >= 8:
+            # bound the registry itself: long-running servers may load
+            # many question sets; drop all cached sets rather than pin
+            # them (and their answer vectors) forever
+            _ANSWER_CACHE.clear()
         entry = (binary_dict, numeric_dict, {})
         _ANSWER_CACHE[id(binary_dict)] = entry
     cache = entry[2]

@@ -225,7 +225,6 @@ def parse_musicxml(path) -> List[ScoreNote]:
                 } | {
                     tt.get("type") for tt in el.findall("notations/tied")
                 }
-                is_tie_stop = "stop" in tie_types and "start" not in tie_types
                 extends_prev = (
                     notes
                     and notes[-1].midi == midi
@@ -251,7 +250,6 @@ def parse_musicxml(path) -> List[ScoreNote]:
                             measure_start=m_start,
                         )
                     )
-                del is_tie_stop
                 t += dur
             elif el.tag == "backup":
                 dur_div = int(el.find("duration").text)
@@ -372,10 +370,12 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
     def ph_at(i):
         return phones[i] if 0 <= i < len(phones) else "xx"
 
+    seen_in_note: dict = {}
     for ei, (ph, ni, start, dur) in enumerate(entries):
         n = notes[ni]
         note_phs = n.phonemes
-        pi_in_note = sum(1 for e in entries[:ei] if e[1] == ni)
+        pi_in_note = seen_in_note.get(ni, 0)
+        seen_in_note[ni] = pi_in_note + 1
         n_in_note = len(note_phs)
 
         # syllable = the phones of this note (sinsy: one syllable per note

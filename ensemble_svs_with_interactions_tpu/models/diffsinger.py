@@ -410,5 +410,7 @@ class PitchExtractor(BaseModel):
 
     def inference(self, x, lengths=None):
         lf0, vuv = self(x, lengths)
-        voiced = jax.nn.sigmoid(vuv) < 0.5  # uv > 0 -> unvoiced (pe.py:459)
-        return jnp.where(voiced, lf0, 0.0)
+        # the head predicts log2(f0); the reference converts to natural
+        # log (pe.py:446-456: f0 = 2**lf0; lf0 = log(f0)) and zeroes
+        # frames whose raw uv logit is positive (pe.py:458 lf0[uv > 0] = 0)
+        return jnp.where(vuv <= 0, lf0 * jnp.log(2.0), 0.0)

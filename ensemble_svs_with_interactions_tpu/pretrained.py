@@ -59,7 +59,14 @@ def get_available_model_ids():
 
 
 def _download_and_port(name: str, entry: dict) -> Path:
-    """Download a reference torch pack and convert it to a flax pack."""
+    """Download a reference torch pack and convert it to a flax pack.
+
+    Every stage writes into a ``*.partial`` staging directory and renames
+    it into place only on success, so an interrupted download/extract/
+    convert can never leave a directory that later calls mistake for a
+    complete cached model."""
+    import shutil
+
     cache = DEFAULT_CACHE_DIR
     cache.mkdir(parents=True, exist_ok=True)
     safe = name.replace("/", "_")
@@ -67,10 +74,18 @@ def _download_and_port(name: str, entry: dict) -> Path:
     raw_dir = cache / f"{safe}_torch"
     out_dir = cache / safe
     if not raw_dir.exists():
-        urlretrieve(entry["url"], tar_path)  # requires network egress
-        raw_dir.mkdir(parents=True, exist_ok=True)
-        with tarfile.open(tar_path) as tf:
-            tf.extractall(raw_dir)
+        staging = cache / f"{safe}_torch.partial"
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            urlretrieve(entry["url"], tar_path)  # requires network egress
+            staging.mkdir(parents=True)
+            with tarfile.open(tar_path) as tf:
+                tf.extractall(staging)
+            staging.rename(raw_dir)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            tar_path.unlink(missing_ok=True)
+            raise
     # locate the packed dir (the tarball may nest one directory)
     src = raw_dir
     if not (src / "config.yaml").exists():
@@ -81,7 +96,14 @@ def _download_and_port(name: str, entry: dict) -> Path:
         convert_nnsvs_pack,
     )
 
-    convert_nnsvs_pack(src, out_dir)
+    out_staging = cache / f"{safe}.partial"
+    shutil.rmtree(out_staging, ignore_errors=True)
+    try:
+        convert_nnsvs_pack(src, out_staging)
+        out_staging.rename(out_dir)
+    except BaseException:
+        shutil.rmtree(out_staging, ignore_errors=True)
+        raise
     return out_dir
 
 

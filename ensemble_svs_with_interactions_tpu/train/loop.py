@@ -341,7 +341,9 @@ class MetricsWriter:
             try:
                 import mlflow
 
-                mlflow.set_tracking_uri(f"file://{self.out_dir}/mlruns")
+                mlflow.set_tracking_uri(
+                    f"file://{Path(self.out_dir).resolve()}/mlruns"
+                )
                 mlflow.set_experiment(mlflow_experiment)
                 mlflow.start_run(run_name=mlflow_run_name)
                 if mlflow_params:

@@ -129,6 +129,21 @@ def test_mlpg_matches_dense_solve(rng, num_windows):
     assert np.allclose(got, expected, atol=1e-4), np.abs(got - expected).max()
 
 
+@pytest.mark.parametrize("num_windows", [2, 3])
+def test_mlpg_scan_kernel_matches_dense_solve(rng, num_windows):
+    """Device (jnp) inputs route to the jitted banded-Cholesky scan kernel
+    (host NumPy inputs use LAPACK); pin the scan path to the dense solve."""
+    import jax.numpy as jnp
+
+    T, D = 50, 4
+    windows = mlpg.default_windows(num_windows)
+    means = rng.normal(size=(T, num_windows * D)).astype(np.float32)
+    variances = rng.uniform(0.5, 2.0, size=(T, num_windows * D)).astype(np.float32)
+    expected = _dense_mlpg(means.astype(np.float64), variances.astype(np.float64), windows)
+    got = np.asarray(mlpg.mlpg(jnp.asarray(means), jnp.asarray(variances), windows))
+    assert np.allclose(got, expected, atol=2e-3), np.abs(got - expected).max()
+
+
 def test_mlpg_single_window_is_identity(rng):
     means = rng.normal(size=(20, 3))
     out = np.asarray(mlpg.mlpg(means, np.ones_like(means), 1))
