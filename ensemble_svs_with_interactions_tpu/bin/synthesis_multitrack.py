@@ -97,9 +97,24 @@ def main(argv=None):
     for sub in ("wav", "mgc", "logF0", "vuv", "bap", "timelag", "duration"):
         (out_dir / sub).mkdir(parents=True, exist_ok=True)
 
-    # group label files by segment id
+    # group label files by segment id; singer prefixes are matched against
+    # the declared names first (they may contain underscores), falling back
+    # to a generic <spk>_<segment> split
     by_segment = {}
     for path in sorted(Path(args.label_dir).glob("*.lab")):
+        spk = next(
+            (
+                s
+                for s in sorted(spk_names, key=len, reverse=True)
+                if path.stem.startswith(s + "_")
+            ),
+            None,
+        )
+        if spk is not None:
+            by_segment.setdefault(path.stem[len(spk) + 1 :], []).append(
+                (spk, path)
+            )
+            continue
         m = _SPK_RE.match(path.stem)
         if not m:
             continue
