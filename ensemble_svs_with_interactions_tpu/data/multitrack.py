@@ -86,8 +86,19 @@ class MultiTrackFeatsDataset:
         return len(self.pairs)
 
     def _spk_id(self, path) -> int:
+        # prefix match against the declared names first (they may contain
+        # underscores or characters the generic regex rejects)
+        stem = Path(path).name
+        for s in sorted(self.spk_names, key=len, reverse=True):
+            if stem.startswith(s + "_"):
+                return self.spk_names.index(s)
         name = speaker_name(path)
-        return self.spk_names.index(name) if name in self.spk_names else 0
+        if name in self.spk_names:
+            return self.spk_names.index(name)
+        raise ValueError(
+            f"cannot map '{stem}' to a speaker: prefix not in spk_names "
+            f"{self.spk_names} (check the dataset spk_names config)"
+        )
 
     def __getitem__(self, idx):
         (in0, out0), (in1, out1) = self.pairs[idx]

@@ -117,6 +117,27 @@ class ModelPack:
     def prediction_type(self):
         return self.module.prediction_type()
 
+    def _lengths_kwarg_ok(self, method: str) -> bool:
+        """True when the module method accepts ``lengths`` by keyword.
+
+        Passing lengths positionally is a footgun: for a speaker-
+        conditioned signature like ``inference(x, spks, lengths)`` called
+        without spks, the lengths array would silently bind to ``spks``.
+        """
+        import inspect
+
+        cache = getattr(self, "_lengths_kw_cache", None)
+        if cache is None:
+            cache = self._lengths_kw_cache = {}
+        if method not in cache:
+            fn = getattr(type(self.module), method, None)
+            try:
+                params = inspect.signature(fn).parameters if fn else {}
+            except (TypeError, ValueError):
+                params = {}
+            cache[method] = "lengths" in params
+        return cache[method]
+
     def inference_batch(
         self,
         xs,
@@ -162,14 +183,18 @@ class ModelPack:
             args.append(_pack(xs_sub, T_pad))
         if spks is not None:
             args.append(spks)
+        if self._lengths_kwarg_ok(method):
+            len_args, len_kw = (), {"lengths": jnp.asarray(lengths)}
+        else:
+            len_args, len_kw = (jnp.asarray(lengths),), {}
         if device_out:
             out = self._jit_infer_raw(
                 method, False, self.variables, self._rng, *args,
-                jnp.asarray(lengths),
+                *len_args, **len_kw,
             )
             return out, lengths
         out = self._jit_infer_method(
-            method, self.variables, self._rng, *args, jnp.asarray(lengths)
+            method, self.variables, self._rng, *args, *len_args, **len_kw
         )
 
         def _finalize():
@@ -186,10 +211,10 @@ class ModelPack:
     def inference(self, x: np.ndarray, spks=None, x_sub: Optional[np.ndarray] = None):
         """Run inference on a single (T, D) sequence with bucket padding."""
         T = x.shape[0]
-        T_pad = _round_up(max(T, 1), self.bucket)
+        T_long = max(T, 1, 0 if x_sub is None else x_sub.shape[0])
+        T_pad = _round_up(T_long, self.bucket)
         xb = np.zeros((1, T_pad, x.shape[1]), np.float32)
         xb[0, :T] = x
-        lengths = jnp.asarray([T])
         args = [jnp.asarray(xb)]
         if x_sub is not None:
             xsb = np.zeros((1, T_pad, x_sub.shape[1]), np.float32)
@@ -197,7 +222,13 @@ class ModelPack:
             args.append(jnp.asarray(xsb))
         if spks is not None:
             args.append(spks)
-        out = self._jit_infer(self.variables, self._rng, *args, lengths)
+        lengths = jnp.asarray([T])
+        if self._lengths_kwarg_ok("inference"):
+            out = self._jit_infer(
+                self.variables, self._rng, *args, lengths=lengths
+            )
+        else:
+            out = self._jit_infer(self.variables, self._rng, *args, lengths)
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[0, :T] for o in out)
         return np.asarray(out)[0, :T]
@@ -796,6 +827,34 @@ def gen_spsvs_static_features(
     return mgc, lf0, vuv, bap
 
 
+def _slaney_mel_frequencies(n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+    """librosa.mel_frequencies equivalent (Slaney scale: linear below
+    1 kHz, logarithmic above), used only for the melf0 GV offset."""
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        return np.where(
+            f >= min_log_hz,
+            min_log_mel + np.log(np.maximum(f, 1e-12) / min_log_hz) / logstep,
+            f / f_sp,
+        )
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        return np.where(
+            m >= min_log_mel,
+            min_log_hz * np.exp(logstep * (m - min_log_mel)),
+            f_sp * m,
+        )
+
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels)
+    return mel_to_hz(mels)
+
+
 def postprocess_acoustic(
     acoustic_features: np.ndarray,
     duration_modified_labels,
@@ -852,7 +911,18 @@ def postprocess_acoustic(
         note_frame_indices = note_frame_indices[
             note_frame_indices < len(acoustic_features)
         ]
-        offset = 2
+        if feature_type == "melf0":
+            # protect mel bands near F0 from GV boosting: first band
+            # above 1200 Hz (reference gen.py:1402-1410 via
+            # librosa.mel_frequencies)
+            offset = int(
+                np.argmax(
+                    _slaney_mel_frequencies(80, 63.0, sample_rate / 2)
+                    > 1200.0
+                )
+            )
+        else:
+            offset = 2
         mgc_end_dim = int(static_stream_sizes[0])
         acoustic_features[:, :mgc_end_dim] = variance_scaling(
             np.asarray(acoustic_out_static_scaler.var_).reshape(-1)[:mgc_end_dim],
@@ -866,7 +936,6 @@ def postprocess_acoustic(
         # via nnmnkwii.postfilters.merlin_post_filter): scale cepstral
         # coefficients >= 2 by 1.4 and restore the original spectral
         # energy through the 0th coefficient.
-        from ensemble_svs_with_interactions_tpu.ops.sptk import mc2sp, mcepalpha
         from ensemble_svs_with_interactions_tpu.ops.world.codec import (
             get_cheaptrick_fft_size,
         )

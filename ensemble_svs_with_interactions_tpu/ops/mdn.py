@@ -85,9 +85,8 @@ def mdn_loss(
 
     if reduce:
         return jnp.mean(nll, axis=tuple(range(1, nll.ndim)))
-    if dim_wise:
-        # (B, T, D): average over dims so masking by frame works uniformly
-        return nll
+    # (B, T), or (B, T, D) for dim_wise — callers mask with a
+    # broadcastable (B, T, 1) frame mask
     return nll
 
 

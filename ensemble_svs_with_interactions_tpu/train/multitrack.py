@@ -112,13 +112,19 @@ def multitrack_acoustic_loss(
     loss_lf0_inter = L.masked_mean(err, inter_mask)
 
     # --- 0th mel-cepstrum (loudness) difference ----------------------------
-    pred_mgc0_diff = pred_mgc_main[..., :1] - pred_mgc_sub[..., :1]
-    mgc0_diff = streams_main[0][..., :1] - streams_sub[0][..., :1]
-    if criterion in ("l2", "mse"):
-        err0 = (pred_mgc0_diff - mgc0_diff) ** 2
+    # the reference computes this only in its generic (non-hybrid) branch;
+    # for MULTISTREAM_HYBRID models it stays 0 via the locals() fallback
+    # (train_acoustic_multitrack.py:257-266 vs :291-292)
+    if prediction_type == PredictionType.MULTISTREAM_HYBRID:
+        loss_mgc0_inter = jnp.asarray(0.0)
     else:
-        err0 = jnp.abs(pred_mgc0_diff - mgc0_diff)
-    loss_mgc0_inter = L.masked_mean(err0, mask)
+        pred_mgc0_diff = pred_mgc_main[..., :1] - pred_mgc_sub[..., :1]
+        mgc0_diff = streams_main[0][..., :1] - streams_sub[0][..., :1]
+        if criterion in ("l2", "mse"):
+            err0 = (pred_mgc0_diff - mgc0_diff) ** 2
+        else:
+            err0 = jnp.abs(pred_mgc0_diff - mgc0_diff)
+        loss_mgc0_inter = L.masked_mean(err0, mask)
 
     return loss_feats, loss_lf0_inter, loss_mgc0_inter
 

@@ -33,6 +33,9 @@ from ensemble_svs_with_interactions_tpu.train.multitrack import (
     create_multitrack_timing_train_step,
     interaction_weight,
 )
+from ensemble_svs_with_interactions_tpu.train.losses import (
+    compute_pitch_regularization_weight,
+)
 from ensemble_svs_with_interactions_tpu.train.trainer import load_out_scaler
 from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
 from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
@@ -153,6 +156,18 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
     rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
     last_metrics: Dict[str, float] = {}
 
+    # pitch-regularization dynamic weights for the MAIN track (the
+    # reference intends compute_batch_pitch_regularization_weight over
+    # the main track's denormalized score lf0, train_acoustic_multitrack
+    # .py:502-512; note its loss body then reads an unassigned
+    # `pitch_reg_dyn_ws` name — we implement the intended semantics)
+    in_lf0_idx = int(config.data.get("in_lf0_idx", -1))
+    in_lf0_min = float(config.data.get("in_lf0_min", 0.0))
+    in_lf0_max = float(config.data.get("in_lf0_max", 1.0))
+    in_rest_idx = int(config.data.get("in_rest_idx", 0))
+    decay_size = int(config.train.get("pitch_reg_decay_size", 25))
+    pitch_reg_weight = float(config.train.get("pitch_reg_weight", 1.0))
+
     reduction = int(config.model.netG.get("reduction_factor", 1)) if is_acoustic else 1
     time_multiple = max(int(config.data.get("time_multiple", 32)), reduction)
     # time padding must stay divisible by the AR reduction factor
@@ -185,6 +200,23 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
             )
             epoch_metrics: Dict[str, list] = {}
             for batch in it:
+                if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
+                    lf0_denorm = (
+                        batch["in_feats0"][:, :, in_lf0_idx]
+                        * (in_lf0_max - in_lf0_min)
+                        + in_lf0_min
+                    )
+                    T = batch["in_feats0"].shape[1]
+                    valid = np.arange(T)[None, :] < batch["lengths"][:, None]
+                    if in_rest_idx >= 0:
+                        valid = valid & (
+                            batch["in_feats0"][:, :, in_rest_idx] <= 0
+                        )
+                    batch["pitch_reg_dyn_ws"] = (
+                        compute_pitch_regularization_weight(
+                            np.where(valid, lf0_denorm, 0.0), decay_size
+                        )
+                    )
                 sharded = shard_batch(batch, mesh)
                 if train:
                     rng, step_rng = jax.random.split(rng)

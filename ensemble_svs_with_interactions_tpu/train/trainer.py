@@ -172,6 +172,7 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     in_lf0_idx = int(config.data.get("in_lf0_idx", -1))
     in_lf0_min = float(config.data.get("in_lf0_min", 0.0))
     in_lf0_max = float(config.data.get("in_lf0_max", 1.0))
+    in_rest_idx = int(config.data.get("in_rest_idx", 0))
     decay_size = int(config.train.get("pitch_reg_decay_size", 25))
 
     # fixed-length random crops for AR acoustic models (reference
@@ -235,9 +236,16 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                         * (in_lf0_max - in_lf0_min)
                         + in_lf0_min
                     )
-                    # zero at padded/rest frames so note segmentation works
+                    # zero at padded AND rest frames so note segmentation
+                    # works (reference train_acoustic.py:354-356 multiplies
+                    # by the rest flag — score lf0 is interpolated over
+                    # rests, so they would otherwise count as note frames)
                     T = batch["in_feats"].shape[1]
                     valid = np.arange(T)[None, :] < batch["lengths"][:, None]
+                    if in_rest_idx >= 0:
+                        valid = valid & (
+                            batch["in_feats"][:, :, in_rest_idx] <= 0
+                        )
                     batch["pitch_reg_dyn_ws"] = compute_pitch_regularization_weight(
                         np.where(valid, lf0_denorm, 0.0), decay_size
                     )

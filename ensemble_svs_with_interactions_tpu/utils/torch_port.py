@@ -267,6 +267,13 @@ def _shapes_compatible(kind, funit, tensors) -> bool:
         return tuple(np.shape(funit["scale"])) == tuple(tensors["weight"].shape)
     if kind == "embedding":
         return tuple(np.shape(funit["embedding"])) == tuple(tensors["weight"].shape)
+    if kind == "param":
+        # bare parameters pair by order WITHIN matching shapes — without
+        # this check two same-kind params in different definition order
+        # would be assigned blindly
+        return tuple(np.shape(funit["value"])) == tuple(
+            np.shape(tensors["value"])
+        )
     return True
 
 

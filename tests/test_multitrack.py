@@ -374,3 +374,51 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
     # dev rendering produced parameter plots (and possibly wavs)
     renders = list((tmp_path / "exp_mt_ac" / "eval").rglob("*_params.png"))
     assert renders, "eval_render produced no plots"
+
+
+def test_mgc0_interaction_zero_for_hybrid():
+    """The reference computes the 0th-mgc interaction only in its generic
+    (non-hybrid) branch; MULTISTREAM_HYBRID models get 0
+    (train_acoustic_multitrack.py:257-266 vs :291-292)."""
+    from ensemble_svs_with_interactions_tpu.base import PredictionType
+
+    B, T = 1, 8
+    ss = [3, 1, 1, 2]
+    D = sum(ss)
+    rng = np.random.default_rng(0)
+    out_main = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    out_sub = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = jnp.ones((B, T, 1))
+    split = lambda o: [o[..., :3], o[..., 3:4], o[..., 4:5], o[..., 5:]]
+    pred_main = split(out_main)
+    pred_main[0] = pred_main[0] + 2.0  # mgc mismatch on main only
+    pred_sub = split(out_sub)
+    _, _, lm_hybrid = multitrack_acoustic_loss(
+        pred_main, pred_sub, out_main, out_sub, mask, ss,
+        prediction_type=PredictionType.MULTISTREAM_HYBRID,
+    )
+    _, _, lm_det = multitrack_acoustic_loss(
+        jnp.concatenate(pred_main, axis=-1),
+        jnp.concatenate(pred_sub, axis=-1),
+        out_main, out_sub, mask, ss,
+        prediction_type=PredictionType.DETERMINISTIC,
+    )
+    assert float(lm_hybrid) == 0.0
+    assert float(lm_det) > 0.5
+
+
+def test_spk_id_underscored_names_and_unknown(tmp_path):
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for spk in ("lead_vocal", "backing"):
+        x = rng.normal(size=(10, 4)).astype(np.float32)
+        np.save(in_dir / f"{spk}_seg1-feats.npy", x)
+        np.save(out_dir / f"{spk}_seg1-feats.npy", x)
+    ds = MultiTrackFeatsDataset(in_dir, out_dir, ["lead_vocal", "backing"])
+    assert ds._spk_id(in_dir / "lead_vocal_seg1-feats.npy") == 0
+    assert ds._spk_id(in_dir / "backing_seg1-feats.npy") == 1
+    with pytest.raises(ValueError, match="cannot map"):
+        ds._spk_id(in_dir / "tenor_seg1-feats.npy")
