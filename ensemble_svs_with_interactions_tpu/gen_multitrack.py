@@ -121,7 +121,7 @@ def predict_timelag_multitrack(
     log_f0_conditioning: bool = True,
     allowed_range: Sequence[int] = (-20, 20),
     allowed_range_rest: Sequence[int] = (-40, 40),
-    force_clip_input_features: bool = False,
+    force_clip_input_features: bool = True,  # reference shipped configs default true
     frame_period: float = 5,
 ):
     """Note-level time-lag for the main track, conditioned on both tracks."""
@@ -158,7 +158,7 @@ def predict_duration_multitrack(
     numeric_dict,
     pitch_indices=None,
     log_f0_conditioning: bool = True,
-    force_clip_input_features: bool = False,
+    force_clip_input_features: bool = True,  # reference shipped configs default true
     frame_period: float = 5,
 ):
     """Phone-level durations for the main track (joint two-track model)."""
@@ -388,7 +388,7 @@ def predict_acoustic_multitrack(
     subphone_features: str = "coarse_coding",
     pitch_indices=None,
     log_f0_conditioning: bool = True,
-    force_clip_input_features: bool = False,
+    force_clip_input_features: bool = True,  # reference shipped configs default true
     frame_period: float = 5,
     f0_shift_in_cent: float = 0,
 ):

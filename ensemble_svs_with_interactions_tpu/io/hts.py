@@ -166,22 +166,8 @@ def load(path) -> HTSLabels:
     Accepts both aligned labels (``start end context``) and score labels
     with no times (``context`` only, times set to 0).
     """
-    labels = HTSLabels()
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            cols = line.split()
-            if len(cols) >= 3:
-                s, e = int(cols[0]), int(cols[1])
-                c = " ".join(cols[2:])
-            else:
-                s, e, c = 0, 0, cols[-1]
-            labels.start_times.append(s)
-            labels.end_times.append(e)
-            labels.contexts.append(c)
-    return labels
+        return loads(f.read())
 
 
 def loads(text: str) -> HTSLabels:

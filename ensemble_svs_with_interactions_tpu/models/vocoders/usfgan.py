@@ -38,18 +38,14 @@ from ensemble_svs_with_interactions_tpu.base import BaseModel
 
 
 def dilated_factor(f0: np.ndarray, fs: int, dense_factor: int) -> np.ndarray:
-    """Pitch-dependent dilation factor per frame: fs / (dense_factor * f0),
-    with unvoiced frames carried over from the previous voiced value."""
+    """Pitch-dependent dilation factor per frame: fs / (dense_factor * f0).
+
+    Unvoiced frames (f0 == 0) substitute f0 = fs / dense_factor, i.e. a
+    dilation factor of exactly 1.0 (reference
+    nnsvs/usfgan/utils/features.py:56-75)."""
     f0 = np.asarray(f0, dtype=np.float64).reshape(-1)
-    out = np.ones_like(f0)
-    prev = 1.0
-    nz = f0 > 0
-    vals = np.where(nz, fs / (dense_factor * np.maximum(f0, 1e-6)), 0.0)
-    for i in range(len(f0)):
-        if nz[i]:
-            prev = vals[i]
-        out[i] = prev
-    return out
+    f0 = np.where(f0 > 0, f0, fs / dense_factor)
+    return fs / (dense_factor * f0)
 
 
 class SignalGenerator:
@@ -84,12 +80,19 @@ class SignalGenerator:
         for kind in self.signal_types:
             if kind == "sine":
                 phase = 2 * np.pi * np.cumsum(f0_samples) / self.sample_rate
-                sine = self.sine_amp * np.sin(phase)
-                noise = self.noise_amp * rng.standard_normal(len(f0_samples))
-                sig = np.where(voiced, sine + noise, self.noise_amp / 3.0
-                               * rng.standard_normal(len(f0_samples)) * 3.0)
+                sine = np.where(voiced, self.sine_amp * np.sin(phase), 0.0)
+                if self.noise_amp > 0:
+                    # reference sinusoid(): one noise draw, amplitude
+                    # noise_amp at voiced frames, noise_amp/3 unvoiced
+                    amp = np.where(
+                        voiced, self.noise_amp, self.noise_amp / 3.0
+                    )
+                    sine = sine + amp * rng.standard_normal(len(f0_samples))
+                sig = sine
             elif kind == "noise":
-                sig = self.noise_amp * rng.standard_normal(len(f0_samples))
+                # reference random_noise(): UNIT-variance gaussian (no
+                # noise_amp scaling)
+                sig = rng.standard_normal(len(f0_samples))
             elif kind == "uv":
                 sig = voiced.astype(np.float64)
             else:
@@ -107,15 +110,21 @@ def pd_indexing(x, d, dilation: int):
     """Pitch-dependent past/future gathers.
 
     x: (B, T, C); d: (B, T) dilation factors.  Returns (x_past, x_future)
-    gathered at t -/+ round(d * dilation), clipped to the valid range.
+    gathered at t -/+ round(d * dilation); out-of-range positions read as
+    ZERO, matching the reference's zero padding
+    (nnsvs/usfgan/utils/index.py:30-52).
     """
     B, T, C = x.shape
     offs = jnp.rint(d * dilation).astype(jnp.int32)
     t = jnp.arange(T)[None, :]
-    idx_p = jnp.clip(t - offs, 0, T - 1)[..., None]
-    idx_f = jnp.clip(t + offs, 0, T - 1)[..., None]
+    raw_p = t - offs
+    raw_f = t + offs
+    idx_p = jnp.clip(raw_p, 0, T - 1)[..., None]
+    idx_f = jnp.clip(raw_f, 0, T - 1)[..., None]
     xP = jnp.take_along_axis(x, jnp.broadcast_to(idx_p, (B, T, C)), axis=1)
     xF = jnp.take_along_axis(x, jnp.broadcast_to(idx_f, (B, T, C)), axis=1)
+    xP = jnp.where((raw_p >= 0)[..., None], xP, 0.0)
+    xF = jnp.where((raw_f <= T - 1)[..., None], xF, 0.0)
     return xP, xF
 
 
@@ -219,8 +228,13 @@ class _ResidualBlocks(nn.Module):
                 )(x, c)
                 f_idx += 1
             skips = skips + s
-        skips = skips * math.sqrt(1.0 / max(len(modes), 1))
-        return skips
+        # the reference computes the scaled skip sum but RETURNS the
+        # residual path (usfgan residual_block.py:322-336: `skips *= ...;
+        # return x`) — the skip 1x1 convs never reach the output, so
+        # reference-trained checkpoints have untrained skip weights and
+        # parity requires discarding them here too
+        del skips
+        return x
 
 
 class _ConvInUpsampleNetwork(nn.Module):

@@ -37,22 +37,32 @@ def create_gan_train_step(
     lengths (B,).
     """
 
+    def _d_mean(vals, mask):
+        # mask D outputs over padded frames when the time resolution
+        # matches (reference train_postfilter.py:115-131 masked_select);
+        # scale-changing discriminators fall back to a plain mean
+        if vals.ndim >= 2 and vals.shape[1] == mask.shape[1]:
+            m = mask.reshape(mask.shape[0], mask.shape[1], *([1] * (vals.ndim - 2)))
+            return masked_mean(vals, m)
+        return jnp.mean(vals)
+
     def g_loss_fn(paramsG, paramsD, batch, rng):
         x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
         T = x.shape[1]
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[
             :, :, None
         ]
+        rng_drop, rng_noise = jax.random.split(rng)
         fake = netG.apply(
             {"params": paramsG}, x, lengths, train=True,
-            rngs={"dropout": rng, "noise": rng},
+            rngs={"dropout": rng_drop, "noise": rng_noise},
         )
         loss_recon = masked_mean((fake - y) ** 2, mask)
         d_fake = netD.apply({"params": paramsD}, fake * mask)
         d_real = netD.apply({"params": paramsD}, y * mask)
-        loss_adv = jnp.mean((d_fake[-1] - 1.0) ** 2)
+        loss_adv = _d_mean((d_fake[-1] - 1.0) ** 2, mask)
         loss_fm = sum(
-            jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+            _d_mean(jnp.abs(f - jax.lax.stop_gradient(r)), mask)
             for f, r in zip(d_fake[:-1], d_real[:-1])
         ) / max(len(d_fake) - 1, 1)
         loss = (
@@ -76,8 +86,8 @@ def create_gan_train_step(
         ]
         d_real = netD.apply({"params": paramsD}, y * mask)
         d_fake = netD.apply({"params": paramsD}, jax.lax.stop_gradient(fake) * mask)
-        loss_real = jnp.mean((d_real[-1] - 1.0) ** 2)
-        loss_fake = jnp.mean(d_fake[-1] ** 2)
+        loss_real = _d_mean((d_real[-1] - 1.0) ** 2, mask)
+        loss_fake = _d_mean(d_fake[-1] ** 2, mask)
         loss = loss_real + loss_fake
         return loss, {"Loss_D": loss, "Loss_D_Real": loss_real, "Loss_D_Fake": loss_fake}
 

@@ -46,7 +46,9 @@ def test_dilated_factor_and_signal_generator():
     f0 = np.array([0.0, 200.0, 200.0, 0.0, 100.0])
     d = dilated_factor(f0, SR, 4)
     assert np.isclose(d[1], SR / (4 * 200))
-    assert d[3] == d[2]  # carry-over through unvoiced
+    # unvoiced frames substitute f0 = fs/dense_factor -> factor exactly 1
+    # (reference usfgan features.py:56-75)
+    assert d[0] == 1.0 and d[3] == 1.0
     sig = SignalGenerator(SR, HOP, signal_types=("sine",))(f0)
     assert sig.shape == (5 * HOP, 1)
     # voiced region has much higher energy than unvoiced
@@ -61,8 +63,11 @@ def test_pd_indexing():
     xP, xF = pd_indexing(x, d, 1)
     assert xP[0, 5, 0] == 3  # t-2
     assert xF[0, 5, 0] == 7  # t+2
-    assert xP[0, 0, 0] == 0  # clipped
-    assert xF[0, 9, 0] == 9
+    # out-of-range gathers read zero (reference zero padding, index.py:30-52)
+    assert xP[0, 0, 0] == 0
+    assert xP[0, 1, 0] == 0
+    assert xF[0, 9, 0] == 0
+    assert xF[0, 8, 0] == 0
 
 
 def test_usfgan_generator_shapes():
