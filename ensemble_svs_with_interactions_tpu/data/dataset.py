@@ -87,9 +87,19 @@ class MultiSpeakerFeatsDataset(FeatsDataset):
 
     def spk_id(self, idx) -> int:
         name = self.utt_id(idx)
+        # longest-prefix match against the declared names (they may
+        # contain underscores/hyphens the generic regex rejects)
+        for s in sorted(self.spk_names, key=len, reverse=True):
+            if name.startswith(s + "_"):
+                return self.spk_names.index(s)
         m = _SPK_RE.match(name)
         prefix = m.group(1) if m else name
-        return self.spk_names.index(prefix) if prefix in self.spk_names else 0
+        if prefix in self.spk_names:
+            return self.spk_names.index(prefix)
+        raise ValueError(
+            f"cannot map '{name}' to a speaker: prefix not in spk_names "
+            f"{self.spk_names} (check data.spk_names)"
+        )
 
     def __getitem__(self, idx):
         x, y = super().__getitem__(idx)
@@ -112,9 +122,10 @@ def batch_by_size(
     cur_max = 0
     for idx in indices:
         L = int(lengths[idx])
-        new_max = max(cur_max, L)
-        if cur and (
-            (max_tokens is not None and new_max * (len(cur) + 1) > max_tokens)
+        # close (possibly repeatedly: the multiple-trim carries a remainder
+        # that must also fit) until idx fits in the running batch
+        while cur and (
+            (max_tokens is not None and max(cur_max, L) * (len(cur) + 1) > max_tokens)
             or (max_sentences is not None and len(cur) >= max_sentences)
         ):
             # trim to a multiple for even device sharding
@@ -122,7 +133,7 @@ def batch_by_size(
             keep = max(len(cur) - len(cur) % m, m) if len(cur) >= m else len(cur)
             batches.append(cur[:keep])
             cur = cur[keep:]
-            cur_max = max((lengths[i] for i in cur), default=0)
+            cur_max = max((int(lengths[i]) for i in cur), default=0)
         cur.append(int(idx))
         cur_max = max(cur_max, L)
     if cur:
@@ -174,17 +185,13 @@ class BucketedBatchIterator:
         batch_multiple: int = 1,
         shuffle: bool = True,
         seed: int = 0,
-        random_segments: Optional[int] = None,
     ):
         self.dataset = dataset
         self.time_multiple = time_multiple
         self.batch_multiple = batch_multiple
         self.shuffle = shuffle
-        self.random_segments = random_segments
         self.rng = np.random.default_rng(seed)
         lengths = dataset.lengths()
-        if random_segments:
-            lengths = np.minimum(lengths, random_segments)
         self.batches = batch_by_size(
             lengths,
             max_tokens=max_tokens,
@@ -204,20 +211,8 @@ class BucketedBatchIterator:
             items = [self.dataset[i] for i in idxs]
             xs = [it[0] for it in items]
             ys = [it[1] for it in items]
-            if self.random_segments:
-                seg = self.random_segments
-                cropped_x, cropped_y = [], []
-                for x, y in zip(xs, ys):
-                    n = min(len(x), len(y))
-                    if n > seg:
-                        s = int(self.rng.integers(0, n - seg + 1))
-                        x, y = x[s : s + seg], y[s : s + seg]
-                    cropped_x.append(x[:n])
-                    cropped_y.append(y[:n])
-                xs, ys = cropped_x, cropped_y
-            else:
-                xs = [x[: min(len(x), len(y))] for x, y in zip(xs, ys)]
-                ys = [y[: min(len(x), len(y))] for x, y in zip(xs, ys)]
+            xs = [x[: min(len(x), len(y))] for x, y in zip(xs, ys)]
+            ys = [y[: min(len(x), len(y))] for x, y in zip(xs, ys)]
             in_feats, lengths = pad_batch(
                 xs, self.time_multiple, self.batch_multiple
             )

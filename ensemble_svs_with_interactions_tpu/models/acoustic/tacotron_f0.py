@@ -257,6 +257,13 @@ class MultiTrackBiLSTMResF0NonAttentiveDecoder(BaseModel):
     def has_residual_lf0_prediction(self) -> bool:
         return True
 
+    def prediction_type(self):
+        return (
+            PredictionType.PROBABILISTIC
+            if self.use_mdn
+            else PredictionType.DETERMINISTIC
+        )
+
     @nn.compact
     def __call__(
         self,

@@ -428,7 +428,7 @@ class FFConvLSTM(BaseModel):
 
     def inference(self, x, lengths=None, spk_embs=None):
         if self.use_mdn:
-            log_pi, log_sigma, mu = self(x, lengths)
+            log_pi, log_sigma, mu = self(x, lengths, spk_embs=spk_embs)
             sigma, mu = mdn_get_most_probable_sigma_and_mu(log_pi, log_sigma, mu)
             return mu, sigma
         return self(x, lengths, spk_embs=spk_embs)

@@ -79,6 +79,7 @@ class NEUTRINO(SPSVS):
         acoustic = self.predict_acoustic(
             mod, f0_shift_in_cent=style_shift * 100
         )
+        vuv_threshold = postprocess_kw.get("vuv_threshold", 0.5)
         mgc, lf0, vuv, bap = self.postprocess_acoustic(
             acoustic,
             mod,
@@ -86,7 +87,8 @@ class NEUTRINO(SPSVS):
             f0_shift_in_cent=-style_shift * 100,
             **postprocess_kw,
         )
-        f0 = np.exp(lf0) * (vuv > 0.5)
+        # same threshold as postprocessing (reference svs.py:904-905)
+        f0 = np.exp(lf0) * (vuv > vuv_threshold)
         return (
             f0.astype(np.float64),
             mgc.astype(np.float64),

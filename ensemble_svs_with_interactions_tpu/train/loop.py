@@ -29,7 +29,7 @@ import optax
 from flax import serialization
 from flax import traverse_util
 
-from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.base import BaseModel, PredictionType
 from ensemble_svs_with_interactions_tpu.train import losses as L
 from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
 
@@ -39,26 +39,39 @@ from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
 # --------------------------------------------------------------------------
 
 
-def build_lr_schedule(optimizer_cfg: Dict, scheduler_cfg: Optional[Dict]):
+def build_lr_schedule(
+    optimizer_cfg: Dict,
+    scheduler_cfg: Optional[Dict],
+    steps_per_epoch: int = 1,
+):
+    """Torch-style scheduler config -> optax schedule (per optimizer step).
+
+    The reference steps its torch schedulers once per EPOCH
+    (train_util.py / bin/train.py); the epoch-quantized parameters
+    (StepLR step_size, ExponentialLR gamma, cosine T_max) are therefore
+    scaled by ``steps_per_epoch``.  Noam is inherently per-step.
+    """
     base_lr = float(optimizer_cfg.get("params", {}).get("lr", 1e-3))
     if not scheduler_cfg or not scheduler_cfg.get("name"):
         return base_lr
     name = scheduler_cfg["name"].lower()
     p = scheduler_cfg.get("params", {})
+    spe = max(int(steps_per_epoch), 1)
     if name == "steplr":
         return optax.exponential_decay(
             base_lr,
-            transition_steps=int(p.get("step_size", 10)),
+            transition_steps=int(p.get("step_size", 10)) * spe,
             decay_rate=float(p.get("gamma", 0.5)),
             staircase=True,
         )
     if name == "exponentiallr":
         return optax.exponential_decay(
-            base_lr, transition_steps=1, decay_rate=float(p.get("gamma", 0.99))
+            base_lr, transition_steps=spe, decay_rate=float(p.get("gamma", 0.99)),
+            staircase=True,
         )
     if name in ("cosineannealinglr", "cosine"):
         return optax.cosine_decay_schedule(
-            base_lr, decay_steps=int(p.get("T_max", 100000))
+            base_lr, decay_steps=int(p.get("T_max", 100000)) * spe
         )
     if name in ("noamlr", "noam"):
         warmup = int(p.get("warmup_steps", 4000))
@@ -72,10 +85,14 @@ def build_lr_schedule(optimizer_cfg: Dict, scheduler_cfg: Optional[Dict]):
     raise ValueError(f"unknown lr scheduler: {name}")
 
 
-def build_optimizer(optimizer_cfg: Dict, scheduler_cfg: Optional[Dict] = None):
+def build_optimizer(
+    optimizer_cfg: Dict,
+    scheduler_cfg: Optional[Dict] = None,
+    steps_per_epoch: int = 1,
+):
     name = optimizer_cfg.get("name", "Adam").lower()
     p = dict(optimizer_cfg.get("params", {}))
-    lr = build_lr_schedule(optimizer_cfg, scheduler_cfg)
+    lr = build_lr_schedule(optimizer_cfg, scheduler_cfg, steps_per_epoch)
     betas = tuple(p.get("betas", (0.9, 0.999)))
     weight_decay = float(p.get("weight_decay", 0.0))
     if name == "adam":
@@ -190,6 +207,11 @@ def create_train_step(
     prediction_type = module.prediction_type()
     has_res_lf0 = module.has_residual_lf0_prediction()
     stream_sizes = list(model_config.get("stream_sizes", []))
+    # shallow-AR models train against analysis-filtered targets
+    # (reference bin/train.py:81-83 model.preprocess_target)
+    has_target_filter = (
+        type(module).preprocess_target is not BaseModel.preprocess_target
+    )
 
     def loss_fn(params, batch_stats, batch, rng, train: bool):
         variables = {"params": params}
@@ -203,6 +225,13 @@ def create_train_step(
             :, :, None
         ]
 
+        if has_target_filter:
+            # filter BEFORE the forward pass: teacher forcing and the loss
+            # both see the filtered target, as in the reference
+            out_feats = module.apply(
+                {"params": params}, out_feats, method="preprocess_target"
+            )
+
         kwargs = dict(train=train)
         args = [in_feats]
         if "spks" in batch:
@@ -210,7 +239,14 @@ def create_train_step(
         args.append(lengths)
 
         mutable = ["batch_stats"] if (train and batch_stats) else False
-        rngs = {"dropout": rng} if train else None
+        # AR decoders draw from "prenet" (active even at eval — prenet
+        # dropout stays on at inference) and "zoneout"; thread all streams
+        # like the multitrack step (train/multitrack.py)
+        if train:
+            r1, r2, r3 = jax.random.split(rng, 3)
+            rngs = {"dropout": r1, "prenet": r2, "zoneout": r3}
+        else:
+            rngs = {"prenet": jax.random.PRNGKey(0)}
         outs = module.apply(
             variables, *args, out_feats, rngs=rngs, mutable=mutable, **kwargs
         )
@@ -356,7 +392,7 @@ class MetricsWriter:
                     "mlflow requested but not installed; metrics go to "
                     "JSONL (and TensorBoard if enabled) only"
                 )
-        elif use_tensorboard:
+        if self.mlflow is None and use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 

@@ -97,9 +97,37 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
         variables, copied = load_params_shape_filtered(resume_path, variables)
         logger.info("warm-started %d tensors from %s", copied, resume_path)
 
+    spk_names = list(config.data.get("spk_names", []))
+    datasets = {}
+    for split in ("train_no_dev", "dev"):
+        d = config.data[split]
+        datasets[split] = MultiTrackFeatsDataset(
+            d["in_dir"],
+            d["out_dir"],
+            spk_names,
+            max_frames=int(config.data.get("filter_num_frames", 6000)),
+            load_times=not is_acoustic,
+        )
+        logger.info("%s: %d track pairs", split, len(datasets[split]))
+
+    # epoch-quantized torch schedulers tick per EPOCH in the reference;
+    # scale optax transition counts by the planned batches per epoch
+    steps_per_epoch = max(
+        len(
+            MultiTrackBatchIterator(
+                datasets["train_no_dev"],
+                sync="frames" if is_acoustic else "notes",
+                max_tokens=int(config.data.get("batch_max_frames", 32000)),
+                shuffle=False,
+                seed=0,
+            )
+        ),
+        1,
+    )
     optimizer = build_optimizer(
         dict(config.train.optim.optimizer),
         dict(config.train.optim.get("lr_scheduler", {}) or {}),
+        steps_per_epoch=steps_per_epoch,
     )
     state = {
         "params": variables["params"],
@@ -123,19 +151,6 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
         train_step, eval_step = create_multitrack_timing_train_step(
             module, optimizer, clip_norm=clip_norm
         )
-
-    spk_names = list(config.data.get("spk_names", []))
-    datasets = {}
-    for split in ("train_no_dev", "dev"):
-        d = config.data[split]
-        datasets[split] = MultiTrackFeatsDataset(
-            d["in_dir"],
-            d["out_dir"],
-            spk_names,
-            max_frames=int(config.data.get("filter_num_frames", 6000)),
-            load_times=not is_acoustic,
-        )
-        logger.info("%s: %d track pairs", split, len(datasets[split]))
 
     out_scaler = None
     prefix = config.data.get("out_scaler_prefix")

@@ -116,31 +116,6 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
         variables, copied = load_params_shape_filtered(resume_path, variables)
         logger.info("warm-started %d tensors from %s", copied, resume_path)
 
-    optimizer = build_optimizer(
-        dict(config.train.optim.optimizer),
-        dict(config.train.optim.get("lr_scheduler", {}) or {}),
-    )
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    state = {
-        "params": params,
-        "batch_stats": batch_stats,
-        "opt_state": optimizer.init(params),
-        "step": jnp.asarray(0),
-    }
-
-    pitch_reg_weight = float(config.train.get("pitch_reg_weight", 1.0)) if is_acoustic else 0.0
-    train_step, eval_step = create_train_step(
-        module,
-        optimizer,
-        dict(config.model),
-        clip_norm=float(config.train.optim.get("clip_norm", 1.0)),
-        feats_criterion=config.train.get("feats_criterion", "mse"),
-        pitch_reg_weight=pitch_reg_weight,
-        stream_wise_loss=bool(config.train.get("stream_wise_loss", False)),
-        stream_weights=config.train.get("stream_weights"),
-    )
-
     max_frames = int(config.data.get("filter_num_frames", 6000))
     batch_max_frames = int(config.data.get("batch_max_frames", 32000))
     spk_names = list(config.data.get("spk_names", []) or [])
@@ -163,6 +138,49 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
             )
         logger.info("%s: %d utterances", split, len(datasets[split]))
 
+    # epoch-quantized torch schedulers (StepLR etc.) tick once per EPOCH in
+    # the reference; optax schedules tick per optimizer step, so scale the
+    # transition counts by the planned batches per epoch (the batch plan is
+    # computed from lengths only — no data is loaded here)
+    steps_per_epoch = max(
+        len(
+            BucketedBatchIterator(
+                datasets["train_no_dev"],
+                max_tokens=batch_max_frames,
+                time_multiple=int(config.data.get("time_multiple", 32)),
+                batch_multiple=n_dev,
+                shuffle=False,
+                seed=0,
+            )
+        ),
+        1,
+    )
+    optimizer = build_optimizer(
+        dict(config.train.optim.optimizer),
+        dict(config.train.optim.get("lr_scheduler", {}) or {}),
+        steps_per_epoch=steps_per_epoch,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = {
+        "params": params,
+        "batch_stats": batch_stats,
+        "opt_state": optimizer.init(params),
+        "step": jnp.asarray(0),
+    }
+
+    pitch_reg_weight = float(config.train.get("pitch_reg_weight", 1.0)) if is_acoustic else 0.0
+    train_step, eval_step = create_train_step(
+        module,
+        optimizer,
+        dict(config.model),
+        clip_norm=float(config.train.optim.get("clip_norm", 1.0)),
+        feats_criterion=config.train.get("feats_criterion", "mse"),
+        pitch_reg_weight=pitch_reg_weight,
+        stream_wise_loss=bool(config.train.get("stream_wise_loss", False)),
+        stream_weights=config.train.get("stream_weights"),
+    )
+
     out_scaler = None
     scaler_prefix = config.data.get("out_scaler_prefix")
     if scaler_prefix:
@@ -183,6 +201,9 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     seg_rng = np.random.default_rng(int(config.get("seed", 1234)) + 1)
 
     def _random_segments(batch):
+        # crop AFTER batching (the reference's collate_fn_random_segments
+        # operates on batches formed from FULL lengths — cropping before
+        # bucketing would collapse everything into a few giant batches)
         x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
         B, T = x.shape[0], x.shape[1]
         seg = segment_length
