@@ -42,6 +42,11 @@ def _so_path() -> Path:
 
 
 def _build(so: Path) -> bool:
+    # compile to a unique temp file and rename into place: several
+    # data-prep worker processes may race the first build, and linking
+    # straight onto the final path would truncate a file another process
+    # has already dlopen'ed
+    tmp = so.with_suffix(f".tmp{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -51,15 +56,20 @@ def _build(so: Path) -> bool:
         "-fno-math-errno",
         str(_SRC),
         "-o",
-        str(so),
+        str(tmp),
     ]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=300
         )
+        if proc.returncode == 0 and tmp.exists():
+            os.replace(tmp, so)
+            return True
+        return False
     except (OSError, subprocess.TimeoutExpired):
         return False
-    return proc.returncode == 0 and so.exists()
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:

@@ -51,6 +51,11 @@ def interp1d(f0: np.ndarray, kind: str = "slinear") -> np.ndarray:
     filled by interpolating between surrounding nonzero values; edges are
     extended with the nearest nonzero value.  Accepts (T,) or (T, 1).
     """
+    if kind not in ("slinear", "linear"):
+        raise NotImplementedError(
+            f"interp1d kind={kind!r} is not supported (only piecewise "
+            "linear); nnmnkwii's other scipy kinds are not implemented"
+        )
     f0 = np.asarray(f0)
     squeeze = f0.ndim == 2
     flat = f0.reshape(-1).astype(np.float64)
@@ -292,10 +297,14 @@ def extract_vibrato_parameters(
     m_f = np.zeros(T)
 
     for s, e in nonzero_segments(pitch):
-        seg = pitch[s : e + 1]
+        # nonzero_segments ends are EXCLUSIVE for interior runs (first zero
+        # index) but inclusive for a run touching the signal end — slice so
+        # no 0-cent unvoiced frame leaks into the vibrato statistics
+        e_excl = e + 1 if pitch[e] > 0 else e
+        seg = pitch[s:e_excl]
         if len(seg) < 4 * min_cross_count:
             continue
-        like = vibrato_likelihood[s : e + 1]
+        like = vibrato_likelihood[s:e_excl]
         if (like > threshold).sum() == 0:
             continue
         # candidate: the whole voiced segment trimmed to the likelihood span

@@ -554,6 +554,9 @@ class SPSVS(BaseSVS):
             and self.feature_type == "world"
             and post_filter_type in ("gv", "off", "none", None)
             and len(ss) == 4
+            # coded band aperiodicity only: mcep-aperiodicity packs
+            # (bap dim > 5) need the host path's use_mcep_ap handling
+            and int(ss[3]) <= 5
             and not any(hd)
             and not self.config.get("relative_f0", False)
             # host lowpass_filter skips signals <= 18 frames; keep parity
@@ -620,12 +623,19 @@ class SPSVS(BaseSVS):
         )
 
     def _fused_vocoder(self, streams_dev, lengths, vuv_threshold, dtype):
+        return self._dispatch_and_finalize_wavs(
+            list(streams_dev), lengths, vuv_threshold, dtype
+        )
+
+    def _dispatch_and_finalize_wavs(self, batch, lengths, vuv_threshold, dtype):
+        """Shared tail of both vocoder paths: chunked device synthesis via
+        :meth:`_vocoder_core`, then per-track trim + dtype finalization."""
         self._t_vocoder_device_done = None
         hop = int(self.sample_rate * self.frame_period / 1000)
         sample_lengths = np.asarray(lengths, np.int64) * hop
         want_int16 = dtype in (np.int16, "int16")
         wavs = self._vocoder_core(
-            list(streams_dev), sample_lengths, vuv_threshold, want_int16
+            batch, sample_lengths, vuv_threshold, want_int16
         )
         N = len(lengths)
         if want_int16:
@@ -708,8 +718,14 @@ class SPSVS(BaseSVS):
 
         from ensemble_svs_with_interactions_tpu.ops import world
 
-        if vocoder_type == "world" and self.config.get("use_world_codec", True):
-            N = len(streams_list)
+        if (
+            vocoder_type == "world"
+            and self.config.get("use_world_codec", True)
+            # the fused kernel decodes CODED band aperiodicity; packs
+            # trained with mcep aperiodicity (bap dim > 5) take the
+            # per-track path which handles use_mcep_ap (gen.py)
+            and streams_list[0][3].shape[-1] <= 5
+        ):
             T_max = max(len(s[0]) for s in streams_list)
             T_pad = gen._round_up(T_max, gen.FRAME_BUCKET)
             packed = []
@@ -724,25 +740,10 @@ class SPSVS(BaseSVS):
                     ]
                 )
             batch = [np.stack([p[i] for p in packed]) for i in range(4)]
-            hop = int(self.sample_rate * self.frame_period / 1000)
-            sample_lengths = np.asarray(
-                [len(s[0]) * hop for s in streams_list], np.int32
+            lengths = [len(s[0]) for s in streams_list]
+            return self._dispatch_and_finalize_wavs(
+                batch, lengths, vuv_threshold, dtype
             )
-            want_int16 = dtype in (np.int16, "int16")
-
-            wavs = self._vocoder_core(
-                batch, sample_lengths, vuv_threshold, want_int16
-            )
-            if want_int16:
-                return [wavs[i, : sample_lengths[i]] for i in range(N)]
-            return [
-                self.postprocess_waveform(
-                    wavs[i, : sample_lengths[i]],
-                    dtype=dtype,
-                    skip_bandpass=True,
-                )
-                for i in range(N)
-            ]
         self._t_vocoder_device_done = None
         return [
             self.postprocess_waveform(
