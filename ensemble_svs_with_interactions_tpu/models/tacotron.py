@@ -25,6 +25,9 @@ from ensemble_svs_with_interactions_tpu.base import BaseModel
 from ensemble_svs_with_interactions_tpu.models.layers import (
     scan_unroll as _scan_unroll,
 )
+from ensemble_svs_with_interactions_tpu.ops.mdn import (
+    mdn_get_most_probable_sigma_and_mu,
+)
 
 _MAX_LF0_RATIO = 600.0 * np.log(2) / 1200.0
 
@@ -143,41 +146,48 @@ class _ARDecoderCore(nn.Module):
             return mu.at[..., self.out_lf0_idx].set(lf0_pred), res
 
         if self.use_mdn:
+            # dim_wise MDN head (reference MDNLayer(dim_wise=True) inside
+            # the AR decoders, tacotron_f0.py:335,430-462): per-DIMENSION
+            # mixture weights of shape (B, G, r, D); flat unit order
+            # (g, r, d) matches the reference Linear layouts so torch
+            # checkpoints port by plain transpose
             G, D = self.num_gaussians, self.out_dim
-            raw_pi = nn.Dense(G, name="mdn_pi")(hcs)
-            log_pi = jax.nn.log_softmax(raw_pi, axis=-1)  # (B, G)
-            log_sigma = nn.Dense(G * r * D, name="mdn_sigma")(hcs).reshape(
+            log_pi = jax.nn.log_softmax(
+                nn.Dense(G * r * D, name="log_pi")(hcs).reshape(B, G, r, D),
+                axis=1,
+            )
+            log_sigma = nn.Dense(G * r * D, name="log_sigma")(hcs).reshape(
                 B, G, r, D
             )
-            mu = nn.Dense(G * r * D, name="mdn_mu")(hcs).reshape(B, G, r, D)
+            mu = nn.Dense(G * r * D, name="mu")(hcs).reshape(B, G, r, D)
             if self.residual_f0:
-                mu, res_all = _apply_res_f0(mu)
-                # residual of the most probable component, (B, r)
-                best = jnp.argmax(log_pi, axis=-1)
-                res = jnp.take_along_axis(
-                    res_all, best[:, None, None], axis=1
-                )[:, 0]
+                mu, res_all = _apply_res_f0(mu)  # res_all (B, G, r)
+                # ALL components' residuals, (B, r, G) as in the reference
+                res = jnp.moveaxis(res_all, 1, 2)
             else:
-                res = jnp.zeros((B, r), mu.dtype)
-            best = jnp.argmax(log_pi, axis=-1)
-            mu_best = jnp.take_along_axis(
-                mu, best[:, None, None, None], axis=1
-            )[:, 0]  # (B, r, D)
-            sigma_best = jnp.exp(
-                jnp.take_along_axis(log_sigma, best[:, None, None, None], axis=1)
-            )[:, 0]
+                res = jnp.zeros((B, r, G), mu.dtype)
+            # per-dim most-probable component for feedback and the
+            # inference trajectory (reference mdn_get_most_probable /
+            # mdn_get_sample per step)
+            lp = jnp.moveaxis(log_pi, 1, 2)  # (B, r, G, D)
+            ls = jnp.moveaxis(log_sigma, 1, 2)
+            m = jnp.moveaxis(mu, 1, 2)
+            sigma_sel, mu_sel = mdn_get_most_probable_sigma_and_mu(lp, ls, m)
             if self.is_inference and self.sampling_mode == "random":
-                eps = jax.random.normal(self.make_rng("prenet"), mu_best.shape)
-                feedback = (mu_best + sigma_best * eps)[:, -1, :]
-            else:
-                feedback = mu_best[:, -1, :]
-            prev = feedback if self.is_inference else tgt_t
-            out = (log_pi, log_sigma, mu, mu_best, sigma_best)
+                eps = jax.random.normal(self.make_rng("prenet"), mu_sel.shape)
+                mu_sel = mu_sel + sigma_sel * eps
+            prev = mu_sel[:, -1, :] if self.is_inference else tgt_t
+            out = (log_pi, log_sigma, mu, mu_sel, sigma_sel)
             return (tuple(new_states), prev), (out, res)
 
-        out = nn.Dense(self.out_dim * r, use_bias=False, name="feat_out")(
-            hcs
-        ).reshape(B, r, self.out_dim)
+        # flat unit order (dim, step): reference feat_out.view(B, out_dim, r)
+        # (tacotron_f0.py:202) — keeping it lets torch checkpoints with
+        # r > 1 and out_dim > 1 port by plain transpose
+        out = (
+            nn.Dense(self.out_dim * r, use_bias=False, name="feat_out")(hcs)
+            .reshape(B, self.out_dim, r)
+            .transpose(0, 2, 1)
+        )
 
         if self.residual_f0:
             out, res = _apply_res_f0(out)
@@ -211,6 +221,18 @@ def ar_decode(
     is_inference = decoder_targets is None
     r = parent.reduction_factor
     B, T_full, _ = encoder_outs.shape
+    # pad to a multiple of the reduction factor and trim after (the
+    # reference wraps every AR inference in pad_inference,
+    # acoustic_models/util.py)
+    T_orig = T_full
+    pad = (-T_full) % r
+    if pad:
+        encoder_outs = jnp.pad(encoder_outs, ((0, 0), (0, pad), (0, 0)))
+        if decoder_targets is not None:
+            decoder_targets = jnp.pad(
+                decoder_targets, ((0, 0), (0, pad), (0, 0))
+            )
+        T_full += pad
 
     if residual_f0:
         in_lf0_min, in_lf0_max, out_lf0_mean, out_lf0_scale = lf0_params
@@ -300,22 +322,32 @@ def ar_decode(
 
     (_, _), (outs, res) = core((init_states, go_frame), (enc, tgt, lf0_in))
     if use_mdn:
-        log_pi, log_sigma, mu, mu_best, sigma_best = outs
+        # scan outputs: log_pi/log_sigma/mu (B, T, G, r, D),
+        # mu_sel/sigma_sel (B, T, r, D), res (B, T, r, G)
+        log_pi, log_sigma, mu, mu_sel, sigma_sel = outs
         G, D = int(getattr(parent, "num_gaussians", 8)), parent.out_dim
-        # per-reduced-step MDN -> full frame rate: the mixture weight is
-        # shared across the r sub-frames of a step
-        log_pi = jnp.repeat(log_pi, r, axis=1)  # (B, T*r, G)
+        # reduced steps -> full frame rate, (B, T*r, G, D) like the
+        # reference's per-step cat (tacotron_f0.py:507-513)
+        log_pi = jnp.moveaxis(log_pi, 3, 2).reshape(B, T * r, G, D)
         log_sigma = jnp.moveaxis(log_sigma, 3, 2).reshape(B, T * r, G, D)
         mu = jnp.moveaxis(mu, 3, 2).reshape(B, T * r, G, D)
-        mu_best = mu_best.reshape(B, T * r, D)
-        sigma_best = sigma_best.reshape(B, T * r, D)
-        lf0_residual = res.reshape(B, T * r, 1) if residual_f0 else None
+        mu_sel = mu_sel.reshape(B, T * r, D)
+        sigma_sel = sigma_sel.reshape(B, T * r, D)
+        # residuals of ALL mixture components, (B, T*r, G) as in the
+        # reference's lf0_residuals
+        lf0_residual = res.reshape(B, T * r, G) if residual_f0 else None
+        trim = lambda a: a[:, :T_orig] if a is not None else None
         if is_inference:
-            return (mu_best, sigma_best), lf0_residual
-        return (log_pi, log_sigma, mu), lf0_residual
-    outs = outs.reshape(B, T * r, parent.out_dim)
+            # the reference returns the selected/sampled trajectory (its
+            # sigma slot is a placeholder `mu`; we return the real sigma)
+            return (trim(mu_sel), trim(sigma_sel)), trim(lf0_residual)
+        return (
+            (trim(log_pi), trim(log_sigma), trim(mu)),
+            trim(lf0_residual),
+        )
+    outs = outs.reshape(B, T * r, parent.out_dim)[:, :T_orig]
     if residual_f0:
-        return outs, res.reshape(B, T * r, 1)
+        return outs, res.reshape(B, T * r, 1)[:, :T_orig]
     return outs, None
 
 

@@ -273,6 +273,15 @@ def mlpg(means, variances, windows: Sequence[Window] | int = 3):
         num_windows = windows
     else:
         num_windows = len(windows)
+        # the banded kernels are specialized to the standard delta /
+        # delta-delta windows; reject silently-different coefficients
+        expected = default_windows(num_windows)
+        for (l1, r1, c1), (l2, r2, c2) in zip(windows, expected):
+            if (l1, r1) != (l2, r2) or not np.allclose(c1, c2):
+                raise NotImplementedError(
+                    "mlpg only supports the standard delta windows "
+                    f"(default_windows({num_windows})); got {windows}"
+                )
     if num_windows == 1:
         return means
     if isinstance(means, np.ndarray):

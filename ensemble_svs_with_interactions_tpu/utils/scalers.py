@@ -121,7 +121,9 @@ def extract_static_scaler(
             list(stream_sizes),
             list(has_dynamic_features),
         )
-        return np.concatenate(parts, axis=-1).reshape(1, -1)
+        # (D,) like every other scaler (and the .npy stats files this
+        # gets saved into by the packer)
+        return np.concatenate(parts, axis=-1).reshape(-1)
 
     return StandardScaler(
         _static(out_scaler.mean_),

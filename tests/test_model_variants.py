@@ -55,9 +55,11 @@ def test_mdn_resf0_decoder():
         v, enc, None, y, train=True,
         rngs={"prenet": jax.random.PRNGKey(5), "zoneout": jax.random.PRNGKey(6)},
     )
-    assert log_pi.shape == (B, T, 2)
+    # dim_wise MDN (reference MDNLayer(dim_wise=True) in the AR decoders):
+    # per-dimension mixture weights, residuals for ALL components
+    assert log_pi.shape == (B, T, 2, 3)
     assert mu.shape == (B, T, 2, 3)
-    assert res.shape == (B, T, 1)
+    assert res.shape == (B, T, 2)
     mu_i, sigma_i = dec.apply(
         v, enc, method="inference", rngs={"prenet": jax.random.PRNGKey(7)}
     )
@@ -162,3 +164,24 @@ def test_bilstm_nonattentive_decoder(use_mdn):
     else:
         assert inf.shape == (B, T, 3)
         assert np.isfinite(np.asarray(inf)).all()
+
+
+def test_ar_decoder_odd_length_inference():
+    """AR inference on a length not divisible by the reduction factor:
+    pads internally and trims, like the reference's pad_inference."""
+    dec = acoustic.ResF0NonAttentiveDecoder(
+        in_dim=8, out_dim=3, layers=1, hidden_dim=8,
+        prenet_layers=0, reduction_factor=4,
+        in_lf0_idx=0, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+    )
+    T_odd = 10
+    enc = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (B, T_odd, 8)), jnp.float32
+    )
+    v = dec.init(_rngs(), enc, None, jnp.zeros((B, T_odd, 3)), train=False)
+    out = dec.apply(
+        v, enc, method="inference", rngs={"prenet": jax.random.PRNGKey(7)}
+    )
+    out = out[0] if isinstance(out, tuple) else out
+    assert out.shape[1] == T_odd

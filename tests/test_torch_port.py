@@ -688,3 +688,108 @@ def test_port_diffnet_denoiser(ref_models):
     np.testing.assert_allclose(
         np.asarray(f_out), np.moveaxis(t_out.numpy(), 1, 2), atol=2e-5
     )
+
+
+def test_port_ar_decoder_reduction_multidim(ref_models):
+    """reduction_factor>1 AND out_dim>1: the feat_out flat unit layout is
+    (dim, step) in the reference (view(B, out_dim, r)); ported weights
+    must reproduce the forward exactly (would be silently garbled with a
+    (step, dim) reshape)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (
+        BiLSTMResF0NonAttentiveDecoder as TModel,
+    )
+
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        BiLSTMResF0NonAttentiveDecoder as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(11)
+    kw = dict(
+        in_dim=12, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=3, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=1, prenet_hidden_dim=4, prenet_dropout=0.0,
+        zoneout=0.0, reduction_factor=2, in_lf0_idx=3, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+        downsample_by_conv=False,
+    )
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 8, 12)), jnp.asarray([8]), jnp.zeros((1, 8, 3)),
+        train=True,
+    )
+    pv, _ = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    x = np.random.default_rng(3).normal(size=(1, 8, 12)).astype(np.float32)
+    y = np.random.default_rng(4).normal(size=(1, 8, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_res = tm(torch.from_numpy(x), [8], torch.from_numpy(y))
+    f_out, f_res = fm.apply(
+        pv, jnp.asarray(x), jnp.asarray([8]), jnp.asarray(y),
+        rngs={"prenet": jax.random.PRNGKey(9),
+              "zoneout": jax.random.PRNGKey(10)},
+    )
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-6)
+
+
+def test_port_mdn_ar_decoder_dim_wise(ref_models):
+    """MDN AR decoder: the reference head is MDNLayer(dim_wise=True) —
+    per-dimension mixture weights; ported weights must reproduce the
+    teacher-forced (log_pi, log_sigma, mu) and residuals."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import (
+        MDNResF0NonAttentiveDecoder as TModel,
+    )
+
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        MDNResF0NonAttentiveDecoder as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(13)
+    kw = dict(
+        in_dim=12, out_dim=2, layers=1, hidden_dim=8,
+        prenet_layers=1, prenet_hidden_dim=4, prenet_dropout=0.0,
+        zoneout=0.0, reduction_factor=2, num_gaussians=2,
+        in_lf0_idx=3, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+        downsample_by_conv=False,
+    )
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 8, 12)), jnp.asarray([8]), jnp.zeros((1, 8, 2)),
+        train=True,
+    )
+    pv, _ = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    x = np.random.default_rng(5).normal(size=(1, 8, 12)).astype(np.float32)
+    y = np.random.default_rng(6).normal(size=(1, 8, 2)).astype(np.float32)
+    with torch.no_grad():
+        (t_pi, t_sig, t_mu), t_res = tm(
+            torch.from_numpy(x), [8], torch.from_numpy(y)
+        )
+    (f_pi, f_sig, f_mu), f_res = fm.apply(
+        pv, jnp.asarray(x), jnp.asarray([8]), jnp.asarray(y),
+        rngs={"prenet": jax.random.PRNGKey(9),
+              "zoneout": jax.random.PRNGKey(10)},
+    )
+    np.testing.assert_allclose(np.asarray(f_mu), t_mu.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_sig), t_sig.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_pi), t_pi.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-6)
