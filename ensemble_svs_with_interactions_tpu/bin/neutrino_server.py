@@ -6,8 +6,12 @@ endpoints).  fastapi is not available in this environment, so the server is
 built on the stdlib http.server with the same JSON API surface:
 
   GET  /models                      list packed models under --model-root
-  POST /timing    {model, labels}   -> {timing_labels}
-  POST /acoustic  {model, timing_labels} -> {f0, mgc, bap} (base64 float64)
+  POST /timing    {model, labels[, name]}   -> {timing_labels, name}
+        stores the FULL labels server-side under ``name`` (default: a
+        content hash), like the reference's score upload + /run/timing
+  POST /acoustic  {model, name | labels[, timing_labels]} -> {f0, mgc, bap}
+        full labels come from the store (or the request); timing_labels
+        may be user-edited mono or full timing (base64 float64 output)
   POST /waveform  {model, f0, mgc, bap}  -> {wav} (base64 int16), {sr}
 
 Usage: python -m ...bin.neutrino_server --model-root models/ [--port 8001]
@@ -17,7 +21,9 @@ from __future__ import annotations
 
 import argparse
 import base64
+import hashlib
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -27,13 +33,18 @@ from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.neutrino import NEUTRINO
 
 _ENGINES = {}
+_SCORES = {}  # name -> full-context labels text
+_LOCK = threading.Lock()
 _MODEL_ROOT = Path("models")
 
 
 def _engine(name: str) -> NEUTRINO:
-    if name not in _ENGINES:
-        _ENGINES[name] = NEUTRINO(_MODEL_ROOT / name)
-    return _ENGINES[name]
+    # ThreadingHTTPServer runs handlers concurrently; build each engine
+    # exactly once (the load device_puts the whole pack)
+    with _LOCK:
+        if name not in _ENGINES:
+            _ENGINES[name] = NEUTRINO(_MODEL_ROOT / name)
+        return _ENGINES[name]
 
 
 def _b64(x: np.ndarray) -> str:
@@ -69,14 +80,46 @@ class Handler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(length))
             engine = _engine(req["model"])
             if self.path == "/timing":
-                labels = hts.loads(req["labels"])
+                text = req["labels"]
+                labels = hts.loads(text)
+                name = req.get("name") or hashlib.sha1(
+                    text.encode()
+                ).hexdigest()[:16]
+                with _LOCK:
+                    _SCORES[name] = text
                 timing = engine.predict_timing(labels)
-                phraselist = engine.get_phraselist(hts.loads(req["labels"]), timing)
-                self._json({"timing_labels": str(timing), "phraselist": phraselist})
+                phraselist = engine.get_phraselist(labels, timing)
+                self._json(
+                    {
+                        "timing_labels": str(timing),
+                        "phraselist": phraselist,
+                        "name": name,
+                    }
+                )
             elif self.path == "/acoustic":
-                timing = hts.loads(req["timing_labels"])
+                # FULL labels from the store (or the request) — timing
+                # labels alone (possibly user-edited mono, the NEUTRINO
+                # round-trip) carry no linguistic contexts
+                if "labels" in req:
+                    full = hts.loads(req["labels"])
+                elif req.get("name") in _SCORES:
+                    full = hts.loads(_SCORES[req["name"]])
+                else:
+                    self._json(
+                        {
+                            "error": "post the full labels or a name "
+                            "previously registered via /timing"
+                        },
+                        400,
+                    )
+                    return
+                timing = (
+                    hts.loads(req["timing_labels"])
+                    if req.get("timing_labels")
+                    else None
+                )
                 f0, mgc, bap = engine.predict_acoustic_neutrino(
-                    timing,
+                    full,
                     timing_labels=timing,
                     style_shift=int(req.get("style_shift", 0)),
                     phrase_num=int(req.get("phrase_num", -1)),

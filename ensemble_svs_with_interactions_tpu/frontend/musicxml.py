@@ -350,16 +350,21 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
         return str(n_syl), str(len(idxs))
 
     total_syl = sum(1 for n in notes if n.midi is not None)
-    n_measures = notes[-1].measure_index + 1 if notes else 0
+    n_measures = max((n.measure_index for n in notes), default=-1) + 1
 
-    # measure note counts for e10/e11
+    # measure note counts for e10/e11 — padding silence (measure_index
+    # -1) belongs to no measure and must not shift positions
     notes_in_measure = {}
     for n in notes:
+        if n.measure_index < 0:
+            continue
         notes_in_measure.setdefault(n.measure_index, 0)
         notes_in_measure[n.measure_index] += 1
     pos_in_measure = {}
     seen = {}
     for ni, n in enumerate(notes):
+        if n.measure_index < 0:
+            continue
         seen.setdefault(n.measure_index, 0)
         seen[n.measure_index] += 1
         pos_in_measure[ni] = seen[n.measure_index]
@@ -496,12 +501,14 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
         for n in notes:
             n.start += pad
             n.measure_start += pad
+        # padding silence belongs to no measure (pysinsy likewise) —
+        # measure_index -1 keeps it out of the e10/e11 note counts
         notes.insert(
             0,
             ScoreNote(start=0, duration=pad, midi=None,
                       tempo=notes[0].tempo, beats=notes[0].beats,
                       beat_type=notes[0].beat_type,
-                      measure_index=notes[0].measure_index),
+                      measure_index=-1),
         )
     last = notes[-1]
     if last.midi is not None:
@@ -509,6 +516,6 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
             ScoreNote(start=last.start + last.duration, duration=pad,
                       midi=None, tempo=last.tempo, beats=last.beats,
                       beat_type=last.beat_type,
-                      measure_index=last.measure_index)
+                      measure_index=-1)
         )
     return notes_to_labels(notes)

@@ -83,12 +83,15 @@ class ModelPack:
 
         def _infer(method, half, variables, rng, *args, **kwargs):
             # AR decoders use prenet dropout at inference (stochastic
-            # sampling); deterministic models ignore the rng
+            # sampling), diffusion models draw their sampling chain from
+            # "diffusion", postfilters from "noise"; deterministic models
+            # ignore the rngs
+            k1, k2, k3 = jax.random.split(rng, 3)
             out = self.module.apply(
                 variables,
                 *args,
                 method=method,
-                rngs={"prenet": rng},
+                rngs={"prenet": k1, "diffusion": k2, "noise": k3},
                 **kwargs,
             )
             if half:

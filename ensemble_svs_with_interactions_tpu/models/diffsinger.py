@@ -160,7 +160,13 @@ class GaussianDiffusion(BaseModel):
 
     def _cond(self, cond, lengths, spk_embs, train):
         if self._encoder is not None:
-            cond = self._encoder(cond, lengths, spk_embs=spk_embs, train=train)
+            if spk_embs is not None:
+                cond = self._encoder(
+                    cond, lengths, spk_embs=spk_embs, train=train
+                )
+            else:
+                # plain encoders (FFN etc.) have no spk_embs parameter
+                cond = self._encoder(cond, lengths, train=train)
         return cond
 
     def __call__(self, cond, lengths=None, y=None, spk_embs=None, train: bool = False):
@@ -239,38 +245,45 @@ class GaussianDiffusion(BaseModel):
             )
             return x + delta
 
+        B = x.shape[0]
+
+        # first step outside the scan: only it needs the second (Heun)
+        # denoiser evaluation — running it unconditionally inside the
+        # scan would double the denoiser cost of the whole chain (the
+        # reference evaluates it only when the noise history is empty)
+        t0 = ts[0]
+        eps0 = self._denoiser(x, jnp.full((B,), t0, jnp.int32), cond)
+        first = x_pred(x, eps0, t0)
+        tb_prev = jnp.full((B,), jnp.maximum(t0 - interval, 0), jnp.int32)
+        eps_prev = self._denoiser(first, tb_prev, cond)
+        x = x_pred(x, (eps0 + eps_prev) / 2, t0)
+
         def step(mdl, carry, t):
             x, hist, count = carry
-            B = x.shape[0]
             tb = jnp.full((B,), t, jnp.int32)
             eps = mdl._denoiser(x, tb, cond)
 
-            # Adams-Bashforth orders 1-4 depending on available history
+            # Adams-Bashforth orders 2-4 depending on available history
             e1 = hist[0]
             e2 = hist[1]
             e3 = hist[2]
             order2 = (3 * eps - e1) / 2
             order3 = (23 * eps - 16 * e1 + 5 * e2) / 12
             order4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
-            first = x_pred(x, eps, t)
-            tb_prev = jnp.full((B,), jnp.maximum(t - interval, 0), jnp.int32)
-            eps_prev = mdl._denoiser(first, tb_prev, cond)
-            order1 = (eps + eps_prev) / 2
             eps_prime = jnp.where(
-                count == 0,
-                order1,
-                jnp.where(count == 1, order2, jnp.where(count == 2, order3, order4)),
+                count == 1, order2, jnp.where(count == 2, order3, order4)
             )
             x_new = x_pred(x, eps_prime, t)
             hist = jnp.stack([eps, hist[0], hist[1]])
             return (x_new, hist, count + 1), None
 
-        hist0 = jnp.zeros((3,) + x.shape, x.dtype)
-        (x, _, _), _ = nn.scan(
-            step,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-        )(self, (x, hist0, jnp.asarray(0)), ts)
+        hist0 = jnp.stack([eps0, jnp.zeros_like(eps0), jnp.zeros_like(eps0)])
+        if self.K_step - interval > 0 and len(ts) > 1:
+            (x, _, _), _ = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+            )(self, (x, hist0, jnp.asarray(1)), ts[1:])
         return x
 
 

@@ -7,7 +7,6 @@ Feature-last layout; teacher-forced training consumes the shifted target.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import flax.linen as nn
@@ -41,7 +40,9 @@ class _ResSkipBlock(nn.Module):
         h = jnp.tanh(a) * jax.nn.sigmoid(b)
         skip = nn.Conv(self.skip_channels, (1,))(h)
         res = nn.Conv(self.residual_channels, (1,))(h)
-        return (x + res) * math.sqrt(0.5), skip
+        # plain residual add — the reference has NO sqrt(0.5) scaling
+        # (nnsvs/wavenet/modules.py:120 `x = x + residual`)
+        return x + res, skip
 
 
 class WaveNet(BaseModel):
@@ -60,9 +61,14 @@ class WaveNet(BaseModel):
         return True
 
     @nn.compact
-    def __call__(self, c, x=None, lengths=None, train: bool = False):
+    def __call__(self, c, lengths=None, x=None, train: bool = False):
         """c: (B, T, in_dim) conditioning; x: (B, T, out_dim) targets
-        (teacher forcing: shifted right one step)."""
+        (teacher forcing: shifted right one step).
+
+        The (c, lengths, x) parameter order follows the repo trainer
+        convention ``(inputs, lengths, targets)`` so the generic train
+        step can drive this model positionally.
+        """
         B, T = c.shape[0], c.shape[1]
         if x is None:
             x = jnp.zeros((B, T, self.out_dim), c.dtype)

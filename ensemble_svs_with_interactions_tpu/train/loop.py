@@ -243,10 +243,13 @@ def create_train_step(
         # dropout stays on at inference) and "zoneout"; thread all streams
         # like the multitrack step (train/multitrack.py)
         if train:
-            r1, r2, r3 = jax.random.split(rng, 3)
-            rngs = {"dropout": r1, "prenet": r2, "zoneout": r3}
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
+            rngs = {"dropout": r1, "prenet": r2, "zoneout": r3, "diffusion": r4}
         else:
-            rngs = {"prenet": jax.random.PRNGKey(0)}
+            rngs = {
+                "prenet": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(0),
+            }
         outs = module.apply(
             variables, *args, out_feats, rngs=rngs, mutable=mutable, **kwargs
         )
@@ -273,6 +276,13 @@ def create_train_step(
             )
         elif prediction_type == PredictionType.PROBABILISTIC:
             loss_feats = L.mdn_stream_loss(pred_out, out_feats, mask)
+        elif prediction_type == PredictionType.DIFFUSION:
+            # denoiser loss between the drawn noise and its reconstruction
+            # (reference bin/train_acoustic.py:96-99)
+            noise, x_recon = pred_out
+            loss_feats = L.feats_criterion(
+                x_recon, noise, mask, feats_criterion
+            )
         else:
             loss_feats = L.feats_criterion(
                 pred_out, out_feats, mask, feats_criterion

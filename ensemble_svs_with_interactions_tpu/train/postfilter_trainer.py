@@ -39,13 +39,13 @@ def train_postfilter(config: Config) -> Dict[str, float]:
     netG = instantiate(config.model.netG)
     netD = instantiate(config.model.netD)
 
-    in_dim = int(config.model.get("in_dim", 0)) or None
-    # init from one real batch shape
-    probe = FeatsDataset(
-        config.data.train_no_dev.in_dir, config.data.train_no_dev.out_dir
-    )
-    x0, y0 = probe[0]
-    D = x0.shape[-1]
+    # init from the configured dim, or a real batch shape as fallback
+    D = int(config.model.get("in_dim", 0))
+    if not D:
+        probe = FeatsDataset(
+            config.data.train_no_dev.in_dir, config.data.train_no_dev.out_dir
+        )
+        D = probe[0][0].shape[-1]
     x = np.zeros((2, 32, D), np.float32)
     vG = netG.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
@@ -98,6 +98,23 @@ def train_postfilter(config: Config) -> Dict[str, float]:
     best = float("inf")
     last: Dict[str, float] = {}
 
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.train.losses import masked_mean
+
+    @jax.jit
+    def eval_recon(paramsG, batch):
+        x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
+        mask = (
+            jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+        ).astype(jnp.float32)[:, :, None]
+        fake = netG.apply(
+            {"params": paramsG}, x, lengths, train=False,
+            rngs={"noise": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(0)},
+        )
+        return masked_mean((fake - y) ** 2, mask)
+
     for epoch in range(1, nepochs + 1):
         it = BucketedBatchIterator(
             datasets["train_no_dev"],
@@ -114,11 +131,31 @@ def train_postfilter(config: Config) -> Dict[str, float]:
                 epoch_metrics.setdefault(k, []).append(float(v))
         means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
         writer.log(epoch, means, prefix="train_no_dev/")
+
+        # best-checkpoint selection on the DEV split (the reference's
+        # train_postfilter picks best on dev, not training recon)
+        dev_losses = [
+            float(eval_recon(state["paramsG"], batch))
+            for batch in BucketedBatchIterator(
+                datasets["dev"],
+                max_tokens=int(config.data.get("batch_max_frames", 8000)),
+                time_multiple=int(config.data.get("time_multiple", 32)),
+                shuffle=False,
+                seed=0,
+            )
+        ]
+        if dev_losses:
+            means["Dev_Loss_Recon"] = float(np.mean(dev_losses))
+            writer.log(
+                epoch, {"Loss_Recon": means["Dev_Loss_Recon"]}, prefix="dev/"
+            )
         logger.info(
             "epoch %d %s", epoch, {k: round(v, 4) for k, v in means.items()}
         )
         last = means
-        gen_loss = means.get("Loss_Recon", float("inf"))
+        gen_loss = means.get(
+            "Dev_Loss_Recon", means.get("Loss_Recon", float("inf"))
+        )
         save_checkpoint(
             out_dir,
             TrainState(

@@ -42,6 +42,7 @@ from ensemble_svs_with_interactions_tpu.utils.scalers import StandardScaler
 
 def _init_variables(module, config: Config, rng_seed: int = 0):
     in_dim = config.model.netG.get("in_dim", 82)
+    out_dim = config.model.netG.get("out_dim", None)
     x = jnp.zeros((2, 16, in_dim), jnp.float32)
     lengths = jnp.asarray([16, 16])
     args = [x]
@@ -50,13 +51,19 @@ def _init_variables(module, config: Config, rng_seed: int = 0):
     sig_params = list(inspect.signature(module.__call__).parameters)
     if "spks" in sig_params:
         args.append(jnp.zeros((2,), jnp.int32))
+    args.append(lengths)
+    # diffusion models noise the TARGET inside __call__, so init needs a y
+    if out_dim is not None:
+        args.append(jnp.zeros((2, 16, int(out_dim)), jnp.float32))
     return module.init(
         {
             "params": jax.random.PRNGKey(rng_seed),
             "dropout": jax.random.PRNGKey(rng_seed + 1),
+            "prenet": jax.random.PRNGKey(rng_seed + 2),
+            "zoneout": jax.random.PRNGKey(rng_seed + 3),
+            "diffusion": jax.random.PRNGKey(rng_seed + 4),
         },
         *args,
-        lengths,
         train=True,
     )
 

@@ -107,7 +107,44 @@ def test_neutrino_server(packed, short_lab):
             out = json.loads(r.read())
         assert "timing_labels" in out and len(out["timing_labels"]) > 0
         assert "phraselist" in out
+        assert out["name"]
 
+        req = urllib.request.Request(
+            f"{base}/acoustic",
+            json.dumps(
+                {
+                    "model": packed.name,
+                    "name": out["name"],
+                    "timing_labels": out["timing_labels"],
+                }
+            ).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            ac = json.loads(r.read())
+        assert ac["mgc_dim"] == 8 and ac["bap_dim"] == 3
+
+        # the NEUTRINO round-trip: user-edited MONO timing labels +
+        # server-stored full labels
+        from ensemble_svs_with_interactions_tpu.io import hts as _hts
+
+        mono = _hts.full_to_mono(_hts.loads(out["timing_labels"]))
+        req = urllib.request.Request(
+            f"{base}/acoustic",
+            json.dumps(
+                {
+                    "model": packed.name,
+                    "name": out["name"],
+                    "timing_labels": str(mono),
+                }
+            ).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            ac2 = json.loads(r.read())
+        assert ac2["mgc_dim"] == 8
+
+        # /acoustic without labels or a stored name is a clear 400
         req = urllib.request.Request(
             f"{base}/acoustic",
             json.dumps(
@@ -115,9 +152,11 @@ def test_neutrino_server(packed, short_lab):
             ).encode(),
             {"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(req) as r:
-            ac = json.loads(r.read())
-        assert ac["mgc_dim"] == 8 and ac["bap_dim"] == 3
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
 

@@ -70,8 +70,8 @@ def test_wavenet():
                  gate_channels=16, skip_out_channels=8)
     c = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 8)), jnp.float32)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(B, T, 4)), jnp.float32)
-    v = wn.init(jax.random.PRNGKey(0), c, x)
-    out = wn.apply(v, c, x)
+    v = wn.init(jax.random.PRNGKey(0), c, x=x)
+    out = wn.apply(v, c, x=x)
     assert out.shape == (B, T, 4)
     inf = wn.apply(v, c, method="inference")
     assert inf.shape == (B, T, 4)

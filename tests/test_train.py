@@ -300,3 +300,31 @@ def test_train_random_segments(feature_dumps, tmp_path):
     metrics = train_model(cfg)
     assert np.isfinite(metrics["Loss"])
     assert metrics["Loss"] < 0.5  # still learns the linear map
+
+
+def test_train_diffusion_model(feature_dumps, tmp_path):
+    """A DIFFUSION netG trains end to end through the generic trainer
+    (init passes a target + the 'diffusion' rng; the loss is the
+    denoiser's noise-reconstruction error)."""
+    in_dir, out_dir = feature_dumps
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.GaussianDiffusion",
+        "in_dim": 8,
+        "out_dim": 3,
+        "K_step": 10,
+        "denoise_fn": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": 3,
+            "encoder_hidden_dim": 8,
+            "residual_channels": 8,
+            "residual_layers": 2,
+        },
+        "encoder": {
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 8, "num_layers": 1,
+        },
+    }
+    cfg = _train_config(in_dir, out_dir, tmp_path / "exp_diff", netG, nepochs=2)
+    metrics = train_model(cfg)
+    assert np.isfinite(metrics["Loss"])
+    assert (tmp_path / "exp_diff" / "latest.ckpt").exists()
