@@ -37,7 +37,7 @@ class _ResF0Mixin:
     def prediction_type(self):
         return (
             PredictionType.PROBABILISTIC
-            if self.use_mdn
+            if getattr(self, "use_mdn", False)
             else PredictionType.DETERMINISTIC
         )
 
@@ -55,7 +55,7 @@ class _ResF0Mixin:
         return set_lf0_column(mu, lf0_pred, self.out_lf0_idx), lf0_residual
 
     def inference(self, x, lengths=None):
-        if self.use_mdn:
+        if getattr(self, "use_mdn", False):
             (log_pi, log_sigma, mu), _ = self(x, lengths)
             sigma, mu = mdn_get_most_probable_sigma_and_mu(log_pi, log_sigma, mu)
             return mu, sigma
@@ -82,12 +82,18 @@ class ResF0Conv1dResnet(_ResF0Mixin, BaseModel):
 
     @nn.compact
     def __call__(self, x, lengths=None, y=None, train: bool = False):
-        h = ReflectConv1d(self.hidden_dim, kernel_size=7, use_weight_norm=True)(x)
+        init = kernel_initializer(self.init_type)
+        h = ReflectConv1d(
+            self.hidden_dim, kernel_size=7, use_weight_norm=True,
+            kernel_init=init,
+        )(x)
         for n in range(self.num_layers):
             h = ResnetBlock(self.hidden_dim, dilation=2**n)(h)
         h = nn.leaky_relu(h, 0.2)
         last_dim = self.hidden_dim if self.use_mdn else self.out_dim
-        h = ReflectConv1d(last_dim, kernel_size=7, use_weight_norm=True)(h)
+        h = ReflectConv1d(
+            last_dim, kernel_size=7, use_weight_norm=True, kernel_init=init
+        )(h)
         if self.use_mdn:
             log_pi, log_sigma, mu = MDNLayer(
                 self.out_dim, self.num_gaussians, self.dim_wise
@@ -172,7 +178,9 @@ class ResF0TransformerEncoder(_ResF0Mixin, BaseModel):
     out_lf0_idx: int = 180
     out_lf0_mean: float = 5.953093881972361
     out_lf0_scale: float = 0.23435173188961034
-    use_mdn: bool = False
+    # NOTE: no use_mdn — the reference ResF0TransformerEncoder has no MDN
+    # variant (acoustic_models/__init__.py:331); configs requesting one
+    # fail loudly at instantiation instead of silently mis-routing
 
     @nn.compact
     def __call__(self, x, lengths=None, y=None, train: bool = False):
@@ -191,6 +199,7 @@ class ResF0TransformerEncoder(_ResF0Mixin, BaseModel):
             dropout=self.dropout,
             reduction_factor=self.reduction_factor,
             downsample_by_conv=self.downsample_by_conv,
+            init_type=self.init_type,
         )(x, lengths, train=train)
         # match input length (reduction-factor truncation)
         T = min(x.shape[1], mu.shape[1])

@@ -77,7 +77,11 @@ class ResSkipF0FFConvLSTM(BaseModel):
         if lengths is not None:
             mask = jnp.arange(h.shape[1])[None, :] < jnp.asarray(lengths)[:, None]
         for _ in range(3):
-            h = ReflectConv1d(self.conv_hidden_dim, kernel_size=7)(h)
+            # init_type covers convs too (reference init_weights
+            # re-initializes every Conv1d/Linear)
+            h = ReflectConv1d(
+                self.conv_hidden_dim, kernel_size=7, kernel_init=init
+            )(h)
             h = MaskedBatchNorm()(h, mask=mask, use_running_average=not train)
             h = nn.relu(h)
 

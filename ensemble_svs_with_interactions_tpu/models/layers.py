@@ -55,10 +55,6 @@ def kernel_initializer(init_type: str = "none", init_gain: float = 0.02):
     raise ValueError(f"unknown init type: {init_type}")
 
 
-class Dense(nn.Dense):
-    """nn.Dense defaulting to the zoo's init convention."""
-
-
 # --------------------------------------------------------------------------
 # Sequence reversal within valid lengths
 # --------------------------------------------------------------------------
@@ -85,10 +81,11 @@ def reverse_padded(x, lengths):
 class _MaskedLSTMLayer(nn.Module):
     """Single-direction LSTM over (B, T, C), outputs zeroed at pad steps.
 
-    On accelerators the recurrence runs as a pallas kernel (weights resident
-    in VMEM, input projections as one MXU matmul — see ops/pallas_lstm.py);
-    on CPU it falls back to an ``nn.scan`` of OptimizedLSTMCell.  Both paths
-    share the same parameter tree and are bit-identical on valid steps.
+    The recurrence runs as an ``nn.scan`` of OptimizedLSTMCell (XLA's
+    fused scan measured faster than the pallas kernel at these sizes);
+    set ESVS_ENABLE_PALLAS_LSTM=1 to opt into the pallas recurrence
+    (ops/pallas_lstm.py).  Both paths share the same parameter tree and
+    are bit-identical on valid steps.
     """
 
     hidden_dim: int
@@ -105,7 +102,8 @@ class _MaskedLSTMLayer(nn.Module):
         # pipelines the per-step matmuls better at these sizes.  Keep the
         # kernel opt-in for larger hidden sizes / future tuning.
         use_pallas = (
-            os.environ.get("ESVS_ENABLE_PALLAS_LSTM")
+            os.environ.get("ESVS_ENABLE_PALLAS_LSTM", "0").lower()
+            in ("1", "true", "yes")
             and jax.default_backend() != "cpu"
             and x.shape[1] % 128 == 0
             # pallas block must fit VMEM: xw chunk + y chunk + weights
@@ -229,11 +227,15 @@ class MaskedBatchNorm(nn.Module):
             mean = xsum / count
             var = jnp.maximum(x2sum / count - mean * mean, 0.0)
             if not self.is_initializing():
+                # running stats use the UNBIASED variance like torch
+                # BatchNorm1d (Bessel correction over the valid count)
+                var_unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var_unbiased
                 )
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean) * inv * scale + bias
@@ -349,6 +351,9 @@ class TrTimeInvFIRFilter(nn.Module):
         """
         b = self.coefs()  # (C, K)
         K = self.filt_dim
+        if K == 1:
+            # order-0 filter: divide by the single tap (1 when fixed_0th)
+            return x / b[:, 0][None, None, :]
         taps = b[:, 1:]  # (C, K-1)
 
         def step(carry, x_t):
@@ -395,12 +400,3 @@ class PhonemeContextEmbedding(nn.Module):
         return emb + rest
 
 
-def maybe_embed_phoneme_context(
-    module_parent, x, in_dim, embed_dim, in_ph_start_idx, in_ph_end_idx
-):
-    """Helper used inside @nn.compact bodies."""
-    if embed_dim is None:
-        return x
-    return PhonemeContextEmbedding(
-        in_dim, embed_dim, in_ph_start_idx, in_ph_end_idx, name="ph_embed"
-    )(x)

@@ -112,14 +112,39 @@ def merge(base: Dict, override: Dict) -> Config:
     return out
 
 
+def _override_value(raw: str):
+    """Type a CLI override like the Hydra grammar: ints, floats (incl.
+    dotless exponents like ``1e-4``, which YAML 1.1 leaves as strings),
+    true/false/null, and everything else verbatim (no on/off/yes/no
+    boolean coercion)."""
+    s = raw.strip()
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none", "~"):
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    # structured values (lists/dicts) still go through YAML
+    if s[:1] in "[{":
+        return yaml.safe_load(s)
+    return raw
+
+
 def parse_overrides(args: List[str]) -> Config:
-    """Parse ``a.b=value`` strings into a nested Config (YAML-typed values)."""
+    """Parse ``a.b=value`` strings into a nested Config."""
     out: Dict = {}
     for arg in args:
         if "=" not in arg:
             raise ValueError(f"override must look like key=value: {arg}")
         key, _, raw = arg.partition("=")
-        value = yaml.safe_load(raw)
+        value = _override_value(raw)
         node = out
         parts = key.split(".")
         for p in parts[:-1]:

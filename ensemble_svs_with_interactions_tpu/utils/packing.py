@@ -36,17 +36,14 @@ def save_model_phase(
     save_config(model_config, out_dir / f"{phase}_model.yaml")
     with open(out_dir / f"{phase}_model.params", "wb") as f:
         f.write(serialization.to_bytes(variables))
+    # dispatch on scaler type so e.g. a StandardScaler vocoder input
+    # scaler writes mean/var/scale (what svs.load_vocoder reads back)
+    from ensemble_svs_with_interactions_tpu.utils.scalers import save_scaler
+
     if in_scaler is not None:
-        np.save(out_dir / f"in_{phase}_scaler_min.npy", np.asarray(in_scaler.min_))
-        np.save(
-            out_dir / f"in_{phase}_scaler_scale.npy", np.asarray(in_scaler.scale_)
-        )
+        save_scaler(in_scaler, str(out_dir / f"in_{phase}_scaler"))
     if out_scaler is not None:
-        np.save(out_dir / f"out_{phase}_scaler_mean.npy", np.asarray(out_scaler.mean_))
-        np.save(out_dir / f"out_{phase}_scaler_var.npy", np.asarray(out_scaler.var_))
-        np.save(
-            out_dir / f"out_{phase}_scaler_scale.npy", np.asarray(out_scaler.scale_)
-        )
+        save_scaler(out_scaler, str(out_dir / f"out_{phase}_scaler"))
 
 
 def pack_model(
