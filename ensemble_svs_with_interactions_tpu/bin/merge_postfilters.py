@@ -56,9 +56,11 @@ def main(argv=None):
         "has_dynamic_features": [False] * len(stream_sizes),
         "num_windows": 1,
     }
-    params = {"_mgc": _load_params(args.mgc_ckpt)}
+    # keys must match MultistreamPostFilter's submodule attribute names,
+    # which is how flax scopes the merged param tree
+    params = {"mgc_postfilter": _load_params(args.mgc_ckpt)}
     if args.bap_ckpt:
-        params["_bap"] = _load_params(args.bap_ckpt)
+        params["bap_postfilter"] = _load_params(args.bap_ckpt)
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

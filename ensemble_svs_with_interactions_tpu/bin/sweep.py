@@ -69,22 +69,22 @@ def sample_trials(spec: dict, seed: int = 123):
         return
     rng = np.random.default_rng(spec.get("seed", seed))
     for _ in range(int(spec.get("n_trials", 10))):
-        trial = {}
-        for name, v in params.items():
-            if isinstance(v, (list, tuple)):
-                trial[name] = v[int(rng.integers(len(v)))]
-            elif isinstance(v, dict):
-                lo, hi = float(v["low"]), float(v["high"])
-                if v.get("log", False):
-                    x = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
-                else:
-                    x = float(rng.uniform(lo, hi))
-                if v.get("int", False):
-                    x = int(round(x))
-                trial[name] = x
-            else:
-                raise ValueError(f"unsupported sweep spec for {name}: {v!r}")
-        yield trial
+        yield {name: sample_param(rng, v) for name, v in params.items()}
+
+
+def sample_param(rng, v):
+    """Draw one value for a sweep param spec: list -> categorical pick;
+    {low, high[, log][, int]} -> (log-)uniform with optional rounding."""
+    if isinstance(v, (list, tuple)):
+        return v[int(rng.integers(len(v)))]
+    if isinstance(v, dict):
+        lo, hi = float(v["low"]), float(v["high"])
+        if v.get("log", False):
+            x = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        else:
+            x = float(rng.uniform(lo, hi))
+        return int(round(x)) if v.get("int", False) else x
+    raise ValueError(f"unsupported sweep spec: {v!r}")
 
 
 class TPESampler:
@@ -118,16 +118,7 @@ class TPESampler:
         return lo, hi, False
 
     def _sample_random(self):
-        trial = {}
-        for name, v in self.params.items():
-            if isinstance(v, (list, tuple)):
-                trial[name] = v[int(self.rng.integers(len(v)))]
-            else:
-                lo, hi, is_log = self._numeric_space(v)
-                x = float(self.rng.uniform(lo, hi))
-                x = float(np.exp(x)) if is_log else x
-                trial[name] = int(round(x)) if v.get("int", False) else x
-        return trial
+        return {name: sample_param(self.rng, v) for name, v in self.params.items()}
 
     @staticmethod
     def _parzen_logpdf(x, obs, bw, lo, hi):

@@ -65,61 +65,110 @@ class MovingAverage1d(nn.Module):
 
 class Conv2dPostFilter(BaseModel):
     """Kaneko-style GAN postfilter on (B, T, D) features treated as images
-    (reference nnsvs/postfilters.py:75)."""
+    (reference nnsvs/postfilters.py:75-198): bin-wise (default) or
+    frame-wise noise as a second image channel, four conv blocks each
+    re-concatenating the input, residual output.  The moving-average
+    smoother applies to the NOISE and only at inference."""
 
     channels: int = 128
     kernel_size: Sequence[int] = (5, 5)
     init_type: str = "none"
     noise_scale: float = 1.0
+    noise_type: str = "bin_wise"
     smoothing_width: int = -1
 
     @nn.compact
-    def __call__(self, x, lengths=None, y=None, train: bool = False):
+    def __call__(
+        self,
+        x,
+        lengths=None,
+        y=None,
+        train: bool = False,
+        is_inference: bool = False,
+    ):
         B, T, D = x.shape
         key = self.make_rng("noise") if self.has_rng("noise") else jax.random.PRNGKey(0)
-        z = jax.random.normal(key, (B, T, 1)) * self.noise_scale
-        h = jnp.concatenate([x, jnp.broadcast_to(z, (B, T, 1))], axis=-1)
-        # treat as (B, T, D, C=1) image
-        h = h[..., None]
+        if self.noise_type == "bin_wise":
+            z = jax.random.normal(key, (B, T, D)) * self.noise_scale
+            if is_inference and self.smoothing_width > 0:
+                z = MovingAverage1d(self.smoothing_width)(z)
+        elif self.noise_type == "frame_wise":
+            z = jax.random.normal(key, (B, T, 1)) * self.noise_scale
+            if is_inference and self.smoothing_width > 0:
+                z = MovingAverage1d(self.smoothing_width)(z)
+            z = nn.Dense(D, name="fc")(z)
+        else:
+            raise ValueError(f"unknown noise type: {self.noise_type}")
+
         kh, kw = self.kernel_size
         pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
         c = self.channels
-        h1 = nn.relu(nn.Conv(c, (kh, kw), padding=pad)(h))
-        h1 = nn.relu(nn.Conv(c, (kh, kw), padding=pad)(h1))
-        residual = nn.Conv(1, (kh, kw), padding=pad)(h1)[..., 0]
-        # trim the noise channel column back to D dims
-        residual = residual[:, :, :D]
-        out = x + residual
-        if self.smoothing_width > 0:
-            out = MovingAverage1d(self.smoothing_width)(out)
-        return out
+        x_img = x[..., None]  # (B, T, D, 1)
+        h = jnp.concatenate([x_img, z[..., None]], axis=-1)
+        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, name="conv1")(h))
+        h = jnp.concatenate([x_img, h], axis=-1)
+        h = nn.relu(nn.Conv(c * 2, (kh, kw), padding=pad, name="conv2")(h))
+        h = jnp.concatenate([x_img, h], axis=-1)
+        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, name="conv3")(h))
+        h = jnp.concatenate([x_img, h], axis=-1)
+        residual = nn.Conv(1, (kh, kw), padding=pad, name="conv4")(h)[..., 0]
+        return x + residual
 
     def inference(self, x, lengths=None):
-        return self(x, lengths)
+        return self(x, lengths, is_inference=True)
 
 
 class MultistreamPostFilter(BaseModel):
-    """Route each stream (mgc/lf0/vuv/bap or mel) through its own postfilter
-    (reference nnsvs/postfilters.py:200)."""
+    """Route each stream (mgc/lf0/vuv/bap) through its own postfilter
+    (reference nnsvs/postfilters.py:200-300): the first ``mgc_offset``
+    mel-cepstrum dims (energy c0/c1) pass through unchanged."""
 
     mgc_postfilter: Optional[BaseModel]
     bap_postfilter: Optional[BaseModel]
     lf0_postfilter: Optional[BaseModel]
     stream_sizes: Sequence[int] = (60, 1, 1, 5)
+    mgc_offset: int = 2
+    bap_offset: int = 0
 
-    def __call__(self, x, lengths=None, y=None, train: bool = False):
+    def __call__(
+        self,
+        x,
+        lengths=None,
+        y=None,
+        train: bool = False,
+        is_inference: bool = False,
+    ):
+        def _run(pf, s):
+            if is_inference:
+                return pf.inference(s, lengths)
+            return pf(s, lengths, train=train)
+
         streams = split_streams(x, list(self.stream_sizes))
         if len(streams) == 4:
             mgc, lf0, vuv, bap = streams
         else:
             raise ValueError(f"unsupported streams: {len(streams)}")
         if self.mgc_postfilter is not None:
-            mgc = self.mgc_postfilter(mgc, lengths, train=train)
+            if self.mgc_offset > 0:
+                mgc0 = mgc[:, :, : self.mgc_offset]
+                mgc = jnp.concatenate(
+                    [mgc0, _run(self.mgc_postfilter, mgc[:, :, self.mgc_offset :])],
+                    axis=-1,
+                )
+            else:
+                mgc = _run(self.mgc_postfilter, mgc)
         if self.bap_postfilter is not None:
-            bap = self.bap_postfilter(bap, lengths, train=train)
+            if self.bap_offset > 0:
+                bap0 = bap[:, :, : self.bap_offset]
+                bap = jnp.concatenate(
+                    [bap0, _run(self.bap_postfilter, bap[:, :, self.bap_offset :])],
+                    axis=-1,
+                )
+            else:
+                bap = _run(self.bap_postfilter, bap)
         if self.lf0_postfilter is not None:
-            lf0 = self.lf0_postfilter(lf0, lengths, train=train)
+            lf0 = _run(self.lf0_postfilter, lf0)
         return jnp.concatenate([mgc, lf0, vuv, bap], axis=-1)
 
     def inference(self, x, lengths=None):
-        return self(x, lengths)
+        return self(x, lengths, is_inference=True)

@@ -135,8 +135,12 @@ def load_vocoder(model_dir, sample_rate: int, frame_period: float = 5.0):
         signal_types = tuple(
             cfg.get("signal_types", ["sine", "noise"] if "Hn" in name else ["sine"])
         )
-        ups = dict(cfg.netG.get("upsample_params") or {"upsample_scales": [5, 4, 3, 2]})
-        up = int(np.prod(ups["upsample_scales"]))
+        # SiFiGANGenerator exposes a flat upsample_scales field; uSFGAN
+        # configs nest it under upsample_params
+        scales = cfg.netG.get("upsample_scales") or dict(
+            cfg.netG.get("upsample_params") or {"upsample_scales": [5, 4, 3, 2]}
+        ).get("upsample_scales", [5, 4, 3, 2])
+        up = int(np.prod(list(scales)))
         aux = int(cfg.netG.get("aux_channels", 80))
         Tf = 4
         x = jnp.zeros((1, Tf * up, len(signal_types)), jnp.float32)
