@@ -41,6 +41,21 @@ TARGET_RTF = 0.05
 PKG = "ensemble_svs_with_interactions_tpu"
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (verified working through the
+    axon TPU tunnel): repeat bench invocations skip the multi-minute
+    pipeline compile.  Cache entries are keyed by HLO hash, so kernel
+    changes invalidate naturally."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/esvs-jaxcache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags: compile as usual
+
+
 def build_flagship_engine(tmpdir: str):
     import jax
     import jax.numpy as jnp
@@ -204,6 +219,7 @@ def build_flagship_engine(tmpdir: str):
 
 
 def main():
+    _enable_compilation_cache()
     from ensemble_svs_with_interactions_tpu.io import hts
 
     labels_path = Path("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
@@ -224,11 +240,12 @@ def main():
             [labels.copy() for _ in range(n_tracks)], spk_ids=spk_ids
         )
 
-        # Median of 5 runs — host<->TPU tunnel latency in this environment
-        # varies run to run; per-stage times of the median run are reported
-        # so device compute is separable from transfer noise.
+        # Median of 7 runs — host<->TPU tunnel latency in this environment
+        # varies run to run (outliers of 2-3x are common); per-stage times
+        # of the median run are reported so device compute is separable
+        # from transfer noise.
         times, stage_times = [], []
-        for _ in range(5):
+        for _ in range(7):
             t0 = time.time()
             wavs, _ = engine.svs_ensemble(
                 [labels.copy() for _ in range(n_tracks)], spk_ids=spk_ids

@@ -5,16 +5,25 @@ site: /root/reference/nnsvs/gen.py:1606-1612 — there it is native C++ running
 per-pulse on the CPU; here the whole vocoder is a single XLA program).
 
 Algorithm (batched over frames, no data-dependent control flow):
-  1. Split the envelope into periodic / aperiodic power using WORLD's
-     convention: periodic = sp * (1 - ap^2), aperiodic = sp * ap^2.
-  2. Per-frame minimum-phase impulse responses via the cepstrum method —
-     two batched (T, fft) FFTs, XLA-fused.
+  1. Per-frame minimum-phase impulse response of the TOTAL envelope via
+     the cepstrum method — one batched (T, fft) FFT pass.
+  2. WORLD's periodic/aperiodic split (periodic = sp * (1 - ap^2),
+     aperiodic = sp * ap^2) is applied in the conv stage's frequency
+     domain as real per-frame weights sqrt(1-ap^2) / sqrt(ap^2) on the
+     pulse / noise excitation spectra.  Output MAGNITUDES are identical
+     to filtering each path through its own min-phase response; only the
+     phase of the aperiodicity ratio component differs (zero-phase
+     instead of min-phase), which halves the cepstrum FFT work.
   3. Excitation: a pulse train from the cumulative phase of the sample-rate
      F0 track (pulse amplitude sqrt(fs/f0) for unit average PSD) plus unit
      white noise.
   4. Time-varying filtering: excitation chunked per frame, convolved with
-     that frame's IR via FFT, overlap-added with a static-shape shift-add
-     (no scatter).
+     that frame's response via an fft_size-point circular FFT product,
+     overlap-added with a static-shape shift-add (no scatter).  Because
+     the convolution FFT length equals the cepstrum FFT length, the
+     min-phase transfer function never leaves the frequency domain (the
+     IR's linear-convolution tail beyond fft_size - hop, ~-120 dB, wraps
+     circularly — inaudible for CheapTrick-smooth envelopes).
 
 Everything is static-shape: jit recompiles only per (num_frames bucket,
 fft_size, hop).  Callers should pad frame counts to buckets.
@@ -36,8 +45,9 @@ _EPS = 1e-12
 PULSE_CALIBRATION = 0.783
 
 
-def minimum_phase_ir(power_spec, fft_size: int):
-    """(T, half+1) power spectrum -> (T, fft_size) causal min-phase IRs."""
+def minimum_phase_spectrum(power_spec, fft_size: int):
+    """(T, half+1) power spectrum -> (T, half+1) complex min-phase
+    transfer function (the rfft of the causal min-phase IR)."""
     half = fft_size // 2
     logamp = 0.5 * jnp.log(jnp.maximum(power_spec, _EPS))
     c = jnp.fft.irfft(logamp, n=fft_size, axis=-1)
@@ -51,8 +61,14 @@ def minimum_phase_ir(power_spec, fft_size: int):
         ],
         axis=-1,
     )
-    H = jnp.exp(jnp.fft.rfft(fold, n=fft_size, axis=-1))
-    return jnp.fft.irfft(H, n=fft_size, axis=-1)
+    return jnp.exp(jnp.fft.rfft(fold, n=fft_size, axis=-1))
+
+
+def minimum_phase_ir(power_spec, fft_size: int):
+    """(T, half+1) power spectrum -> (T, fft_size) causal min-phase IRs."""
+    return jnp.fft.irfft(
+        minimum_phase_spectrum(power_spec, fft_size), n=fft_size, axis=-1
+    )
 
 
 def _overlap_add(chunks, hop: int, out_len: int):
@@ -118,27 +134,27 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     ap2 = jnp.clip(ap, 0.0, 1.0) ** 2
     # unvoiced frames: everything is noise
     ap2 = jnp.where(voiced[:, None], ap2, jnp.ones_like(ap2))
-    per_power = sp * (1.0 - ap2)
-    apr_power = sp * ap2
-    # one batched cepstrum pass for both paths (3 large FFT calls, not 6)
-    h_both = minimum_phase_ir(
-        jnp.concatenate([per_power, apr_power], axis=0), fft_size
-    )
-    h_per, h_apr = h_both[:T], h_both[T:]
+    # ONE min-phase pass on the total envelope, kept in the FREQUENCY
+    # domain (no irfft->rfft round trip: the conv FFT length below equals
+    # fft_size, so the cepstrum rfft IS the convolution transfer
+    # function).  The periodic/aperiodic power split becomes frequency-
+    # domain excitation weights (magnitude-identical to per-path
+    # min-phase responses).
+    H = minimum_phase_spectrum(sp, fft_size)
 
     # ---- time-varying filtering (chunked FFT convolution + OLA) ----------
-    conv_len = fft_size + hop
-    Lfft = int(2 ** np.ceil(np.log2(conv_len)))
-
-    # batched excitation/IR transforms; the periodic and aperiodic paths
-    # are summed in the FREQUENCY domain so one inverse FFT covers both
+    # Circular convolution of each hop-sized excitation chunk with the
+    # full fft_size-tap IR in an fft_size buffer: the linear-conv tail
+    # (IR taps beyond fft_size - hop, ~-120 dB for CheapTrick-smooth
+    # envelopes) wraps onto the chunk start — inaudible, and it saves
+    # two more full FFT passes per frame.
     exc = jnp.stack([pulses, noise.astype(jnp.float32)]).reshape(2 * T, hop)
-    X = jnp.fft.rfft(exc, n=Lfft, axis=-1).reshape(2, T, -1)
-    H = jnp.fft.rfft(
-        jnp.concatenate([h_per, h_apr], axis=0), n=Lfft, axis=-1
-    ).reshape(2, T, -1)
-    Y = X[0] * H[0] + X[1] * H[1]
-    y = jnp.fft.irfft(Y, n=Lfft, axis=-1)[:, :conv_len]
+    X = jnp.fft.rfft(exc, n=fft_size, axis=-1).reshape(2, T, -1)
+    # sqrt power weights on the envelope's own half+1 bins
+    w_per = jnp.sqrt(jnp.maximum(1.0 - ap2, 0.0))
+    w_apr = jnp.sqrt(ap2)
+    Y = (X[0] * w_per + X[1] * w_apr) * H
+    y = jnp.fft.irfft(Y, n=fft_size, axis=-1)
     return _overlap_add(y, hop, N)
 
 

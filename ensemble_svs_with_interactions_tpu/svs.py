@@ -643,10 +643,10 @@ class SPSVS(BaseSVS):
         )
         N = len(lengths)
         if want_int16:
-            return [wavs[i, : sample_lengths[i]] for i in range(N)]
+            return [wavs[i][: sample_lengths[i]] for i in range(N)]
         return [
             self.postprocess_waveform(
-                wavs[i, : sample_lengths[i]], dtype=dtype, skip_bandpass=True
+                wavs[i][: sample_lengths[i]], dtype=dtype, skip_bandpass=True
             )
             for i in range(N)
         ]
@@ -678,13 +678,15 @@ class SPSVS(BaseSVS):
         stream batch (numpy or device-resident): two dispatches so the
         first chunk's device->host transfer overlaps the second chunk's
         synthesis (per-track chunks measured slower: B=1 kernels waste
-        more device time than the overlap saves).  Returns (N, S) wavs."""
+        more device time than the overlap saves).  Returns a list of N
+        per-track sample arrays (bucket-trimmed, possibly ragged)."""
         import jax
 
         from ensemble_svs_with_interactions_tpu.ops import world
 
         N = batch[0].shape[0]
         chunk = (N + 1) // 2 if N >= 4 else N
+        hop = int(self.sample_rate * self.frame_period / 1000)
         futures = []
         for c0 in range(0, N, chunk):
             sub = [b[c0 : c0 + chunk] for b in batch]
@@ -698,6 +700,13 @@ class SPSVS(BaseSVS):
                 highpass_cutoff=70.0,
                 key=jax.random.PRNGKey(c0),
             )
+            # trim the frame-bucket padding before the device->host fetch
+            # (rounded to a finer 64-frame bucket to bound recompilation);
+            # the synthesis T_pad bucket is 512 frames, so this saves up
+            # to ~2.5 s of audio worth of transfer bytes per track
+            max_s = int(sample_lengths[c0 : c0 + chunk].max())
+            keep = min(wav_dev.shape[1], gen._round_up(max_s, 64 * hop))
+            wav_dev = wav_dev[:, :keep]
             if want_int16:
                 wav_dev = world.quantize_peak_norm_int16(
                     wav_dev, jnp_lengths(sample_lengths[c0 : c0 + chunk])
@@ -712,8 +721,9 @@ class SPSVS(BaseSVS):
                 # overlapped it)
                 wav_dev.block_until_ready()
                 self._t_vocoder_device_done = time.time()
-            wavs.append(np.asarray(wav_dev))
-        return np.concatenate(wavs, axis=0)
+            host = np.asarray(wav_dev)
+            wavs.extend(host[j] for j in range(host.shape[0]))
+        return wavs
 
     def _batched_vocoder(self, streams_list, vocoder_type, vuv_threshold, dtype):
         """All tracks through the fused WORLD kernel via :meth:`_vocoder_core`;
