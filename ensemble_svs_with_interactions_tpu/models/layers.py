@@ -121,27 +121,48 @@ class _MaskedLSTMLayer(nn.Module):
             ys = lstm_layer_pallas(x, cell.variables["params"], chunk=128)
             return ys * mask.astype(ys.dtype)[:, :, None]
 
-        def body(cell, carry, inputs):
-            x_t, m_t = inputs
-            new_carry, y_t = cell(carry, x_t)
-            m = m_t[:, None]
-            carry = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(m, new, old), new_carry, carry
-            )
-            y_t = y_t * m
-            return carry, y_t
+        # Input projections hoisted OUT of the recurrence: x @ Wi for all
+        # timesteps is one large MXU-efficient matmul; the scan body keeps
+        # only the recurrent h @ Wh matmul (the cuDNN LSTM trick).  Gate
+        # math, parameter tree and masking semantics are identical to
+        # scanning OptimizedLSTMCell (params are materialized through the
+        # cell so checkpoints are unaffected).
+        carry0 = cell.initialize_carry(jax.random.PRNGKey(0), (B, x.shape[-1]))
+        _ = cell(carry0, x[:, 0])  # materialize params (shared naming)
+        p = cell.variables["params"]
+        Wi = jnp.concatenate(
+            [p[k]["kernel"] for k in ("ii", "if", "ig", "io")], axis=1
+        )
+        Wh = jnp.concatenate(
+            [p[k]["kernel"] for k in ("hi", "hf", "hg", "ho")], axis=1
+        )
+        b = jnp.concatenate([p[k]["bias"] for k in ("hi", "hf", "hg", "ho")])
+        H = self.hidden_dim
+        xp = x @ Wi  # (B, T, 4H)
 
-        scan = nn.scan(
+        def body(carry, inputs):
+            c, h = carry
+            xp_t, m_t = inputs
+            z = xp_t + (h @ Wh + b)
+            i = nn.sigmoid(z[:, :H])
+            f = nn.sigmoid(z[:, H : 2 * H])
+            g = jnp.tanh(z[:, 2 * H : 3 * H])
+            o = nn.sigmoid(z[:, 3 * H :])
+            new_c = f * c + i * g
+            new_h = o * jnp.tanh(new_c)
+            m = m_t[:, None]
+            return (
+                (jnp.where(m > 0, new_c, c), jnp.where(m > 0, new_h, h)),
+                new_h * m,
+            )
+
+        _, ys = jax.lax.scan(
             body,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
+            carry0,
+            (xp.swapaxes(0, 1), mask.astype(x.dtype).swapaxes(0, 1)),
             unroll=scan_unroll(),
         )
-        carry0 = cell.initialize_carry(jax.random.PRNGKey(0), (B, x.shape[-1]))
-        _, ys = scan(cell, carry0, (x, mask.astype(x.dtype)))
-        return ys
+        return ys.swapaxes(0, 1)
 
 
 class LSTM(nn.Module):

@@ -837,7 +837,7 @@ class SPSVS(BaseSVS):
                 out_dev, lengths = self.acoustic_model.inference_batch(
                     feats,
                     spks=spks,
-                    xs_sub=[feats[pairs[i]] for i in range(N)],
+                    sub_index=pairs,
                     method=method,
                     device_out=True,
                 )
@@ -850,7 +850,7 @@ class SPSVS(BaseSVS):
                 preds = self.acoustic_model.inference_batch(
                     feats,
                     spks=spks,
-                    xs_sub=[feats[pairs[i]] for i in range(N)],
+                    sub_index=pairs,
                     method=method,
                 )
                 t_acoustic = time.time()
