@@ -119,12 +119,12 @@ def multitrack_cut_positions(
             cuts.append(t)
         elif t - cuts[-1] >= force_t:
             cuts.append(t)
-    # end at the shortest track so every part has audio for every segment
+    # end at the shortest track so every part has audio for every segment;
+    # drop any (forced) cut at/past that end first so the final boundary is
+    # exactly `end` and the list stays strictly monotonic
     end = min(int(lab.end_times[-1]) for lab in aligned_labels)
-    if len(cuts) == 1:
-        cuts.append(end)  # no internal cut: the whole song is one segment
-    else:
-        cuts[-1] = end
+    cuts = [c for c in cuts if c < end]
+    cuts.append(end)
     cuts = [c for i, c in enumerate(cuts) if i == 0 or c > cuts[i - 1]]
     return cuts
 

@@ -63,8 +63,6 @@ def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path)
     """
     import dataclasses
 
-    import jax
-    import jax.numpy as jnp
     import torch
 
     from ensemble_svs_with_interactions_tpu.utils.config import _wrap, instantiate
@@ -102,55 +100,11 @@ def try_port_phase(phase: str, model_yaml: dict, ckpt_path: Path, out_dir: Path)
         netG["compat_sub_encoder_outs"] = True
     module = instantiate(_wrap(netG))
 
-    import inspect
+    from ensemble_svs_with_interactions_tpu.utils.templates import init_template
 
-    in_dim = int(netG.get("in_dim", 82))
-    out_dim = int(netG.get("out_dim", 1))
-    rngs = {
-        "params": jax.random.PRNGKey(0),
-        "dropout": jax.random.PRNGKey(1),
-        "prenet": jax.random.PRNGKey(2),
-        "zoneout": jax.random.PRNGKey(3),
-        "diffusion": jax.random.PRNGKey(4),
-    }
-    T = 8
-    sig = list(inspect.signature(module.__call__).parameters)
-    lengths = jnp.asarray([T])
-    if "x_main" in sig:
-        # multitrack acoustic (cross-conditioned cascades / multistream)
-        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-        ys = (
-            jnp.zeros((1, T, out_dim), jnp.float32),
-            jnp.zeros((1, T, out_dim), jnp.float32),
-        )
-        template = module.init(
-            rngs, jnp.zeros((1, T, in_dim), jnp.float32),
-            jnp.zeros((1, T, in_dim), jnp.float32), spks, lengths, ys,
-            train=True,
-        )
-    elif "spks" in sig and type(module).__name__.startswith("MultiTrack"):
-        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-        template = module.init(
-            rngs, jnp.zeros((1, T, 2 * in_dim), jnp.float32), spks, lengths,
-            train=True,
-        )
-    elif "spks" in sig:
-        template = module.init(
-            rngs, jnp.zeros((1, T, in_dim), jnp.float32),
-            jnp.zeros((1,), jnp.int32), lengths, train=True,
-        )
-    elif "cond" in sig:
-        # diffusion models: init through the training path (y given) so the
-        # K-step sampling loop is not traced at template-build time
-        y_dim = int(netG.get("out_dim", netG.get("in_dim", 80)))
-        template = module.init(
-            rngs, jnp.zeros((1, T, in_dim), jnp.float32), lengths,
-            jnp.zeros((1, T, y_dim), jnp.float32), train=True,
-        )
-    else:
-        template = module.init(
-            rngs, jnp.zeros((1, T, in_dim), jnp.float32), lengths, train=True
-        )
+    template = init_template(
+        module, int(netG.get("in_dim", 82)), netG.get("out_dim")
+    )
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     sd = {

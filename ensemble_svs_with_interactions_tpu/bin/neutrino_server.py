@@ -24,6 +24,7 @@ import base64
 import hashlib
 import json
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -33,18 +34,40 @@ from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.neutrino import NEUTRINO
 
 _ENGINES = {}
-_SCORES = {}  # name -> full-context labels text
+_ENGINE_LOCKS = {}  # name -> lock held only while THAT model loads
+_SCORES = OrderedDict()  # name -> full-context labels text (LRU-bounded)
+_SCORES_MAX = 256
 _LOCK = threading.Lock()
 _MODEL_ROOT = Path("models")
 
 
 def _engine(name: str) -> NEUTRINO:
     # ThreadingHTTPServer runs handlers concurrently; build each engine
-    # exactly once (the load device_puts the whole pack)
+    # exactly once (the load device_puts the whole pack).  The global lock
+    # only guards the dicts — the multi-second model load itself holds a
+    # per-model lock, so requests for already-loaded models never queue
+    # behind another model's load.
     with _LOCK:
-        if name not in _ENGINES:
-            _ENGINES[name] = NEUTRINO(_MODEL_ROOT / name)
-        return _ENGINES[name]
+        engine = _ENGINES.get(name)
+        if engine is not None:
+            return engine
+        load_lock = _ENGINE_LOCKS.setdefault(name, threading.Lock())
+    with load_lock:
+        with _LOCK:
+            engine = _ENGINES.get(name)
+        if engine is None:
+            engine = NEUTRINO(_MODEL_ROOT / name)
+            with _LOCK:
+                _ENGINES[name] = engine
+        return engine
+
+
+def _store_score(name: str, text: str) -> None:
+    with _LOCK:
+        _SCORES[name] = text
+        _SCORES.move_to_end(name)
+        while len(_SCORES) > _SCORES_MAX:
+            _SCORES.popitem(last=False)
 
 
 def _b64(x: np.ndarray) -> str:
@@ -85,8 +108,7 @@ class Handler(BaseHTTPRequestHandler):
                 name = req.get("name") or hashlib.sha1(
                     text.encode()
                 ).hexdigest()[:16]
-                with _LOCK:
-                    _SCORES[name] = text
+                _store_score(name, text)
                 timing = engine.predict_timing(labels)
                 phraselist = engine.get_phraselist(labels, timing)
                 self._json(
@@ -100,10 +122,16 @@ class Handler(BaseHTTPRequestHandler):
                 # FULL labels from the store (or the request) — timing
                 # labels alone (possibly user-edited mono, the NEUTRINO
                 # round-trip) carry no linguistic contexts
+                stored = None
+                if "labels" not in req and req.get("name"):
+                    with _LOCK:
+                        stored = _SCORES.get(req["name"])
+                        if stored is not None:
+                            _SCORES.move_to_end(req["name"])
                 if "labels" in req:
                     full = hts.loads(req["labels"])
-                elif req.get("name") in _SCORES:
-                    full = hts.loads(_SCORES[req["name"]])
+                elif stored is not None:
+                    full = hts.loads(stored)
                 else:
                     self._json(
                         {

@@ -385,6 +385,11 @@ def stage11_evaluate_timing(cfg, work):
     score_dir = (ev or {}).get("score_label_dir") or cfg.get_path(
         "synthesis.label_dir"
     )
+    if not score_dir:
+        raise ValueError(
+            "stage 11 needs timing_eval.score_label_dir (or "
+            "synthesis.label_dir) in the recipe config"
+        )
     align_dir = (ev or {}).get("align_label_dir") or score_dir
     out_dir = work / "timing_eval"
     argv = [

@@ -227,6 +227,10 @@ class GaussianDiffusion(BaseModel):
         carrying the last 4 noise predictions."""
         interval = int(self.pndm_speedup)
         ts = jnp.arange(self.K_step - interval, -1, -interval)
+        if len(ts) == 0:
+            # speedup >= K_step: the reference's step range is empty too —
+            # degrade to a no-op instead of indexing ts[0]
+            return x
 
         def x_pred(x, noise_t, t):
             a_t = self._ac[t]

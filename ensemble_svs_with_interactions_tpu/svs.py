@@ -50,53 +50,15 @@ def jnp_lengths(lengths):
 
 
 def _load_variables(module, config, params_path: Path):
-    """Deserialize flax variables against a template built from the module.
+    """Deserialize flax variables against a template built from the module
+    (signature-dispatched in utils/templates.init_template)."""
+    from ensemble_svs_with_interactions_tpu.utils.templates import init_template
 
-    Builds init args from the module's __call__ signature: plain (x,
-    lengths), speaker-conditioned (x, spks, lengths), multitrack timing
-    (concat-x, spks tuple, lengths) or multitrack acoustic (x_main, x_sub,
-    spks_list, lengths, ys).
-    """
-    import inspect
-
-    import jax
-    import jax.numpy as jnp
-
-    in_dim = config.netG.get("in_dim", 82)
-    out_dim = config.netG.get("out_dim", 1)
-    T = 8
-    rngs = {
-        "params": jax.random.PRNGKey(0),
-        "dropout": jax.random.PRNGKey(1),
-        "prenet": jax.random.PRNGKey(2),
-        "zoneout": jax.random.PRNGKey(3),
-    }
-    lengths = jnp.asarray([T])
-    sig_params = list(inspect.signature(module.__call__).parameters)
-
-    if "x_main" in sig_params:  # multitrack acoustic
-        x0 = jnp.zeros((1, T, in_dim), jnp.float32)
-        x1 = jnp.zeros((1, T, in_dim), jnp.float32)
-        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-        ys = (
-            jnp.zeros((1, T, out_dim), jnp.float32),
-            jnp.zeros((1, T, out_dim), jnp.float32),
-        )
-        template = module.init(rngs, x0, x1, spks, lengths, ys, train=True)
-    elif "spks" in sig_params and type(module).__name__.startswith("MultiTrack"):
-        # multitrack timing: x = concat(x_main, x_sub) -> 2*in_dim features,
-        # spks is a (main, sub) tuple (reference model.py:1246-1247)
-        x = jnp.zeros((1, T, 2 * in_dim), jnp.float32)
-        spks = (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-        template = module.init(rngs, x, spks, lengths, train=True)
-    elif "spks" in sig_params:
-        x = jnp.zeros((1, T, in_dim), jnp.float32)
-        template = module.init(
-            rngs, x, jnp.zeros((1,), jnp.int32), lengths, train=True
-        )
-    else:
-        x = jnp.zeros((1, T, in_dim), jnp.float32)
-        template = module.init(rngs, x, lengths, train=True)
+    template = init_template(
+        module,
+        config.netG.get("in_dim", 82),
+        config.netG.get("out_dim", 1),
+    )
     with open(params_path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
@@ -299,6 +261,14 @@ class SPSVS(BaseSVS):
         self.logger.info("set_device(%s): managed by JAX/XLA; no-op", device)
         return self
 
+    def _force_clip(self, phase: str) -> bool:
+        """Per-phase input-feature clipping flag from the packed config
+        (reference svs.py:341,370,439 reads config.{timelag,duration}.
+        force_clip_input_features / acoustic_config.get(..., True);
+        shipped recipe configs default true)."""
+        section = self.config.get(phase, {}) or {}
+        return bool(section.get("force_clip_input_features", True))
+
     # ----------------------------------------------------------- pipeline
     def predict_timelag(self, labels):
         """Note-onset time-lags in frames (reference svs.py:318)."""
@@ -310,6 +280,7 @@ class SPSVS(BaseSVS):
             self.binary_dict,
             self.numeric_dict,
             pitch_indices=self.pitch_indices,
+            force_clip_input_features=self._force_clip("timelag"),
             frame_period=self.frame_period,
         )
 
@@ -323,6 +294,7 @@ class SPSVS(BaseSVS):
             self.binary_dict,
             self.numeric_dict,
             pitch_indices=self.pitch_indices,
+            force_clip_input_features=self._force_clip("duration"),
         )
 
     def postprocess_duration(self, labels, pred_durations, lag):
@@ -341,6 +313,7 @@ class SPSVS(BaseSVS):
             self.duration_model,
             self.in_duration_scaler,
             self.out_duration_scaler,
+            force_clip_input_features=self._force_clip("timelag"),
             frame_period=self.frame_period,
         )[0]
 
@@ -352,6 +325,7 @@ class SPSVS(BaseSVS):
             self.out_acoustic_scaler,
             self.binary_dict,
             self.numeric_dict,
+            force_clip_input_features=self._force_clip("acoustic"),
             frame_period=self.frame_period,
             f0_shift_in_cent=f0_shift_in_cent,
         )
@@ -517,6 +491,8 @@ class SPSVS(BaseSVS):
         for lab in duration_modified:
             lab.frame_shift = hts_frame_shift
 
+        force_clip = self._force_clip("acoustic")
+
         def _feat(lab):
             return gen._prepare_linguistic_features(
                 lab,
@@ -527,7 +503,7 @@ class SPSVS(BaseSVS):
                 True,
                 "coarse_coding",
                 True,
-                False,
+                force_clip,
                 hts_frame_shift,
                 return_raw=True,
             )
