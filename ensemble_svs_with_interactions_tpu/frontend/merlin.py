@@ -16,6 +16,7 @@ recipes/_common/hed/jp_dev_latest.hed:1-5 in the reference.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -123,14 +124,22 @@ def _compute_coarse_coding_curves() -> np.ndarray:
 _CC_CURVES = _compute_coarse_coding_curves()
 
 
+@lru_cache(maxsize=4096)
 def _coarse_coding_features(num_frames: int) -> np.ndarray:
-    """(num_frames, 3) coarse-coded relative-position features."""
-    out = np.zeros((num_frames, 3), dtype=np.float32)
-    for i in range(num_frames):
-        rel = int((200.0 / num_frames) * i)
-        out[i, 0] = _CC_CURVES[0, 300 + rel]
-        out[i, 1] = _CC_CURVES[1, 200 + rel]
-        out[i, 2] = _CC_CURVES[2, 100 + rel]
+    """(num_frames, 3) coarse-coded relative-position features.
+
+    Cached per phone duration (durations repeat heavily across a song;
+    this sits on the per-frame featurization hot path)."""
+    rel = ((200.0 / num_frames) * np.arange(num_frames)).astype(np.int64)
+    out = np.stack(
+        [
+            _CC_CURVES[0, 300 + rel],
+            _CC_CURVES[1, 200 + rel],
+            _CC_CURVES[2, 100 + rel],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    out.setflags(write=False)
     return out
 
 
@@ -205,7 +214,7 @@ def linguistic_features(
             block[:, dict_size + 1] = frac[::-1]        # backward fraction
             block[:, dict_size + 2] = float(nframes)    # phone duration
         rows.append(block)
-    return np.concatenate(rows, axis=0).astype(np.float32)
+    return np.concatenate(rows, axis=0).astype(np.float32, copy=False)
 
 
 def _state_alignment_features(
@@ -322,7 +331,7 @@ def _state_alignment_features(
             rows.append(block)
             state_duration_base += frames
             frame_in_phone += frames
-    return np.concatenate(rows, axis=0).astype(np.float32)
+    return np.concatenate(rows, axis=0).astype(np.float32, copy=False)
 
 
 def duration_features(labels: HTSLabels, frame_shift: int = 50000) -> np.ndarray:

@@ -287,7 +287,7 @@ def _prepare_linguistic_features(
         add_frame_features=add_frame_features,
         subphone_features=subphone_features,
         frame_shift=frame_shift,
-    ).astype(np.float32)
+    ).astype(np.float32, copy=False)
     feats = raw.copy() if return_raw else raw
     if log_f0_conditioning:
         for idx in pitch_indices:
@@ -296,9 +296,12 @@ def _prepare_linguistic_features(
                 feats[:, idx] += f0_shift_in_cent * np.log(2) / 1200
     feats = np.asarray(in_scaler.transform(feats), dtype=np.float32)
     if force_clip_input_features and isinstance(in_scaler, MinMaxScaler):
-        non_pitch = [i for i in range(feats.shape[1]) if i not in pitch_indices]
+        # clip everything except the pitch columns: save/restore those
+        # rather than gather+scatter the (much wider) complement
         lo, hi = in_scaler.feature_range
-        feats[:, non_pitch] = np.clip(feats[:, non_pitch], lo, hi)
+        saved_pitch = feats[:, pitch_indices].copy()
+        np.clip(feats, lo, hi, out=feats)
+        feats[:, pitch_indices] = saved_pitch
     if return_raw:
         return feats, raw
     return feats
@@ -614,9 +617,15 @@ def predict_timing(
     allowed_range=(-20, 20),
     allowed_range_rest=(-40, 40),
     force_clip_input_features: bool = True,
+    force_clip_input_features_duration: bool = None,
     frame_period: float = 5,
 ):
-    """predict_timelag + predict_duration + postprocess_duration."""
+    """predict_timelag + predict_duration + postprocess_duration.
+
+    ``force_clip_input_features`` applies to the timelag phase;
+    ``force_clip_input_features_duration`` lets the duration phase carry
+    its own flag (defaults to the timelag one — the reference reads each
+    phase's config independently, svs.py:341,370)."""
     hts_frame_shift = int(frame_period * 1e4)
     labels.frame_shift = hts_frame_shift
     pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
@@ -646,7 +655,11 @@ def predict_timing(
         spk=spk,
         pitch_indices=pitch_indices,
         log_f0_conditioning=log_f0_conditioning,
-        force_clip_input_features=force_clip_input_features,
+        force_clip_input_features=(
+            force_clip_input_features
+            if force_clip_input_features_duration is None
+            else force_clip_input_features_duration
+        ),
         frame_period=frame_period,
     )
     duration_modified_labels, d_norms = postprocess_duration(

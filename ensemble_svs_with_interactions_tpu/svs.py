@@ -314,6 +314,7 @@ class SPSVS(BaseSVS):
             self.in_duration_scaler,
             self.out_duration_scaler,
             force_clip_input_features=self._force_clip("timelag"),
+            force_clip_input_features_duration=self._force_clip("duration"),
             frame_period=self.frame_period,
         )[0]
 

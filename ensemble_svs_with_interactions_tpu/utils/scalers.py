@@ -56,9 +56,20 @@ class StandardScaler:
         return self.partial_fit(x)
 
     def transform(self, x):
+        if isinstance(x, np.ndarray) and x.dtype == np.float32:
+            # f32 fast path: float64 params would upcast the whole array
+            # (3-7x slower on the featurization hot path; the result is
+            # cast back to f32 by every consumer anyway)
+            out = x - np.asarray(self.mean_, np.float32)
+            out /= np.asarray(self.scale_, np.float32)
+            return out
         return (x - self.mean_) / self.scale_
 
     def inverse_transform(self, x):
+        if isinstance(x, np.ndarray) and x.dtype == np.float32:
+            out = x * np.asarray(self.scale_, np.float32)
+            out += np.asarray(self.mean_, np.float32)
+            return out
         return x * self.scale_ + self.mean_
 
 
@@ -100,9 +111,17 @@ class MinMaxScaler:
         return self.partial_fit(x)
 
     def transform(self, x):
+        if isinstance(x, np.ndarray) and x.dtype == np.float32:
+            out = x * np.asarray(self.scale_, np.float32)
+            out += np.asarray(self.min_, np.float32)
+            return out
         return self.scale_ * x + self.min_
 
     def inverse_transform(self, x):
+        if isinstance(x, np.ndarray) and x.dtype == np.float32:
+            out = x - np.asarray(self.min_, np.float32)
+            out /= np.asarray(self.scale_, np.float32)
+            return out
         return (x - self.min_) / self.scale_
 
 

@@ -333,3 +333,54 @@ def test_pretrained_named_entries():
     ids = get_available_model_ids()
     assert "r9y9/yoko_latest" in ids
     assert model_registry["r9y9/yoko_latest"]["url"].startswith("https://")
+
+
+def test_neutrino_server_score_store_lru(monkeypatch):
+    """The score store is LRU-bounded; old entries are evicted, recent
+    ones kept (touched entries refreshed)."""
+    from ensemble_svs_with_interactions_tpu.bin import neutrino_server as srv
+
+    monkeypatch.setattr(srv, "_SCORES", type(srv._SCORES)())
+    monkeypatch.setattr(srv, "_SCORES_MAX", 3)
+    for i in range(4):
+        srv._store_score(f"s{i}", "x")
+    assert list(srv._SCORES) == ["s1", "s2", "s3"]
+    srv._store_score("s1", "y")  # touch refreshes recency
+    srv._store_score("s4", "x")
+    assert list(srv._SCORES) == ["s3", "s1", "s4"]
+
+
+def test_neutrino_server_concurrent_engine_load(monkeypatch, packed):
+    """Concurrent requests for one model build its engine exactly once,
+    and a slow load must not serialize other models' lookups behind the
+    global lock."""
+    from ensemble_svs_with_interactions_tpu.bin import neutrino_server as srv
+
+    monkeypatch.setattr(srv, "_MODEL_ROOT", packed.parent)
+    monkeypatch.setattr(srv, "_ENGINES", {})
+    monkeypatch.setattr(srv, "_ENGINE_LOCKS", {})
+    calls = []
+    real = srv.NEUTRINO
+
+    class Counting(real):
+        def __init__(self, path):
+            calls.append(str(path))
+            super().__init__(path)
+
+    monkeypatch.setattr(srv, "NEUTRINO", Counting)
+    out, errs = [], []
+
+    def fetch():
+        try:
+            out.append(srv._engine(packed.name))
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=fetch) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(calls) == 1  # built exactly once
+    assert all(e is out[0] for e in out)

@@ -115,6 +115,36 @@ def test_diffusion_plms_sampling():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_diffusion_plms_speedup_exceeds_k_step():
+    """pndm_speedup >= K_step leaves no sampling steps; inference must
+    degrade to a finite no-op rather than index an empty step list."""
+    diffusion = GaussianDiffusion(
+        in_dim=E,
+        out_dim=M,
+        denoise_fn={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": M,
+            "encoder_hidden_dim": E,
+            "residual_layers": 2,
+            "residual_channels": 8,
+        },
+        K_step=4,
+        pndm_speedup=8,
+    )
+    cond = jnp.zeros((B, T, E))
+    y = jnp.zeros((B, T, M))
+    v = diffusion.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        cond, jnp.asarray([T, T]), y, train=True,
+    )
+    out = diffusion.apply(
+        v, cond, jnp.asarray([T, T]), method="inference",
+        rngs={"diffusion": jax.random.PRNGKey(3)},
+    )
+    assert out.shape == (B, T, M)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_diffusion_denoises_constant_signal():
     """After a few training steps on a constant target, sampling should move
     toward that constant (behavioral sanity)."""
