@@ -231,8 +231,11 @@ class ModelPack:
 
         def _finalize():
             if isinstance(out, tuple):
+                # one device_get for the whole tuple: per-array fetches pay
+                # a full link round trip each (latency-bound at MDN sizes)
+                host_all = jax.device_get(out)
                 return [
-                    tuple(np.asarray(o)[i, : lengths[i]] for o in out)
+                    tuple(o[i, : lengths[i]] for o in host_all)
                     for i in range(B)
                 ]
             host = np.asarray(out)

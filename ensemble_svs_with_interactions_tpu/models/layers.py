@@ -30,10 +30,15 @@ import jax.numpy as jnp
 def scan_unroll() -> int:
     """Scan unroll factor: amortizes XLA while-loop overhead on
     accelerators (the per-step work of an LSTM cell is far below TPU loop
-    dispatch cost); kept at 1 on CPU where it only bloats compile time."""
+    dispatch cost); kept at 1 on CPU where it only bloats compile time.
+    ESVS_SCAN_UNROLL overrides for A/B measurements."""
+    import os
+
     import jax
 
-    return 1 if jax.default_backend() == "cpu" else 8
+    if jax.default_backend() == "cpu":
+        return 1
+    return int(os.environ.get("ESVS_SCAN_UNROLL", "8"))
 
 
 # --------------------------------------------------------------------------

@@ -650,6 +650,24 @@ class SPSVS(BaseSVS):
                 ex.map(_post, zip(duration_modified, acoustics, raw_feats))
             )
 
+    @staticmethod
+    def _vocoder_chunk_plan(N):
+        """Batch-size plan for the chunked vocoder dispatch: two equal
+        halves.  A/B on the v5e bench (ESVS_VOCODER_CHUNKS override):
+        [2,2] 0.738 s median beats [3,1] 0.746, [2,1,1] 0.799 and [4]
+        0.776 — a smaller last chunk trims the exposed final D2H but the
+        off-peak-batch kernels cost more device time than the overlap
+        saves."""
+        plan = os.environ.get("ESVS_VOCODER_CHUNKS")
+        if plan:
+            sizes = [int(c) for c in plan.split(",") if c.strip()]
+            if sum(sizes) == N:
+                return sizes
+        if N < 4:
+            return [N]
+        half = (N + 1) // 2
+        return [half, N - half]
+
     def _vocoder_core(self, batch, sample_lengths, vuv_threshold, want_int16):
         """Chunked WORLD-kernel dispatch over a 4-array (N, T_pad, D)
         stream batch (numpy or device-resident): two dispatches so the
@@ -662,10 +680,12 @@ class SPSVS(BaseSVS):
         from ensemble_svs_with_interactions_tpu.ops import world
 
         N = batch[0].shape[0]
-        chunk = (N + 1) // 2 if N >= 4 else N
+        chunks = self._vocoder_chunk_plan(N)
         hop = int(self.sample_rate * self.frame_period / 1000)
         futures = []
-        for c0 in range(0, N, chunk):
+        starts = np.concatenate([[0], np.cumsum(chunks)])[:-1]
+        for c0, chunk in zip(starts, chunks):
+            c0 = int(c0)
             sub = [b[c0 : c0 + chunk] for b in batch]
             wav_dev = world.synthesize_from_streams(
                 *sub,
