@@ -48,6 +48,8 @@ def main(argv=None):
         score = hts.load(score_path)
         align = hts.load(align_path)
 
+        # same per-phase clipping flags as synthesis, so evaluated timing
+        # features match what SPSVS.svs() would feed the models
         lag, lag_frames = gen.predict_timelag(
             score.copy(),
             engine.timelag_model,
@@ -55,6 +57,7 @@ def main(argv=None):
             engine.out_timelag_scaler,
             engine.binary_dict,
             engine.numeric_dict,
+            force_clip_input_features=engine._force_clip("timelag"),
             frame_period=engine.frame_period,
         )
         durations = gen.predict_duration(
@@ -64,6 +67,7 @@ def main(argv=None):
             engine.out_duration_scaler,
             engine.binary_dict,
             engine.numeric_dict,
+            force_clip_input_features=engine._force_clip("duration"),
             frame_period=engine.frame_period,
         )
         pred_dur = durations[0] if isinstance(durations, tuple) else durations
@@ -143,13 +147,17 @@ def _main_multitrack(args, engine, out_dir):
                     [score_m.copy(), score_s.copy()], spks,
                     engine.timelag_model, engine.in_timelag_scaler,
                     engine.out_timelag_scaler, engine.binary_dict,
-                    engine.numeric_dict, frame_period=engine.frame_period,
+                    engine.numeric_dict,
+                    force_clip_input_features=engine._force_clip("timelag"),
+                    frame_period=engine.frame_period,
                 )
                 durations = gen_multitrack.predict_duration_multitrack(
                     [score_m.copy(), score_s.copy()], spks,
                     engine.duration_model, engine.in_duration_scaler,
                     engine.out_duration_scaler, engine.binary_dict,
-                    engine.numeric_dict, frame_period=engine.frame_period,
+                    engine.numeric_dict,
+                    force_clip_input_features=engine._force_clip("duration"),
+                    frame_period=engine.frame_period,
                 )
                 pred_dur = (
                     durations[0] if isinstance(durations, tuple) else durations

@@ -46,7 +46,15 @@ def _engine(name: str) -> NEUTRINO:
     # exactly once (the load device_puts the whole pack).  The global lock
     # only guards the dicts — the multi-second model load itself holds a
     # per-model lock, so requests for already-loaded models never queue
-    # behind another model's load.
+    # behind another model's load.  Client-supplied names are validated
+    # against the model root BEFORE any dict insertion so spammed bogus
+    # names cannot grow the lock/engine dicts.
+    model_dir = _MODEL_ROOT / name
+    if (
+        model_dir.resolve().parent != _MODEL_ROOT.resolve()
+        or not (model_dir / "config.yaml").exists()
+    ):
+        raise FileNotFoundError(f"unknown model: {name!r}")
     with _LOCK:
         engine = _ENGINES.get(name)
         if engine is not None:
@@ -56,7 +64,12 @@ def _engine(name: str) -> NEUTRINO:
         with _LOCK:
             engine = _ENGINES.get(name)
         if engine is None:
-            engine = NEUTRINO(_MODEL_ROOT / name)
+            try:
+                engine = NEUTRINO(model_dir)
+            except Exception:
+                with _LOCK:  # don't leak the lock entry on a failed load
+                    _ENGINE_LOCKS.pop(name, None)
+                raise
             with _LOCK:
                 _ENGINES[name] = engine
         return engine

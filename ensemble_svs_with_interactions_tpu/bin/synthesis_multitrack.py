@@ -50,6 +50,8 @@ class MultiTrackSPSVS(SPSVS):
             self.duration_model,
             self.in_duration_scaler,
             self.out_duration_scaler,
+            force_clip_input_features=self._force_clip("timelag"),
+            force_clip_input_features_duration=self._force_clip("duration"),
             frame_period=self.frame_period,
         )[0]
 
@@ -62,6 +64,7 @@ class MultiTrackSPSVS(SPSVS):
             self.out_acoustic_scaler,
             self.binary_dict,
             self.numeric_dict,
+            force_clip_input_features=self._force_clip("acoustic"),
             frame_period=self.frame_period,
         )
 

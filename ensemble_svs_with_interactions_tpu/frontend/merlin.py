@@ -130,6 +130,8 @@ def _coarse_coding_features(num_frames: int) -> np.ndarray:
 
     Cached per phone duration (durations repeat heavily across a song;
     this sits on the per-frame featurization hot path)."""
+    if num_frames <= 0:  # zero-frame phones (e.g. clipped segments)
+        return np.zeros((0, 3), dtype=np.float32)
     rel = ((200.0 / num_frames) * np.arange(num_frames)).astype(np.int64)
     out = np.stack(
         [

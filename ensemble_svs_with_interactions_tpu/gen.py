@@ -533,12 +533,18 @@ def predict_timing_batch(
     allowed_range=(-20, 20),
     allowed_range_rest=(-40, 40),
     force_clip_input_features: bool = True,
+    force_clip_input_features_duration: bool = None,
     frame_period: float = 5,
 ):
     """Batched timing prediction over N tracks: both timing models run as
-    one (N, T, D) batch (two device calls total instead of 2N)."""
+    one (N, T, D) batch (two device calls total instead of 2N).
+
+    ``force_clip_input_features`` applies to the timelag phase;
+    ``force_clip_input_features_duration`` defaults to the same value."""
     hts_frame_shift = int(frame_period * 1e4)
     pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
+    if force_clip_input_features_duration is None:
+        force_clip_input_features_duration = force_clip_input_features
 
     note_labels_list, note_feats, phone_feats = [], [], []
     for labels in labels_list:
@@ -557,7 +563,7 @@ def predict_timing_batch(
             _prepare_linguistic_features(
                 labels, binary_dict, numeric_dict, duration_in_scaler,
                 pitch_indices, False, None, log_f0_conditioning,
-                force_clip_input_features, hts_frame_shift,
+                force_clip_input_features_duration, hts_frame_shift,
             )
         )
 

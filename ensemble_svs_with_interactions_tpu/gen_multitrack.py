@@ -219,6 +219,7 @@ def predict_timing_multitrack_batch(
     allowed_range=(-20, 20),
     allowed_range_rest=(-40, 40),
     force_clip_input_features: bool = True,
+    force_clip_input_features_duration: bool = None,
     frame_period: float = 5,
 ):
     """Batched cross-conditioned timing for an N-part ensemble.
@@ -234,6 +235,11 @@ def predict_timing_multitrack_batch(
     hts_frame_shift = int(frame_period * 1e4)
     pitch_indices = hts.get_pitch_indices(binary_dict, numeric_dict)
     N = len(labels_list)
+    force_clip_duration = (
+        force_clip_input_features
+        if force_clip_input_features_duration is None
+        else force_clip_input_features_duration
+    )
 
     def _prep_track(labels):
         labels.frame_shift = hts_frame_shift
@@ -247,7 +253,7 @@ def predict_timing_multitrack_batch(
         du_feats = gen._prepare_linguistic_features(
             labels, binary_dict, numeric_dict, duration_in_scaler,
             pitch_indices, False, None, log_f0_conditioning,
-            force_clip_input_features, hts_frame_shift,
+            force_clip_duration, hts_frame_shift,
         )
         return nl, tl_feats, np.asarray(nl.start_times), du_feats, np.asarray(
             labels.start_times
@@ -345,9 +351,13 @@ def predict_timing_multitrack(
     allowed_range=(-20, 20),
     allowed_range_rest=(-40, 40),
     force_clip_input_features: bool = True,
+    force_clip_input_features_duration: bool = None,
     frame_period: float = 5,
 ):
-    """timelag + duration + duration normalization on the main track."""
+    """timelag + duration + duration normalization on the main track.
+
+    ``force_clip_input_features`` applies to the timelag phase;
+    ``force_clip_input_features_duration`` defaults to the same value."""
     hts_frame_shift = int(frame_period * 1e4)
     for labels in labels_list:
         labels.frame_shift = hts_frame_shift
@@ -368,7 +378,11 @@ def predict_timing_multitrack(
         duration_out_scaler, binary_dict, numeric_dict,
         pitch_indices=pitch_indices,
         log_f0_conditioning=log_f0_conditioning,
-        force_clip_input_features=force_clip_input_features,
+        force_clip_input_features=(
+            force_clip_input_features
+            if force_clip_input_features_duration is None
+            else force_clip_input_features_duration
+        ),
         frame_period=frame_period,
     )
     duration_modified_labels, d_norms = gen.postprocess_duration(

@@ -38,7 +38,7 @@ def scan_unroll() -> int:
 
     if jax.default_backend() == "cpu":
         return 1
-    return int(os.environ.get("ESVS_SCAN_UNROLL", "8"))
+    return int(os.environ.get("ESVS_SCAN_UNROLL") or 8)
 
 
 # --------------------------------------------------------------------------

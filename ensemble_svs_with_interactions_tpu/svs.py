@@ -345,6 +345,8 @@ class SPSVS(BaseSVS):
             self.duration_model,
             self.in_duration_scaler,
             self.out_duration_scaler,
+            force_clip_input_features=self._force_clip("timelag"),
+            force_clip_input_features_duration=self._force_clip("duration"),
             frame_period=self.frame_period,
             **kw,
         )
@@ -362,6 +364,7 @@ class SPSVS(BaseSVS):
             self.out_acoustic_scaler,
             self.binary_dict,
             self.numeric_dict,
+            force_clip_input_features=self._force_clip("acoustic"),
             frame_period=self.frame_period,
             f0_shift_in_cent=f0_shift_in_cent,
         )
@@ -661,8 +664,12 @@ class SPSVS(BaseSVS):
         plan = os.environ.get("ESVS_VOCODER_CHUNKS")
         if plan:
             sizes = [int(c) for c in plan.split(",") if c.strip()]
-            if sum(sizes) == N:
+            if sum(sizes) == N and all(c >= 1 for c in sizes):
                 return sizes
+            raise ValueError(
+                f"ESVS_VOCODER_CHUNKS={plan!r} must be positive sizes "
+                f"summing to the batch size {N}"
+            )
         if N < 4:
             return [N]
         half = (N + 1) // 2
@@ -808,6 +815,8 @@ class SPSVS(BaseSVS):
                 self.duration_model,
                 self.in_duration_scaler,
                 self.out_duration_scaler,
+                force_clip_input_features=self._force_clip("timelag"),
+                force_clip_input_features_duration=self._force_clip("duration"),
                 frame_period=self.frame_period,
             )
             t_timing_device = time.time()
@@ -873,6 +882,8 @@ class SPSVS(BaseSVS):
                 self.duration_model,
                 self.in_duration_scaler,
                 self.out_duration_scaler,
+                force_clip_input_features=self._force_clip("timelag"),
+                force_clip_input_features_duration=self._force_clip("duration"),
                 frame_period=self.frame_period,
             )
             feats, raw_feats = self._frame_features(duration_modified)
