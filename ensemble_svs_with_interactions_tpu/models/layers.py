@@ -31,7 +31,9 @@ def scan_unroll() -> int:
     """Scan unroll factor: amortizes XLA while-loop overhead on
     accelerators (the per-step work of an LSTM cell is far below TPU loop
     dispatch cost); kept at 1 on CPU where it only bloats compile time.
-    ESVS_SCAN_UNROLL overrides for A/B measurements."""
+    ESVS_SCAN_UNROLL overrides for A/B measurements.  v5e flagship
+    acoustic stage (blocked): unroll 4 -> 0.25 s, 8 -> 0.20, 16 -> 0.25,
+    32 -> 0.28 — 8 is the sweet spot."""
     import os
 
     import jax

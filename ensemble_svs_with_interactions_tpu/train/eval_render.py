@@ -123,6 +123,7 @@ def render_eval_outputs(
         p = _static(pred[i, :L]) if any(has_dynamic_features) else pred[i, :L]
         t = _static(target[i, :L]) if any(has_dynamic_features) else target[i, :L]
         if len(static_sizes) == 4:
+            wav = None  # don't reuse a previous utterance's waveform
             try:
                 wav = synthesize_from_static(p, static_sizes, sample_rate)
                 wavfile.write(
@@ -135,7 +136,7 @@ def render_eval_outputs(
             plot_spsvs_params(
                 out_dir / f"utt{i}_params.png", p, t, static_sizes, sample_rate
             )
-            if writer is not None and writer.tb is not None:
+            if writer is not None and writer.tb is not None and wav is not None:
                 try:
                     wav = wav.astype(np.float32)
                     import torch

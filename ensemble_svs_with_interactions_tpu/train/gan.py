@@ -102,10 +102,20 @@ def create_gan_train_step(
 
         def apply(grads, params, opt_state, opt):
             gnorm = optax.global_norm(grads)
+            # NaN-skip like the non-GAN steps (train/loop.py): one
+            # non-finite batch must not poison params for the whole run
+            finite = jnp.isfinite(gnorm)
             clip = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
             grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
             updates, new_opt = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt, gnorm
+            new_params = optax.apply_updates(params, updates)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params
+            )
+            new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt, opt_state
+            )
+            return new_params, new_opt, gnorm
 
         newG, optG_state, gnormG = apply(
             gradsG, state["paramsG"], state["optG_state"], optG

@@ -265,8 +265,16 @@ def create_train_step(
             pred_out, lf0_residual = outs, None
 
         if prediction_type == PredictionType.MULTISTREAM_HYBRID:
+            # wrappers with all-deterministic sub-decoders return an
+            # already-concatenated (B, T, D) array — split it back into
+            # streams (same guard as train/multitrack.py)
+            pred_streams = pred_out
+            if not isinstance(pred_streams, (list, tuple)):
+                pred_streams = L.split_streams(
+                    pred_streams, list(stream_sizes)
+                )
             loss_feats = L.multistream_loss(
-                pred_out,
+                pred_streams,
                 out_feats,
                 mask,
                 stream_sizes,

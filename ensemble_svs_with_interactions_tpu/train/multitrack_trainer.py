@@ -97,7 +97,7 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
         variables, copied = load_params_shape_filtered(resume_path, variables)
         logger.info("warm-started %d tensors from %s", copied, resume_path)
 
-    spk_names = list(config.data.get("spk_names", []))
+    spk_names = list(config.data.get("spk_names", []) or [])
     datasets = {}
     for split in ("train_no_dev", "dev"):
         d = config.data[split]
@@ -214,6 +214,7 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                 seed=epoch,
             )
             epoch_metrics: Dict[str, list] = {}
+            rendered_this_epoch = False
             for batch in it:
                 if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
                     lf0_denorm = (
@@ -260,7 +261,12 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                                 int(config.model.num_windows),
                             )
                             metrics = {**metrics, **dist}
-                            if config.train.get("eval_render", False):
+                            # first dev batch only (later batches would
+                            # overwrite the same files and TB tags)
+                            if not rendered_this_epoch and config.train.get(
+                                "eval_render", False
+                            ):
+                                rendered_this_epoch = True
                                 from ensemble_svs_with_interactions_tpu.train.eval_render import (  # noqa: E501
                                     render_eval_outputs,
                                 )

@@ -168,4 +168,5 @@ def train_postfilter(config: Config) -> Dict[str, float]:
             is_best=gen_loss < best,
         )
         best = min(best, gen_loss)
+    writer.close()
     return last

@@ -255,6 +255,7 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                 seed=epoch,
             )
             epoch_metrics: Dict[str, list] = {}
+            rendered_this_epoch = False
             for batch in it:
                 if train and use_random_segments:
                     batch = _random_segments(batch)
@@ -284,7 +285,37 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                     step += 1
                 else:
                     metrics, pred_out = eval_step(state, sharded)
-                    if out_scaler is not None and not isinstance(pred_out, tuple):
+                    # reduce probabilistic/multistream predictions to a
+                    # point estimate (MDN mu) so objective distortions are
+                    # computed for every model family like the reference
+                    # (nnsvs/bin/train.py:121-126); diffusion returns
+                    # (noise, x_recon) in noised space — skip those
+                    from ensemble_svs_with_interactions_tpu.base import (
+                        PredictionType,
+                    )
+                    from ensemble_svs_with_interactions_tpu.train.multitrack import (
+                        _stream_to_point,
+                    )
+
+                    ptype = module.prediction_type()
+                    pred_point = pred_out
+                    if ptype == PredictionType.DIFFUSION:
+                        pred_point = None
+                    elif isinstance(pred_out, (tuple, list)):
+                        if ptype == PredictionType.MULTISTREAM_HYBRID:
+                            pred_point = jnp.concatenate(
+                                [_stream_to_point(p) for p in pred_out],
+                                axis=-1,
+                            )
+                        else:
+                            pred_point = _stream_to_point(tuple(pred_out))
+                    out_dim_total = sum(config.model.stream_sizes)
+                    if (
+                        out_scaler is not None
+                        and pred_point is not None
+                        and pred_point.shape[-1] == out_dim_total
+                    ):
+                        pred_out = pred_point
                         dist = M.compute_distortions(
                             pred_out,
                             batch["out_feats"],
@@ -295,7 +326,15 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                             int(config.model.num_windows),
                         )
                         metrics = {**metrics, **dist}
-                        if is_acoustic and config.train.get("eval_render", False):
+                        # first dev batch only: later batches would just
+                        # overwrite the same utt0/utt1 files and TB tags
+                        # (reference eval_model also renders one batch)
+                        if (
+                            is_acoustic
+                            and not rendered_this_epoch
+                            and config.train.get("eval_render", False)
+                        ):
+                            rendered_this_epoch = True
                             from ensemble_svs_with_interactions_tpu.train.eval_render import (
                                 render_eval_outputs,
                             )

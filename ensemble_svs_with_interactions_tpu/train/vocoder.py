@@ -55,6 +55,7 @@ def create_vocoder_gan_train_step(
     stft_weight: float = 1.0,
     adv_weight: float = 4.0,
     fm_weight: float = 0.0,
+    clip_norm: float = 10.0,  # parallel_wavegan trainer default grad_norm
     fft_sizes: Sequence[int] = (1024, 2048, 512),
     hop_sizes: Sequence[int] = (120, 240, 50),
     win_lengths: Sequence[int] = (600, 1200, 240),
@@ -116,15 +117,39 @@ def create_vocoder_gan_train_step(
         (lossD, auxD), gradsD = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["paramsD"], batch, y_hat
         )
-        upG, optG_state = optG.update(gradsG, state["optG_state"], state["paramsG"])
-        upD, optD_state = optD.update(gradsD, state["optD_state"], state["paramsD"])
+        def apply(grads, params, opt_state, opt):
+            # clip + NaN-skip like every other train step in this package
+            # (the external parallel_wavegan trainer this replaces clips
+            # gradients too); one unstable batch must not poison params
+            gnorm = optax.global_norm(grads)
+            finite = jnp.isfinite(gnorm)
+            clip = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, params
+            )
+            new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt, opt_state
+            )
+            return new_params, new_opt, gnorm
+
+        newG, optG_state, gnormG = apply(
+            gradsG, state["paramsG"], state["optG_state"], optG
+        )
+        newD, optD_state, gnormD = apply(
+            gradsD, state["paramsD"], state["optD_state"], optD
+        )
         new_state = {
-            "paramsG": optax.apply_updates(state["paramsG"], upG),
-            "paramsD": optax.apply_updates(state["paramsD"], upD),
+            "paramsG": newG,
+            "paramsD": newD,
             "optG_state": optG_state,
             "optD_state": optD_state,
             "step": state["step"] + 1,
         }
-        return new_state, {**auxG, **auxD}
+        return new_state, {
+            **auxG, **auxD, "GradNorm_G": gnormG, "GradNorm_D": gnormD,
+        }
 
     return jax.jit(train_step)

@@ -226,4 +226,5 @@ def train_vocoder(config: Config) -> Dict[str, float]:
             is_best=stft < best,
         )
         best = min(best, stft)
+    writer.close()
     return last

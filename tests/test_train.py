@@ -328,3 +328,62 @@ def test_train_diffusion_model(feature_dumps, tmp_path):
     metrics = train_model(cfg)
     assert np.isfinite(metrics["Loss"])
     assert (tmp_path / "exp_diff" / "latest.ckpt").exists()
+
+
+def test_train_single_track_multistream_hybrid(tmp_path, rng):
+    """MULTISTREAM_HYBRID single-track models return an already-
+    concatenated (B, T, D) array; the train step must split it back into
+    streams before the multistream loss (regression: the loss asserted
+    len(streams) == len(pred) against the batch dimension)."""
+    pre = "ensemble_svs_with_interactions_tpu.models"
+    D_in, ss = 8, [3, 1, 1, 2]
+    D_out = sum(ss)
+    lf0_idx = 5
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    for i in range(6):
+        T = int(rng.integers(20, 50))
+        x = rng.normal(size=(T, D_in)).astype(np.float32)
+        x[:, lf0_idx] = rng.uniform(0.2, 0.8, size=T)  # normalized score lf0
+        y = rng.normal(size=(T, D_out)).astype(np.float32)
+        np.save(in_dir / f"utt{i:02d}-feats.npy", x)
+        np.save(out_dir / f"utt{i:02d}-feats.npy", y)
+
+    lf0_stats = dict(
+        in_lf0_idx=lf0_idx, in_lf0_min=4.5, in_lf0_max=6.5,
+        out_lf0_idx=3, out_lf0_mean=float(np.log(220.0)), out_lf0_scale=0.1,
+    )
+    netG = {
+        "_target_": f"{pre}.acoustic.MultistreamSeparateF0ParametricModel",
+        "in_dim": D_in, "out_dim": D_out, "stream_sizes": ss,
+        "reduction_factor": 1, "in_rest_idx": 0, "encoder": None,
+        "lf0_model": {
+            "_target_": f"{pre}.acoustic.ResF0Conv1dResnet",
+            "in_dim": D_in, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+            **lf0_stats,
+        },
+        "mgc_model": {
+            "_target_": f"{pre}.FFN",
+            "in_dim": D_in, "hidden_dim": 8, "out_dim": ss[0], "num_layers": 1,
+        },
+        "vuv_model": {
+            "_target_": f"{pre}.FFN",
+            "in_dim": D_in, "hidden_dim": 8, "out_dim": ss[2], "num_layers": 1,
+        },
+        "bap_model": {
+            "_target_": f"{pre}.FFN",
+            "in_dim": D_in, "hidden_dim": 8, "out_dim": ss[3], "num_layers": 1,
+        },
+        **{k: lf0_stats[k] for k in ("in_lf0_idx", "in_lf0_min", "in_lf0_max",
+                                     "out_lf0_idx", "out_lf0_mean",
+                                     "out_lf0_scale")},
+    }
+    exp = tmp_path / "exp_hybrid"
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=2)
+    cfg.model["stream_sizes"] = ss
+    cfg.model["has_dynamic_features"] = [False] * 4
+    metrics = train_model(cfg)
+    assert np.isfinite(metrics["Loss"])
+    assert (exp / "latest.ckpt").exists()
