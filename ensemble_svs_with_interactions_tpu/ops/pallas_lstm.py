@@ -120,7 +120,12 @@ def lstm_layer_pallas(x, cell_params, chunk: int = 256, interpret: bool = False)
     w_x, w_h, b = extract_flax_lstm_weights(cell_params)
     T = x.shape[1]
     chunk = min(chunk, T)
-    while T % chunk != 0:
-        chunk //= 2
+    # pad T up to a chunk multiple instead of shrinking the chunk: an
+    # awkward T (odd/prime) would otherwise degenerate the grid to
+    # one-frame VMEM blocks
+    pad = (-T) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     xw = jnp.einsum("btc,ch->bth", x, w_x) + b[None, None, :]
-    return lstm_recurrence(xw, w_h, chunk=max(chunk, 1), interpret=interpret)
+    ys = lstm_recurrence(xw, w_h, chunk=chunk, interpret=interpret)
+    return ys[:, :T] if pad else ys

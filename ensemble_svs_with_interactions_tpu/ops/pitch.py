@@ -59,7 +59,10 @@ def interp1d(f0: np.ndarray, kind: str = "slinear") -> np.ndarray:
     f0 = np.asarray(f0)
     squeeze = f0.ndim == 2
     flat = f0.reshape(-1).astype(np.float64)
-    nz = np.nonzero(flat)[0]
+    # voiced anchors are strictly positive (nnmnkwii semantics): zeros AND
+    # negatives are gaps, so signed tracks (e.g. diff-lf0) interpolate the
+    # same way as through the reference
+    nz = np.nonzero(flat > 0)[0]
     if len(nz) == 0:
         out = flat
     else:

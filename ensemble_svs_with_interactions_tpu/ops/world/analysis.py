@@ -136,10 +136,11 @@ def _viterbi_track(
     """RAPT-style dynamic-programming pitch tracking.
 
     States per frame: K voiced candidates + 1 unvoiced.  Local cost is
-    ``1 - score`` for voiced and ``voicing_threshold`` for unvoiced (so
-    unvoiced wins when every candidate correlates worse than the
-    threshold); transitions pay ``octave_cost`` per octave of pitch jump
-    and ``vuv_cost`` for voicing flips.  Returns f0 with 0 at unvoiced.
+    ``1 - score`` for voiced and ``1 - voicing_threshold`` for unvoiced
+    (so unvoiced wins when every candidate correlates worse than the
+    threshold — a HIGHER threshold makes more frames unvoiced);
+    transitions pay ``octave_cost`` per octave of pitch jump and
+    ``vuv_cost`` for voicing flips.  Returns f0 with 0 at unvoiced.
     """
     T, K = f0_cand.shape
     lf0 = np.log2(np.maximum(f0_cand, _EPS))

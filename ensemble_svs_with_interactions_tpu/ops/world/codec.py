@@ -11,6 +11,17 @@ aperiodicities at 3 kHz intervals in dB, decoded by linear interpolation
 over frequency.  Everything is expressed as gathers/matmuls/FFT-free ops
 that work identically on NumPy arrays (host, data prep) and jnp arrays
 (jitted inference path).
+
+KNOWN DIVERGENCE (documented, see PARITY.md): the spectral codec is
+self-consistent (code/decode roundtrip-tested) but not bit-compatible
+with pyworld's CodeSpectralEnvelope — WORLD spans its mel axis over
+[40 Hz, min(fs/2, 20 kHz)] with endpoint-exclusive spacing and uses an
+FFT-based DCT with its own normalization, while this codec spans
+[one bin, fs/2] with an orthonormal DCT.  Models trained with THIS
+framework's codec are unaffected; porting a torch checkpoint that was
+trained on pyworld-coded mgc decodes through a slightly different basis.
+A faithful port needs golden pyworld fixtures to validate against, which
+this environment cannot produce (no pyworld, no egress).
 """
 
 from __future__ import annotations
@@ -126,16 +137,26 @@ def decode_spectral_envelope(coded, fs: int, fft_size: int):
 
 
 def code_aperiodicity(aperiodicity, fs: int):
-    """(T, fft//2+1) linear aperiodicity -> (T, n_bands) dB band values."""
+    """(T, fft//2+1) linear aperiodicity -> (T, n_bands) dB band values.
+
+    WORLD's CodeAperiodicity converts the whole spectrum to dB first and
+    linearly interpolates (interp1Q) at the band-center frequencies
+    k*3000 Hz; band centers that fall between FFT bins blend the two
+    neighbours in the dB domain.  (At fs=48000/fft 2048 the centers land
+    exactly on bins, so this only differs at e.g. 44.1 kHz.)
+    """
     xp = _xp(aperiodicity)
     fft_size = (aperiodicity.shape[-1] - 1) * 2
     n = get_num_aperiodicities(fs)
-    centers = (
-        (FREQUENCY_INTERVAL * np.arange(1, n + 1)) * fft_size / fs
-    ).round().astype(np.int64)
-    centers = np.minimum(centers, fft_size // 2)
-    vals = aperiodicity[..., centers if xp is np else jnp.asarray(centers)]
-    return 20.0 * xp.log10(xp.maximum(vals, SAFE_GUARD_MINIMUM))
+    pos = (FREQUENCY_INTERVAL * np.arange(1, n + 1)) * fft_size / fs
+    i0 = np.minimum(np.floor(pos).astype(np.int64), fft_size // 2)
+    i1 = np.minimum(i0 + 1, fft_size // 2)
+    w1 = pos - i0
+    if xp is jnp:
+        i0, i1 = jnp.asarray(i0), jnp.asarray(i1)
+        w1 = jnp.asarray(w1)
+    db = 20.0 * xp.log10(xp.maximum(aperiodicity, SAFE_GUARD_MINIMUM))
+    return db[..., i0] * (1.0 - w1) + db[..., i1] * w1
 
 
 @lru_cache(maxsize=8)

@@ -88,6 +88,30 @@ def _overlap_add(chunks, hop: int, out_len: int):
     return acc.reshape(-1)[:out_len]
 
 
+def _wrapped_phase(inc):
+    """Cumulative phase mod 1 (cycles) of per-sample increments, float32.
+
+    Two-level accumulation: an absolute f32 cumsum loses fractional
+    resolution past ~2^13 cycles (a 4-min 220 Hz track accumulates ~53k
+    cycles -> fractional granularity ~0.004 cycles, defeating the
+    fractional pulse delay).  Blocks of 4096 samples cumsum locally
+    (<~40 cycles, exact to ~4e-6); block totals propagate mod 1, so the
+    outer cumsum stays small too.
+    """
+    NB = 4096
+    n_blocks = -(-inc.shape[0] // NB)
+    inc_pad = jnp.pad(inc, (0, n_blocks * NB - inc.shape[0]))
+    inner = jnp.cumsum(inc_pad.reshape(n_blocks, NB), axis=1)
+    block_tot = jnp.mod(inner[:, -1], 1.0)
+    offsets = jnp.mod(
+        jnp.concatenate(
+            [jnp.zeros((1,), inner.dtype), jnp.cumsum(block_tot)[:-1]]
+        ),
+        1.0,
+    )
+    return jnp.mod(offsets[:, None] + inner, 1.0).reshape(-1)[: inc.shape[0]]
+
+
 @partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))
 def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     T = f0.shape[0]
@@ -100,18 +124,20 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     # ---- excitation ------------------------------------------------------
     # sample-rate f0 (frame hold)
     f0_samples = jnp.repeat(jnp.where(voiced, f0, 0.0), hop)
-    phase = jnp.cumsum(f0_samples) / fs  # cycles
-    k = jnp.floor(phase)
-    new_pulse = jnp.concatenate([jnp.zeros((1,), k.dtype), jnp.diff(k)]) > 0
+    inc = f0_samples / fs  # cycles per sample
+    phase = _wrapped_phase(inc)
+    # a pulse fires where the wrapped phase wraps past 1.0
+    prev_phase = jnp.concatenate([jnp.zeros((1,), phase.dtype), phase[:-1]])
+    new_pulse = phase < prev_phase
     amp = PULSE_CALIBRATION * jnp.sqrt(fs / jnp.repeat(f0_safe, hop))
     # fractional pulse placement: the true phase crossing lies mu samples
-    # BEFORE the sample where floor(phase) increments; rounding it to the
-    # grid phase-modulates the pulse train (sidebands ~2*pi*f*mu/fs between
+    # BEFORE the sample where the phase wraps; rounding it to the grid
+    # phase-modulates the pulse train (sidebands ~2*pi*f*mu/fs between
     # harmonics).  An 8-tap Hann-windowed-sinc split realizes the
     # fractional delay with a flat passband (pyworld likewise
     # phase-corrects per pulse).
-    cycles_per_sample = jnp.maximum(f0_samples / fs, 1e-9)
-    mu = jnp.clip((phase - k) / cycles_per_sample, 0.0, 1.0)
+    cycles_per_sample = jnp.maximum(inc, 1e-9)
+    mu = jnp.clip(phase / cycles_per_sample, 0.0, 1.0)
     fire = new_pulse & (f0_samples > 0)
     a = jnp.where(fire, amp, 0.0)
     zero = jnp.zeros((1,), amp.dtype)

@@ -266,3 +266,19 @@ def test_world_stream_info():
     assert get_world_stream_info(48000, 59, 3, vibrato_mode="sine") == [
         180, 3, 1, 15, 9, 1,
     ]
+
+
+def test_freqt_matrix_matches_scalar_recursion():
+    """The cached matrix form of the Oppenheim frequency-warping recursion
+    must match the direct scalar recursion (_freqt_single pins it)."""
+    from ensemble_svs_with_interactions_tpu.ops.sptk import (
+        _freqt_single,
+        freqt_matrix,
+    )
+
+    rng = np.random.default_rng(0)
+    for in_len, order, alpha in ((25, 12, 0.41), (41, 24, 0.554), (8, 8, -0.3)):
+        A = freqt_matrix(in_len, order, alpha)
+        c = rng.normal(size=in_len)
+        np.testing.assert_allclose(c @ A.T, _freqt_single(c, order, alpha),
+                                   rtol=1e-10, atol=1e-12)

@@ -359,3 +359,29 @@ def test_f0_viterbi_rejects_octave_errors():
     assert (err_cents > 600).mean() == 0.0  # no octave errors
     # leading silence stays unvoiced
     assert (f0[: int(0.1 * n)] > 0).mean() < 0.1
+
+
+def test_wrapped_phase_precision_long_render():
+    """The two-level wrapped-phase accumulation must stay sub-millicycle
+    accurate over a 4-minute render (an absolute f32 cumsum degrades to
+    ~0.004-cycle granularity there, audible as pulse-train sidebands)."""
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.ops.world.synthesis import (
+        _wrapped_phase,
+    )
+
+    fs = 16000
+    n = fs * 240  # 4 minutes
+    f0 = 220.0 + 20.0 * np.sin(np.linspace(0, 40 * np.pi, n))
+    inc64 = f0.astype(np.float64) / fs
+    ref = np.mod(np.cumsum(inc64), 1.0)
+
+    got = np.asarray(_wrapped_phase(jnp.asarray(inc64, jnp.float32)))
+    # circular distance on the unit phase circle
+    d = np.abs(got - ref)
+    d = np.minimum(d, 1.0 - d)
+    # worst-case error in the LAST second must stay far below the f32
+    # absolute-cumsum granularity (~4e-3 cycles at 53k cycles)
+    assert d[-fs:].max() < 1e-3, d[-fs:].max()
+    assert np.median(d) < 2e-4
