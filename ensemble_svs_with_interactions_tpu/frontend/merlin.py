@@ -110,14 +110,22 @@ _CC_NPOINTS = 600
 
 
 def _compute_coarse_coding_curves() -> np.ndarray:
-    """Three overlapping Gaussian bumps over normalized phone position."""
+    """Three overlapping Gaussian bumps over normalized phone position.
+
+    Merlin (and nnmnkwii, which inherits it verbatim) fills the curves
+    with ``scipy.stats.norm(mu, 0.4).pdf`` values — the normalization
+    constant 1/(0.4*sqrt(2*pi)) ~= 0.99736 is part of the feature scale
+    that reference-trained checkpoints and their input scalers were fit
+    on, so it is kept (peak is slightly below 1.0 by design).
+    """
     curves = np.zeros((3, _CC_NPOINTS))
     x1 = np.linspace(-1.5, 1.5, _CC_NPOINTS)
     x2 = np.linspace(-1.0, 2.0, _CC_NPOINTS)
     x3 = np.linspace(-0.5, 2.5, _CC_NPOINTS)
     sigma = 0.4
+    pdf_norm = 1.0 / (sigma * np.sqrt(2.0 * np.pi))
     for row, (x, mu) in enumerate(((x1, 0.0), (x2, 0.5), (x3, 1.0))):
-        curves[row] = np.exp(-((x - mu) ** 2) / (2.0 * sigma**2))
+        curves[row] = pdf_norm * np.exp(-((x - mu) ** 2) / (2.0 * sigma**2))
     return curves
 
 

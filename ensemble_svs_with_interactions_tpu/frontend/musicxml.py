@@ -72,6 +72,20 @@ _YOUON = {
     "てぃ": ["ty", "i"], "でぃ": ["dy", "i"], "ふぁ": ["f", "a"],
     "ふぃ": ["f", "i"], "ふぇ": ["f", "e"], "ふぉ": ["f", "o"],
     "うぃ": ["w", "i"], "うぇ": ["w", "e"], "うぉ": ["w", "o"],
+    "しぇ": ["sh", "e"], "ちぇ": ["ch", "e"], "じぇ": ["j", "e"],
+    "つぁ": ["ts", "a"], "つぃ": ["ts", "i"], "つぇ": ["ts", "e"],
+    "つぉ": ["ts", "o"], "とぅ": ["t", "u"], "どぅ": ["d", "u"],
+    "てゅ": ["ty", "u"], "でゅ": ["dy", "u"], "いぇ": ["y", "e"],
+    "ゔぁ": ["v", "a"], "ゔぃ": ["v", "i"], "ゔぇ": ["v", "e"],
+    "ゔぉ": ["v", "o"], "ふゅ": ["hy", "u"],
+}
+
+# small kana not consumed by a _YOUON pair replace the previous vowel
+# (e.g. an unlisted combo like ずぃ -> z+i); ゃ/ゅ/ょ degrade to their
+# plain vowels
+_SMALL_VOWEL = {
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+    "ゃ": "a", "ゅ": "u", "ょ": "o",
 }
 
 
@@ -122,9 +136,17 @@ def g2p_ja(lyric: str, prev_vowel: Optional[str] = None) -> List[str]:
             continue
         ch = text[i]
         if ch == "ー":
-            v = next((p for p in reversed(out) if p in VOWELS), prev_vowel)
+            # repeat the previous true vowel ("cl" is not sustainable)
+            v = next(
+                (p for p in reversed(out) if p in VOWELS and p != "cl"),
+                prev_vowel,
+            )
             if v:
                 out.append(v)
+        elif ch in _SMALL_VOWEL and out and out[-1] in VOWELS and out[-1] != "cl":
+            # unlisted small-kana combo: the small kana replaces the
+            # preceding vowel (ちぇ -> ch+e, ゔぁ -> v+a, ...)
+            out[-1] = _SMALL_VOWEL[ch]
         elif ch in _BASE:
             out.extend(_BASE[ch])
         i += 1
@@ -400,24 +422,42 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
         prev_note = notes[ni - 1] if ni > 0 else None
         next_note = notes[ni + 1] if ni + 1 < len(notes) else None
         d1, d2, d6, d7, d8 = _note_block(prev_note)
-        e1, e2, e6, e7, e8 = _note_block(n if n.midi is not None else None)
         f1, f2, f6, f7, f8 = _note_block(next_note)
 
         beat = f"{n.beats}/{n.beat_type}"
         tempo = str(int(round(n.tempo)))
+        quarter = 60.0 / n.tempo * 1e7
 
+        # pitch contexts (e1/e2) only exist for voiced notes; the length
+        # (e6-e8) and measure-position (e10-e17) contexts are populated
+        # for rests too — Sinsy/NEUTRINO labels carry them on pau
+        # (fixture sample1_full.lab: /E:xx]xx^0=4/4~100!1@240#96+xx]1$1
+        # |0[24&0]96=0^100), and the hed queries them (e6-e17)
         if n.midi is not None:
+            e1, e2, _, _, _ = _note_block(n)
+        else:
+            e1 = e2 = "xx"
+        e6 = "1"
+        e7 = str(int(round(n.duration / 1e5)))
+        e8 = str(int(round(n.duration / quarter * 24)))
+
+        if n.measure_index >= 0:
             e10 = str(pos_in_measure[ni])
             e11 = str(notes_in_measure[n.measure_index] - pos_in_measure[ni] + 1)
             off = n.start - n.measure_start
             mlen = max(n.measure_duration, 1)
-            e12 = str(int(off / 1e6))          # 100 ms units (fixture conv.)
-            e13 = str(int((mlen - off) / 1e6))
-            quarter = 60.0 / n.tempo * 1e7
-            e14 = str(int(round(off / quarter * 24)))
-            e15 = str(int(round((mlen - off) / quarter * 24)))
-            e16 = str(int(round(off / mlen * 100)))
-            e17 = str(100 - int(round(off / mlen * 100)))
+        else:
+            # padding silence: its own single-note span (pysinsy conv.)
+            e10 = e11 = "1"
+            off, mlen = 0, max(n.duration, 1)
+        e12 = str(int(off / 1e6))          # 100 ms units (fixture conv.)
+        e13 = str(int((mlen - off) / 1e6))
+        e14 = str(int(round(off / quarter * 24)))
+        e15 = str(int(round((mlen - off) / quarter * 24)))
+        e16 = str(int(round(off / mlen * 100)))
+        e17 = str(100 - int(round(off / mlen * 100)))
+
+        if n.midi is not None:
             pidx = phrase_of_note.get(ni)
             idxs = phrases[pidx]
             k = idxs.index(ni)
@@ -442,7 +482,6 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
                 else "xx"
             )
         else:
-            e10 = e11 = e12 = e13 = e14 = e15 = e16 = e17 = "xx"
             e18 = e19 = e20 = e21 = e22 = e23 = e24 = e25 = "xx"
             e57 = e58 = "xx"
 
@@ -498,6 +537,10 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
         raise ValueError(f"no notes parsed from {path}")
     pad = int(0.5e7 // HTS_FRAME) * HTS_FRAME
     if notes[0].midi is not None or notes[0].start > 0:
+        # the pad rest must also absorb any leading score offset (e.g. a
+        # <forward> before the first note) so labels stay contiguous:
+        # cover [0, first_start + pad), not just [0, pad)
+        lead = int(notes[0].start)
         for n in notes:
             n.start += pad
             n.measure_start += pad
@@ -505,7 +548,7 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
         # measure_index -1 keeps it out of the e10/e11 note counts
         notes.insert(
             0,
-            ScoreNote(start=0, duration=pad, midi=None,
+            ScoreNote(start=0, duration=pad + lead, midi=None,
                       tempo=notes[0].tempo, beats=notes[0].beats,
                       beat_type=notes[0].beat_type,
                       measure_index=-1),
