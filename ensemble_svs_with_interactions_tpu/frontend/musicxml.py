@@ -428,15 +428,16 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
         tempo = str(int(round(n.tempo)))
         quarter = 60.0 / n.tempo * 1e7
 
-        # pitch contexts (e1/e2) only exist for voiced notes; the length
-        # (e6-e8) and measure-position (e10-e17) contexts are populated
-        # for rests too — Sinsy/NEUTRINO labels carry them on pau
-        # (fixture sample1_full.lab: /E:xx]xx^0=4/4~100!1@240#96+xx]1$1
-        # |0[24&0]96=0^100), and the hed queries them (e6-e17)
+        # pitch contexts (e1/e2) only exist for voiced notes; the key
+        # (e3), length (e6-e8) and measure-position (e10-e17) contexts
+        # are populated for rests too — Sinsy/NEUTRINO labels carry them
+        # on pau (fixture nitech_jp_song070_f001_004.lab: /E:xx]xx^11=2/4
+        # ~100!1@120#48+xx]1$1|0[12&0]48=0^100), and heds query e6-e17
         if n.midi is not None:
             e1, e2, _, _, _ = _note_block(n)
         else:
             e1 = e2 = "xx"
+        e3 = str((7 * n.fifths) % 12)  # key number from circle of fifths
         e6 = "1"
         e7 = str(int(round(n.duration / 1e5)))
         e8 = str(int(round(n.duration / quarter * 24)))
@@ -513,7 +514,7 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
             f"{sylB}"
             f"/C:{c1}+xx+xx@JPN&xx"
             f"/D:{d1}!{d2}#xx${beat}%{tempo}|{d6}&{d7};{d8}-xx"
-            f"/E:{e1}]{e2}^xx={beat}~{tempo}!{e6}@{e7}#{e8}+xx"
+            f"/E:{e1}]{e2}^{e3}={beat}~{tempo}!{e6}@{e7}#{e8}+xx"
             f"]{e10}${e11}|{e12}[{e13}&{e14}]{e15}={e16}^{e17}"
             f"~{e18}#{e19}_{e20};{e21}${e22}&{e23}%{e24}[{e25}"
             f"|xx]xx-xx^xx+xx~xx=xx@xx$xx!xx%xx#xx|xx|xx-xx"
