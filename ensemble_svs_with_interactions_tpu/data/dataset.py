@@ -48,14 +48,17 @@ class FeatsDataset:
             keep = set(utt_ids)
             names = [n for n in names if n.replace("-feats.npy", "") in keep]
         self.pairs = [(in_files[n], out_files[n]) for n in names]
+        self._length_cache: Optional[np.ndarray] = None
         if max_frames is not None:
-            kept = []
+            kept, kept_len = [], []
             for a, b in self.pairs:
                 n = np.load(a, mmap_mode="r").shape[0]
                 if n <= max_frames:
                     kept.append((a, b))
+                    kept_len.append(n)
             self.pairs = kept
-        self._length_cache: Optional[np.ndarray] = None
+            # the filter already read every file header; keep the lengths
+            self._length_cache = np.array(kept_len, dtype=np.int64)
 
     def __len__(self):
         return len(self.pairs)

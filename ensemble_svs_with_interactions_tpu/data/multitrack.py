@@ -116,17 +116,48 @@ class MultiTrackFeatsDataset:
         return item
 
     def lengths(self) -> np.ndarray:
+        """Per-pair max track length (frame-synced padding size)."""
         if self._lengths is None:
+            cache: Dict[Path, int] = {}
+
+            def _len(p) -> int:
+                if p not in cache:
+                    cache[p] = int(np.load(p, mmap_mode="r").shape[0])
+                return cache[p]
+
             self._lengths = np.array(
-                [
-                    max(
-                        np.load(a, mmap_mode="r").shape[0],
-                        np.load(c, mmap_mode="r").shape[0],
-                    )
-                    for (a, _), (c, _) in self.pairs
-                ]
+                [max(_len(a), _len(c)) for (a, _), (c, _) in self.pairs]
             )
         return self._lengths
+
+    def merged_lengths(self) -> np.ndarray:
+        """Per-pair length AFTER the two-pointer note merge.
+
+        The merge emits one row per distinct event time, so the merged
+        length is ``len0 + len1 - |times0 ∩ times1|`` — up to ~2x the
+        per-track max that ``lengths()`` reports.  Note-synced batch
+        sizing must use this, or realized padded batches blow past the
+        ``max_tokens`` bound.  Falls back to the ``len0 + len1`` upper
+        bound when a ``-times.npy`` dump is missing.
+        """
+        cache: Dict[Path, Optional[np.ndarray]] = {}
+
+        def _times(feat_path) -> Optional[np.ndarray]:
+            p = Path(str(feat_path).replace("-feats.npy", "-times.npy"))
+            if p not in cache:
+                cache[p] = np.load(p) if p.exists() else None
+            return cache[p]
+
+        out = []
+        for (a, _), (c, _) in self.pairs:
+            ta, tc = _times(a), _times(c)
+            if ta is None or tc is None:
+                la = int(np.load(a, mmap_mode="r").shape[0])
+                lc = int(np.load(c, mmap_mode="r").shape[0])
+                out.append(la + lc)
+            else:
+                out.append(len(ta) + len(tc) - len(np.intersect1d(ta, tc)))
+        return np.array(out)
 
 
 def merge_tracks_by_notes(
@@ -214,8 +245,12 @@ class MultiTrackBatchIterator:
         self.rng = np.random.default_rng(seed)
         from ensemble_svs_with_interactions_tpu.data.dataset import batch_by_size
 
+        # note sync sizes batches by the POST-merge length (up to ~2x the
+        # per-track max when onsets are disjoint), so max_tokens bounds the
+        # realized padded batch, not the pre-merge one
+        sizing = dataset.merged_lengths() if sync == "notes" else dataset.lengths()
         self.batches = batch_by_size(
-            dataset.lengths(),
+            sizing,
             max_tokens=max_tokens,
             required_batch_size_multiple=batch_multiple,
         )

@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ensemble_svs_with_interactions_tpu.base import BaseModel, PredictionType
+from ensemble_svs_with_interactions_tpu.models.acoustic.util import point_estimate
 from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
 
 
@@ -87,6 +88,11 @@ class MultistreamSeparateF0ParametricModel(BaseModel):
             y_mgc = y_lf0 = y_vuv = y_bap = None
 
         lf0, lf0_residual = self._lf0(x, lengths, y_lf0, train=train)
+        if y is None:
+            # probabilistic lf0 submodels ((mu, sigma) / MDN 3-tuples) are
+            # reduced to the mu trajectory at inference, as the reference's
+            # MDN AR decoders do internally (tacotron_f0.py:511-514)
+            lf0 = point_estimate(lf0)
 
         if self._encoder is not None:
             enc = self._encoder(x, lengths, train=train)
@@ -162,6 +168,8 @@ class MultiSpeakerMultistreamSeparateF0ParametricModel(BaseModel):
         lf0, lf0_residual = self._lf0(
             x, lengths, y_lf0, spk_embs=spk_embs, train=train
         )
+        if y is None:
+            lf0 = point_estimate(lf0)
 
         if self._encoder is not None:
             enc = self._encoder(x, lengths, spk_embs=spk_embs, train=train)
@@ -264,6 +272,9 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
         lf0_s, lf0_res_s = self._lf0(
             x_sub, x_main, spk_s, spk_m, lengths, y_lf0_s, train=train
         )
+        if is_inference:
+            lf0_m = point_estimate(lf0_m)
+            lf0_s = point_estimate(lf0_s)
 
         if self._encoder is not None:
             enc_m = self._encoder(
@@ -317,6 +328,7 @@ class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):
         lf0_m, _ = self._lf0(
             x_main, x_sub, spk_m, spk_s, lengths, None, train=False
         )
+        lf0_m = point_estimate(lf0_m)
         if self._encoder is not None:
             enc_m = self._encoder(
                 x_main, x_sub, spk_embs=(spk_m, spk_s), lengths=lengths,
@@ -371,6 +383,8 @@ class MultistreamSeparateF0MelModel(BaseModel):
         else:
             y_mel = y_lf0 = y_vuv = None
         lf0, lf0_residual = self._lf0(x, lengths, y_lf0, train=train)
+        if y is None:
+            lf0 = point_estimate(lf0)
         if self._encoder is not None:
             enc = self._encoder(x, lengths, train=train)
             rest = x[:, :, self.in_rest_idx][..., None]
@@ -381,10 +395,8 @@ class MultistreamSeparateF0MelModel(BaseModel):
         mel = self._mel(enc, lengths, y_mel, train=train)
         vuv = self._vuv(enc, lengths, y_vuv, train=train)
         if y is None:
-            from ensemble_svs_with_interactions_tpu.models.acoustic.npss import _point
-
             return (
-                jnp.concatenate([_point(mel), lf0, vuv], axis=-1),
+                jnp.concatenate([point_estimate(mel), lf0, vuv], axis=-1),
                 lf0_residual,
             )
         return (mel, lf0, vuv), lf0_residual

@@ -23,19 +23,10 @@ from ensemble_svs_with_interactions_tpu.base import BaseModel, PredictionType
 from ensemble_svs_with_interactions_tpu.models.acoustic.multistream import (
     _maybe_instantiate,
 )
-from ensemble_svs_with_interactions_tpu.ops.mdn import (
-    mdn_get_most_probable_sigma_and_mu,
+from ensemble_svs_with_interactions_tpu.models.acoustic.util import (
+    point_estimate as _point,
 )
 from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
-
-
-def _point(pred):
-    """Point estimate of a sub-model output (mu for MDN 3-tuples)."""
-    if isinstance(pred, tuple) and len(pred) == 3:
-        return mdn_get_most_probable_sigma_and_mu(*pred)[1]
-    if isinstance(pred, tuple) and len(pred) == 2:
-        return pred[0]
-    return pred
 
 
 class _NPSSBase(BaseModel):
@@ -100,12 +91,14 @@ class _NPSSBase(BaseModel):
         else:
             lf0, lf0_residual = lf0_out, None
 
-        cond_lf0 = lf0 if is_inference else y_lf0
+        # probabilistic lf0 submodels condition downstream streams on the
+        # point estimate (reference multistream.py:1151-1157 lf0_cond=lf0[0])
+        cond_lf0 = _point(lf0) if is_inference else y_lf0
         mgc = self._mgc(jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, **kwargs)
         bap = self._bap(jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, **kwargs)
 
         if is_inference:
-            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), lf0)
+            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), cond_lf0)
         else:
             vuv_inp = self._vuv_inputs(x, y_mgc, y_bap, y_lf0)
         vuv = self._vuv(vuv_inp, lengths, y_vuv, **kwargs)
@@ -141,7 +134,7 @@ class NPSSMDNMultistreamParametricModel(_NPSSBase):
         mgc, lf0, vuv, bap, lf0_residual = self._cascade(x, lengths, y, train=train)
         if y is None:
             out = jnp.concatenate(
-                [_point(mgc), lf0, vuv, _point(bap)], axis=-1
+                [_point(mgc), _point(lf0), vuv, _point(bap)], axis=-1
             )
             return out, lf0_residual
         return (mgc, lf0, vuv, bap), lf0_residual
@@ -172,7 +165,7 @@ class MultiSpeakerNPSSMDNMultistreamParametricModel(_NPSSBase):
         )
         if y is None:
             return (
-                jnp.concatenate([_point(mgc), lf0, vuv, _point(bap)], -1),
+                jnp.concatenate([_point(mgc), _point(lf0), vuv, _point(bap)], -1),
                 lf0_residual,
             )
         return (mgc, lf0, vuv, bap), lf0_residual
@@ -226,7 +219,7 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
         lf0, lf0_residual = self._lf0(
             x, x_other, spk_e, spk_e_other, lengths, y_lf0, train=train
         )
-        cond_lf0 = lf0 if is_inference else y_lf0
+        cond_lf0 = _point(lf0) if is_inference else y_lf0
         mgc = self._dec(
             self._mgc, jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc,
             spk_e, train,
@@ -236,7 +229,7 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
             spk_e, train,
         )
         if is_inference:
-            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), lf0)
+            vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), cond_lf0)
         else:
             vuv_inp = self._vuv_inputs(x, y_mgc, y_bap, y_lf0)
         vuv = self._dec(self._vuv, vuv_inp, lengths, y_vuv, spk_e, train)
@@ -264,7 +257,7 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
             x_main, x_sub, e_m, e_s, lengths, y_m, train
         )
         if is_inference:
-            out_m = jnp.concatenate([_point(mgc), lf0, vuv, _point(bap)], -1)
+            out_m = jnp.concatenate([_point(mgc), _point(lf0), vuv, _point(bap)], -1)
             return out_m, out_m
         if not self.output_subtrack:
             return ((mgc, lf0, vuv, bap), res_m), (None, None)

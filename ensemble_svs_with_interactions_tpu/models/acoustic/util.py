@@ -13,6 +13,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def point_estimate(pred):
+    """Point estimate of a sub-model output.
+
+    MDN heads return ``(log_pi, log_sigma, mu)`` (3-tuple) and AR MDN
+    decoders return ``(mu, sigma)`` (2-tuple) at inference; the reference
+    conditions downstream streams on the selected mean in both cases
+    (nnsvs/acoustic_models/multistream.py:1151-1157 ``lf0_cond = lf0[0]``,
+    tacotron_f0.py:511-514 returning the mu trajectory).
+    """
+    if isinstance(pred, tuple) and len(pred) == 3:
+        from ensemble_svs_with_interactions_tpu.ops.mdn import (
+            mdn_get_most_probable_sigma_and_mu,
+        )
+
+        return mdn_get_most_probable_sigma_and_mu(*pred)[1]
+    if isinstance(pred, tuple) and len(pred) == 2:
+        return pred[0]
+    return pred
+
+
 def predict_lf0_with_residual(
     in_feats,
     out_feats,

@@ -322,41 +322,153 @@ class MultiSpeakerGaussianDiffusion(GaussianDiffusion):
         return super().inference(cond, lengths, spk_embs=spk_embs)
 
 
+def _rel_positional_encoding(T: int, d: int, max_len: int = 5000):
+    """ESPnet RelPositionalEncoding table as fs2 builds it
+    (reference diffsinger/fs2.py:15-93): the table spans ``max_len``
+    REVERSED positions and the first ``T`` rows are used, so position
+    values run ``max_len-1 .. max_len-T``."""
+    L = max(max_len, T)
+    position = jnp.arange(L - 1, L - 1 - T, -1, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d, 2, dtype=jnp.float32) * (-np.log(10000.0) / d)
+    )
+    pe = jnp.zeros((T, d), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe[None]
+
+
+class _FFTBlock(nn.Module):
+    """fs2 EncSALayer (reference diffsinger/fs2.py:570-634): PRE-norm
+    self-attention with a combined bias-free qkv projection, then a
+    pre-norm conv→gelu→linear FFN scaled by ``kernel_size**-0.5``; the
+    running state is re-masked after each residual."""
+
+    hidden_dim: int
+    num_heads: int
+    kernel_size: int
+    dropout: float
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        B, T, _ = x.shape
+        E, H = self.hidden_dim, self.num_heads
+        dk = E // H
+        fmask = mask[:, :, None]
+        # torch key_padding_mask masks KEYS only (fs2.py:621-622)
+        attn_mask = mask[:, None, None, :]
+        glorot = nn.initializers.glorot_uniform()
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_1")(x)
+        qkv = nn.Dense(3 * E, use_bias=False, kernel_init=glorot, name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, dk).transpose(0, 2, 1, 3) * (dk**-0.5)
+        k = k.reshape(B, T, H, dk).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, dk).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k)
+        scores = jnp.where(attn_mask, scores, -1e9)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.attention_dropout, deterministic=not train)(p)
+        out = jnp.einsum("bhlm,bhmd->bhld", p, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
+        out = nn.Dense(E, use_bias=False, kernel_init=glorot, name="out_proj")(out)
+        x = (x + nn.Dropout(self.dropout, deterministic=not train)(out)) * fmask
+
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_2")(x)
+        kw = self.kernel_size
+        h = nn.Conv(4 * E, (kw,), padding=((kw // 2, kw // 2),), name="ffn_1")(h)
+        h = h * (kw**-0.5)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.relu_dropout, deterministic=not train)(h)
+        h = nn.Dense(E, name="ffn_2")(h)
+        x = (x + nn.Dropout(self.dropout, deterministic=not train)(h)) * fmask
+        return x
+
+
 class FFTBlocksEncoder(BaseModel):
-    """FastSpeech2-style FFT-block condition encoder
-    (reference nnsvs/diffsinger/fs2.py:667,743): self-attention +
-    conv feed-forward blocks over linguistic features, used as the
-    diffusion condition encoder."""
+    """FastSpeech2-style FFT-block encoder
+    (reference nnsvs/diffsinger/fs2.py:667 FFTBlocks, :743 FFTBlocksEncoder):
+    relative positional encoding (with a learnable alpha), pre-norm
+    self-attention + conv FFN blocks, optional final LayerNorm, optional
+    reduction factor and output projection.  ``out_dim=None`` returns the
+    hidden states (condition-encoder use inside GaussianDiffusion)."""
 
     in_dim: int
     hidden_dim: int = 256
+    out_dim: Optional[int] = None
     num_layers: int = 4
     num_heads: int = 2
-    kernel_size: int = 9
+    kernel_size: int = 9  # == reference ffn_kernel_size
     dropout: float = 0.1
+    use_pos_embed: bool = True
+    use_last_norm: bool = True
+    use_pos_embed_alpha: bool = True
+    reduction_factor: int = 1
+    downsample_by_conv: bool = True
+    in_ph_start_idx: int = 1
+    in_ph_end_idx: int = 50
+    embed_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, lengths=None, y=None, spk_embs=None, train: bool = False):
         from ensemble_svs_with_interactions_tpu.models.generic import (
-            _TransformerBlock,
+            PhonemeContextEmbedding,
         )
 
         B, T = x.shape[0], x.shape[1]
         if lengths is None:
             lengths = jnp.full((B,), T, dtype=jnp.int32)
-        h = nn.Dense(self.hidden_dim)(x)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        if self.embed_dim is not None:
+            x = PhonemeContextEmbedding(
+                self.in_dim, self.embed_dim, self.in_ph_start_idx, self.in_ph_end_idx
+            )(x)
+        r = self.reduction_factor
+        if r > 1:
+            lengths = lengths // r
+            if self.downsample_by_conv:
+                x = nn.Conv(
+                    x.shape[-1],
+                    (r,),
+                    strides=(r,),
+                    feature_group_count=x.shape[-1],
+                    padding="VALID",
+                )(x)
+            else:
+                x = x[:, r - 1 :: r]
+            if spk_embs is not None:
+                spk_embs = spk_embs[:, r - 1 :: r][:, : x.shape[1]]
+        h = nn.Dense(self.hidden_dim, name="fc")(x)
         if spk_embs is not None:
-            h = h + nn.Dense(self.hidden_dim)(spk_embs)
-        # sinusoidal positions
-        pos = SinusoidalPosEmb(self.hidden_dim)(jnp.arange(T))[None]
-        h = h + pos
-        mask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+            h = h + nn.Dense(self.hidden_dim, name="spk_fc")(spk_embs)
+        T2 = h.shape[1]
+        mask = jnp.arange(T2)[None, :] < lengths[:, None]
+        fmask = mask[:, :, None]
+        if self.use_pos_embed:
+            alpha = (
+                self.param("pos_embed_alpha", nn.initializers.ones, (1,))
+                if self.use_pos_embed_alpha
+                else 1.0
+            )
+            # positions = alpha * (x * sqrt(d) + reversed-pe) (fs2.py:726-730)
+            pe = _rel_positional_encoding(T2, self.hidden_dim)
+            h = h + alpha * (h * np.sqrt(self.hidden_dim) + pe)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = h * fmask
         for _ in range(self.num_layers):
-            h = _TransformerBlock(
-                self.hidden_dim, self.hidden_dim, self.num_heads,
-                self.kernel_size, self.dropout,
+            h = _FFTBlock(
+                self.hidden_dim, self.num_heads, self.kernel_size, self.dropout
             )(h, mask, train=train)
-        return h
+        if self.use_last_norm:
+            h = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(h) * fmask
+        if self.out_dim is None:
+            return h
+        out = nn.Dense(self.out_dim * r, name="fc_out")(h)
+        return out.reshape(B, -1, self.out_dim)
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)
 
 
 class PitchPredictor(BaseModel):

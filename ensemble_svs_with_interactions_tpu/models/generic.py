@@ -726,31 +726,123 @@ class MultiTrackLSTMEncoder(BaseModel):
         return nn.Dense(self.out_dim, kernel_init=kernel_initializer(self.init_type))(h)
 
 
+def _relative_to_absolute(x):
+    """(B, H, L, 2L-1) relative logits -> (B, H, L, L) absolute scores
+    (reference transformer/attentions.py:172-189, pad/reshape skew trick;
+    all shapes static under jit)."""
+    B, H, L, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(B, H, L * 2 * L)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, L - 1)))
+    return x.reshape(B, H, L + 1, 2 * L - 1)[:, :, :L, L - 1 :]
+
+
+def _absolute_to_relative(x):
+    """(B, H, L, L) attention weights -> (B, H, L, 2L-1) relative layout
+    (reference transformer/attentions.py:191-203)."""
+    B, H, L, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, L - 1)))
+    x = x.reshape(B, H, L * L + L * (L - 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (L, 0)))
+    return x.reshape(B, H, L, 2 * L)[:, :, :, 1:]
+
+
+def _windowed_relative_embeddings(emb, length: int, window: int):
+    """Slice/pad the (n_rel, 2w+1, d) table to (n_rel, 2L-1, d); relative
+    distances beyond the window read zeros (attentions.py:156-170)."""
+    pad = max(length - (window + 1), 0)
+    start = max((window + 1) - length, 0)
+    if pad > 0:
+        emb = jnp.pad(emb, ((0, 0), (pad, pad), (0, 0)))
+    return emb[:, start : start + 2 * length - 1]
+
+
+class _RelativeSelfAttention(nn.Module):
+    """VITS-style multi-head self-attention with windowed relative-position
+    key/value embeddings (reference nnsvs/transformer/attentions.py:22-137;
+    heads_share=True, additive rel-key logits, rel-value output term)."""
+
+    channels: int
+    num_heads: int
+    dropout: float
+    window_size: int = 4
+
+    @nn.compact
+    def __call__(self, x, attn_mask, train: bool = False):
+        B, L, D = x.shape
+        H = self.num_heads
+        dk = self.channels // H
+        # 1x1 convs, as the reference (ports as conv1d units; XLA lowers
+        # them to the same matmul a Dense would produce)
+        glorot = nn.initializers.glorot_uniform()
+        q = nn.Conv(self.channels, (1,), kernel_init=glorot, name="conv_q")(x)
+        k = nn.Conv(self.channels, (1,), kernel_init=glorot, name="conv_k")(x)
+        v = nn.Conv(self.channels, (1,), kernel_init=glorot, name="conv_v")(x)
+        # channel dim splits [head, dk] (torch view(b, H, dk, t))
+        q = q.reshape(B, L, H, dk).transpose(0, 2, 1, 3) / jnp.sqrt(
+            jnp.asarray(dk, jnp.float32)
+        )
+        k = k.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k)
+        if self.window_size is not None:
+            w = self.window_size
+            rel_init = nn.initializers.normal(stddev=dk**-0.5)
+            emb_rel_k = self.param("emb_rel_k", rel_init, (1, 2 * w + 1, dk))
+            emb_rel_v = self.param("emb_rel_v", rel_init, (1, 2 * w + 1, dk))
+            rel_k = _windowed_relative_embeddings(emb_rel_k, L, w)
+            rel_logits = jnp.einsum("bhld,nmd->bhlm", q, rel_k)
+            scores = scores + _relative_to_absolute(rel_logits)
+        scores = jnp.where(attn_mask, scores, -1e4)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.dropout, deterministic=not train)(p)
+        out = jnp.einsum("bhlm,bhmd->bhld", p, v)
+        if self.window_size is not None:
+            rel_v = _windowed_relative_embeddings(emb_rel_v, L, w)
+            out = out + jnp.einsum("bhlm,nmd->bhld", _absolute_to_relative(p), rel_v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, self.channels)
+        return nn.Conv(self.channels, (1,), name="conv_o")(out)
+
+
 class _TransformerBlock(nn.Module):
+    """Post-LN encoder block (reference transformer/encoder.py:130-140:
+    ``x = norm(x + drop(attn(x)))`` then ``x = norm(x + drop(ffn(x)))``);
+    ``attention_dim`` is the FFN filter width (filter_channels), attention
+    itself runs at ``hidden_dim``."""
+
     hidden_dim: int
     attention_dim: int
     num_heads: int
     kernel_size: int
     dropout: float
+    window_size: int = 4
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
         # mask: (B, T) valid positions
         attn_mask = mask[:, None, None, :] & mask[:, None, :, None]
-        h = nn.LayerNorm(epsilon=1e-5)(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.attention_dim,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-        )(h, h, mask=attn_mask)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.LayerNorm(epsilon=1e-5)(x)
-        h = nn.Conv(self.attention_dim, (self.kernel_size,), padding="SAME")(h)
-        h = nn.relu(h)
-        h = nn.Conv(self.hidden_dim, (self.kernel_size,), padding="SAME")(h)
-        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
-        return x * mask[:, :, None]
+        fmask = mask[:, :, None]
+        y = _RelativeSelfAttention(
+            self.hidden_dim, self.num_heads, self.dropout, self.window_size,
+            name="attn",
+        )(x, attn_mask, train=train)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_1")(x + y)
+        # masked conv FFN with torch-style same padding (encoder.py:53-79)
+        kl = (self.kernel_size - 1) // 2
+        kr = self.kernel_size // 2
+        y = nn.Conv(
+            self.attention_dim, (self.kernel_size,), padding=((kl, kr),),
+            name="ffn_conv1",
+        )(x * fmask)
+        y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
+        y = nn.Conv(
+            self.hidden_dim, (self.kernel_size,), padding=((kl, kr),),
+            name="ffn_conv2",
+        )(y * fmask)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y * fmask)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_2")(x + y)
+        return x * fmask
 
 
 class TransformerEncoder(BaseModel):
@@ -771,6 +863,7 @@ class TransformerEncoder(BaseModel):
     in_ph_start_idx: int = 1
     in_ph_end_idx: int = 50
     embed_dim: Optional[int] = None
+    window_size: int = 4
 
     @nn.compact
     def __call__(self, x, lengths=None, y=None, train: bool = False):
@@ -797,6 +890,7 @@ class TransformerEncoder(BaseModel):
                 x = x[:, r - 1 :: r]
         h = nn.Dense(self.hidden_dim)(x)
         mask = jnp.arange(h.shape[1])[None, :] < lengths[:, None]
+        h = h * mask[:, :, None]  # encoder entry mask (model.py:1667)
         for _ in range(self.num_layers):
             h = _TransformerBlock(
                 self.hidden_dim,
@@ -804,6 +898,7 @@ class TransformerEncoder(BaseModel):
                 self.num_heads,
                 self.kernel_size,
                 self.dropout,
+                self.window_size,
             )(h, mask, train=train)
         out = nn.Dense(self.out_dim * r)(h)
         return out.reshape(B, -1, self.out_dim)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ensemble_svs_with_interactions_tpu.base import BaseModel
+from ensemble_svs_with_interactions_tpu.models.layers import kernel_initializer
 from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
 
 
@@ -72,7 +73,7 @@ class Conv2dPostFilter(BaseModel):
 
     channels: int = 128
     kernel_size: Sequence[int] = (5, 5)
-    init_type: str = "none"
+    init_type: str = "kaiming_normal"  # reference postfilters.py:96 default
     noise_scale: float = 1.0
     noise_type: str = "bin_wise"
     smoothing_width: int = -1
@@ -96,22 +97,24 @@ class Conv2dPostFilter(BaseModel):
             z = jax.random.normal(key, (B, T, 1)) * self.noise_scale
             if is_inference and self.smoothing_width > 0:
                 z = MovingAverage1d(self.smoothing_width)(z)
-            z = nn.Dense(D, name="fc")(z)
+            init = kernel_initializer(self.init_type)
+            z = nn.Dense(D, kernel_init=init, name="fc")(z)
         else:
             raise ValueError(f"unknown noise type: {self.noise_type}")
 
+        init = kernel_initializer(self.init_type)
         kh, kw = self.kernel_size
         pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
         c = self.channels
         x_img = x[..., None]  # (B, T, D, 1)
         h = jnp.concatenate([x_img, z[..., None]], axis=-1)
-        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, name="conv1")(h))
+        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, kernel_init=init, name="conv1")(h))
         h = jnp.concatenate([x_img, h], axis=-1)
-        h = nn.relu(nn.Conv(c * 2, (kh, kw), padding=pad, name="conv2")(h))
+        h = nn.relu(nn.Conv(c * 2, (kh, kw), padding=pad, kernel_init=init, name="conv2")(h))
         h = jnp.concatenate([x_img, h], axis=-1)
-        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, name="conv3")(h))
+        h = nn.relu(nn.Conv(c, (kh, kw), padding=pad, kernel_init=init, name="conv3")(h))
         h = jnp.concatenate([x_img, h], axis=-1)
-        residual = nn.Conv(1, (kh, kw), padding=pad, name="conv4")(h)[..., 0]
+        residual = nn.Conv(1, (kh, kw), padding=pad, kernel_init=init, name="conv4")(h)[..., 0]
         return x + residual
 
     def inference(self, x, lengths=None):

@@ -131,8 +131,9 @@ def _override_value(raw: str):
         return float(s)
     except ValueError:
         pass
-    # structured values (lists/dicts) still go through YAML
-    if s[:1] in "[{":
+    # structured values (lists/dicts) still go through YAML; note '' in '[{'
+    # is True (empty-substring), so `key=` must stay an empty string
+    if s[:1] in ("[", "{"):
         return yaml.safe_load(s)
     return raw
 

@@ -71,13 +71,17 @@ def init_template(module, in_dim, out_dim=None, T: int = 8):
             train=True,
         )
     if "spks" in sig:
-        return module.init(
-            rngs,
+        args = [
             jnp.zeros((1, T, in_dim), jnp.float32),
             jnp.zeros((1,), jnp.int32),
             lengths,
-            train=True,
-        )
+        ]
+        if "cond" in sig:
+            # speaker-conditioned diffusion: the training path requires the
+            # diffusion target y (x0 = y / norm_scale)
+            y_dim = in_dim if out_dim is None else int(out_dim)
+            args.append(jnp.zeros((1, T, y_dim), jnp.float32))
+        return module.init(rngs, *args, train=True)
     if "cond" in sig:  # diffusion: init via the training path (y given)
         y_dim = in_dim if out_dim is None else int(out_dim)
         return module.init(

@@ -26,7 +26,35 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["torch_to_flax", "port_torch_checkpoint"]
+__all__ = [
+    "torch_to_flax",
+    "port_torch_checkpoint",
+    "transformer_scope_pairs",
+]
+
+
+def transformer_scope_pairs(
+    num_layers: int, torch_prefix: str = "encoder.", flax_prefix: str = ""
+) -> List[Tuple[str, str]]:
+    """Scope pairs for porting the reference transformer encoder.
+
+    The torch encoder groups all layers per ModuleList (attn_layers.*,
+    norm_layers_1.*, ffn_layers.*, norm_layers_2.* — reference
+    nnsvs/transformer/encoder.py:104-128) while the flax encoder interleaves
+    per block; the per-layer norms share shapes, so order-based matching
+    would cross-assign them without these scopes.
+    """
+    pairs: List[Tuple[str, str]] = []
+    for i in range(num_layers):
+        blk = f"{flax_prefix}/_TransformerBlock_{i}"
+        # no trailing dot: norm units are named by their module path itself
+        pairs += [
+            (f"{torch_prefix}attn_layers.{i}.", f"{blk}/attn"),
+            (f"{torch_prefix}norm_layers_1.{i}", f"{blk}/norm_1"),
+            (f"{torch_prefix}ffn_layers.{i}.", f"{blk}/ffn_conv"),
+            (f"{torch_prefix}norm_layers_2.{i}", f"{blk}/norm_2"),
+        ]
+    return pairs
 
 
 # ---------------------------------------------------------------- torch side
@@ -108,10 +136,29 @@ def _torch_units(sd: Dict[str, np.ndarray]) -> List[Tuple[str, str, Dict]]:
                     tensors["bias"] = sd[bias_k]
                     seen.add(bias_k)
                 units.append(("linear", prefix, tensors))
+        elif leaf == "in_proj_weight":
+            # fairseq-style MultiheadAttention combined qkv projection
+            # (reference diffsinger/fs2.py:132) — a linear unit
+            tensors = {"weight": sd[k]}
+            seen.add(k)
+            if _p("in_proj_bias") in sd:
+                tensors["bias"] = sd[_p("in_proj_bias")]
+                seen.add(_p("in_proj_bias"))
+            units.append(("linear", prefix, tensors))
+        elif leaf == "in_proj_bias":
+            continue  # consumed with in_proj_weight
+        elif leaf == "gamma" and _p("beta") in sd:
+            # custom LayerNorm with gamma/beta leaves (reference
+            # nnsvs/transformer/encoder.py:9-21)
+            tensors = {"weight": sd[k], "bias": sd[_p("beta")]}
+            seen.update([k, _p("beta")])
+            units.append(("batchnorm", prefix, tensors))
         elif leaf == "bias" or leaf.startswith("bias_") or leaf.startswith(
             "weight_hh"
         ):
             continue  # consumed with its weight
+        elif leaf == "beta" and _p("gamma") in sd:
+            continue  # consumed with its gamma
         else:
             seen.add(k)
             units.append(("param", k, {"value": sd[k]}))
@@ -246,6 +293,11 @@ def _assign(new_params, new_stats, kind, fpath, funit, tensors):
                 )
     elif kind == "embedding":
         _set_path(new_params, fpath, "embedding", tensors["weight"])
+    elif kind == "param" and "weight" in tensors:
+        # depthwise FIR conv kernel -> taps: squeeze + un-flip (the torch
+        # kernel's LAST index is the current sample, dsp.py:119/129)
+        taps = np.ascontiguousarray(tensors["weight"][:, 0, ::-1])
+        _set_path(new_params, *fpath.rsplit("/", 1), taps)
     else:
         _set_path(new_params, *fpath.rsplit("/", 1), tensors["value"])
 
@@ -268,6 +320,9 @@ def _shapes_compatible(kind, funit, tensors) -> bool:
     if kind == "embedding":
         return tuple(np.shape(funit["embedding"])) == tuple(tensors["weight"].shape)
     if kind == "param":
+        if "weight" in tensors:  # depthwise FIR conv -> taps param
+            w = tensors["weight"]
+            return tuple(np.shape(funit["value"])) == (w.shape[0], w.shape[2])
         # bare parameters pair by order WITHIN matching shapes — without
         # this check two same-kind params in different definition order
         # would be assigned blindly
@@ -362,6 +417,18 @@ def _match_units(tunits, funits):
     def _eff_kind(tkind, tensors, fkind):
         if fkind == "embedding" and tkind == "linear" and "bias" not in tensors:
             return "embedding"
+        if (
+            fkind == "param"
+            and tkind == "conv1d"
+            and "bias" not in tensors
+            and np.ndim(tensors["weight"]) == 3
+            and tensors["weight"].shape[1] == 1
+        ):
+            # depthwise FIR filter: torch TrTimeInvFIRFilter stores taps as
+            # a flipped (C, 1, K) conv kernel (reference dsp.py:119); the
+            # flax filter keeps a bare (C, K) 'taps' param with taps[:, 0]
+            # the current sample
+            return "param"
         return tkind
 
     if len(tunits) != len(funits):

@@ -193,3 +193,32 @@ def test_diffusion_denoises_constant_signal():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_init_template_multispeaker_diffusion():
+    """The speaker-conditioned template branch must pass a diffusion target
+    (MultiSpeakerGaussianDiffusion trains on x0 = y / norm_scale)."""
+    from ensemble_svs_with_interactions_tpu.models.diffsinger import (
+        MultiSpeakerGaussianDiffusion,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.templates import init_template
+
+    model = MultiSpeakerGaussianDiffusion(
+        in_dim=E,
+        out_dim=M,
+        denoise_fn={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.diffsinger.DiffNet",
+            "in_dim": M,
+            "encoder_hidden_dim": E + 4,
+            "residual_layers": 2,
+            "residual_channels": 8,
+        },
+        K_step=10,
+        speaker_embedding={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.SpeakerEmbedding",
+            "num_embeddings": 2,
+            "embedding_dim": 4,
+        },
+    )
+    variables = init_template(model, E, out_dim=M)
+    assert "params" in variables

@@ -127,3 +127,17 @@ def test_shipped_config_contract(path):
 
 def test_config_tree_is_nonempty():
     assert len(ALL_CONFIGS) >= 10
+
+
+def test_parse_overrides_values():
+    from ensemble_svs_with_interactions_tpu.utils.config import parse_overrides
+
+    cfg = parse_overrides(
+        ["a.b=3", "a.c=0.5", "d=true", "e=null", "f=[1, 2]", "g=hello", "h="]
+    )
+    assert cfg["a"]["b"] == 3 and cfg["a"]["c"] == 0.5
+    assert cfg["d"] is True and cfg["e"] is None
+    assert list(cfg["f"]) == [1, 2]
+    assert cfg["g"] == "hello"
+    # `key=` clears to an empty string (not None) — Hydra grammar
+    assert cfg["h"] == ""

@@ -185,3 +185,50 @@ def test_ar_decoder_odd_length_inference():
     )
     out = out[0] if isinstance(out, tuple) else out
     assert out.shape[1] == T_odd
+
+
+def test_multistream_separate_f0_mdn_lf0():
+    """MDN lf0 submodel in the SeparateF0 wrapper: inference conditions the
+    stream decoders on (and outputs) the selected-mu lf0 trajectory."""
+    model = acoustic.MultistreamSeparateF0ParametricModel(
+        in_dim=10,
+        out_dim=9,
+        stream_sizes=[6, 1, 1, 1],
+        reduction_factor=1,
+        encoder={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.LSTMEncoder",
+            "in_dim": 10, "hidden_dim": 4, "out_dim": 6,
+        },
+        lf0_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.acoustic.ResF0Conv1dResnet",
+            "in_dim": 10, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+            "use_mdn": True, "num_gaussians": 2,
+            "in_lf0_idx": 3, "out_lf0_idx": 0,
+            "in_lf0_min": 5.0, "in_lf0_max": 6.5,
+            "out_lf0_mean": 5.9, "out_lf0_scale": 0.23,
+        },
+        mgc_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 6, "num_layers": 1,
+        },
+        vuv_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+        },
+        bap_model={
+            "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+            "in_dim": 8, "hidden_dim": 8, "out_dim": 1, "num_layers": 1,
+        },
+        in_rest_idx=0,
+        in_lf0_idx=3,
+        out_lf0_idx=6,
+    )
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, T, 10)), jnp.float32)
+    lengths = jnp.asarray([T, T])
+    # NOTE: training this wrapper with an MDN lf0 submodel is unsupported in
+    # the reference too (torch.cat over the MDN tuple, multistream.py:166);
+    # only the inference path point-estimates the lf0.
+    v = model.init(_rngs(), x, lengths)
+    out = model.apply(v, x, lengths, method="inference")
+    assert out.shape == (B, T, 9)
+    assert np.isfinite(np.asarray(out)).all()

@@ -422,3 +422,35 @@ def test_spk_id_underscored_names_and_unknown(tmp_path):
     assert ds._spk_id(in_dir / "backing_seg1-feats.npy") == 1
     with pytest.raises(ValueError, match="cannot map"):
         ds._spk_id(in_dir / "tenor_seg1-feats.npy")
+
+
+def test_merged_lengths_match_actual_merge(tmp_path):
+    """merged_lengths() must equal the realized two-pointer merge length
+    so note-synced batch sizing bounds the padded batch."""
+    rng = np.random.default_rng(7)
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    # disjoint onsets except a shared start -> merged ~ len0 + len1 - 1
+    specs = {"alto": np.array([0, 3, 7, 12]), "soprano": np.array([0, 2, 5, 9, 14])}
+    for spk, times in specs.items():
+        T = len(times)
+        np.save(in_dir / f"{spk}_seg1-feats.npy",
+                rng.normal(size=(T, 4)).astype(np.float32))
+        np.save(out_dir / f"{spk}_seg1-feats.npy",
+                rng.normal(size=(T, 3)).astype(np.float32))
+        np.save(in_dir / f"{spk}_seg1-times.npy", times.astype(np.int64))
+    ds = MultiTrackFeatsDataset(in_dir, out_dir, ["alto", "soprano"], load_times=True)
+    from ensemble_svs_with_interactions_tpu.data.multitrack import (
+        merge_tracks_by_notes,
+    )
+
+    predicted = ds.merged_lengths()
+    for k in range(len(ds)):
+        it = ds[k]
+        mx0, *_ = merge_tracks_by_notes(
+            it["x0"], it["y0"], it["times0"], it["x1"], it["y1"], it["times1"]
+        )
+        assert predicted[k] == len(mx0), (k, predicted[k], len(mx0))
+    # self-pairs merge to the track length; the cross pair expands
+    assert predicted.max() > ds.lengths().max()

@@ -167,3 +167,32 @@ def test_multitrack_npss():
     )
     assert out_m.shape == (B, T, OUT)
     assert out_s.shape == (B, T, OUT)
+
+
+def test_npss_mdn_lf0_inference():
+    """Probabilistic lf0 submodel: downstream streams condition on the
+    point estimate at inference (reference multistream.py:1151-1157)."""
+    lf0_cfg = {**_resf0_lf0_cfg(), "use_mdn": True, "num_gaussians": 2}
+    model = acoustic.NPSSMDNMultistreamParametricModel(
+        in_dim=IN,
+        out_dim=OUT,
+        stream_sizes=SS,
+        reduction_factor=1,
+        lf0_model=lf0_cfg,
+        mgc_model=_ffn(IN + 1, 10, mdn=True),
+        bap_model=_ffn(IN + 1, 5, mdn=True),
+        vuv_model=_ffn(IN + 1 + 5, 1),
+        in_lf0_idx=LF0_IDX,
+        out_lf0_idx=10,
+    )
+    B, T = 2, 12
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (B, T, IN)), jnp.float32)
+    y = jnp.zeros((B, T, OUT))
+    lengths = jnp.asarray([T, T])
+    v = model.init(_rngs(), x, lengths, y, train=True)
+    (streams, res) = model.apply(v, x, lengths, y, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)})
+    assert isinstance(streams[1], tuple) and len(streams[1]) == 3
+    inf = model.apply(v, x, lengths, method="inference")
+    assert inf.shape == (B, T, OUT)
+    assert np.isfinite(np.asarray(inf)).all()

@@ -41,6 +41,20 @@ def ref_models():
         shim(n)
     sys.modules["nnmnkwii"].paramgen = sys.modules["nnmnkwii.paramgen"]
     sys.modules["nnmnkwii.paramgen"].mlpg = lambda *a, **k: None
+    def _lfilter(waveform, a_coeffs, b_coeffs, clamp=True):
+        # torchaudio.functional.lfilter(x, a, b) == scipy lfilter(b, a, x)
+        import torch
+        from scipy.signal import lfilter as sp_lfilter
+
+        x = waveform.detach().numpy()
+        out = sp_lfilter(
+            b_coeffs.detach().numpy(), a_coeffs.detach().numpy(), x, axis=-1
+        )
+        return torch.from_numpy(out.astype(x.dtype))
+
+    shim("torchaudio")
+    shim("torchaudio.functional", lfilter=_lfilter)
+    sys.modules["torchaudio"].functional = sys.modules["torchaudio.functional"]
     shim("hydra")
     shim(
         "hydra.utils",
@@ -48,7 +62,10 @@ def ref_models():
         to_absolute_path=lambda p: p,
     )
     shim("omegaconf", OmegaConf=object, DictConfig=dict)
-    sys.path.insert(0, str(REFERENCE))
+    # append, not insert(0): the reference checkout has its own top-level
+    # `tests` package that would otherwise shadow ours for later test files
+    if str(REFERENCE) not in sys.path:
+        sys.path.append(str(REFERENCE))
     import nnsvs.acoustic_models  # noqa: F401 — make shimmed import available
     import nnsvs.model as M
 
@@ -793,3 +810,120 @@ def test_port_mdn_ar_decoder_dim_wise(ref_models):
     np.testing.assert_allclose(np.asarray(f_sig), t_sig.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(f_pi), t_pi.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-6)
+
+
+def test_port_transformer_encoder(ref_models):
+    """Post-LN + windowed relative-position attention parity: a ported
+    reference TransformerEncoder reproduces the torch forward."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.models import TransformerEncoder
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import (
+        torch_to_flax,
+        transformer_scope_pairs,
+    )
+
+    torch.manual_seed(7)
+    kw = dict(
+        in_dim=10, out_dim=4, hidden_dim=8, attention_dim=12,
+        num_heads=2, num_layers=2, kernel_size=3, dropout=0.0,
+    )
+    tm = ref_models.TransformerEncoder(**kw).eval()
+    fm = TransformerEncoder(**kw)
+    x = np.random.default_rng(7).normal(size=(2, 11, 10)).astype(np.float32)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(x.shape, jnp.float32),
+        jnp.asarray([11, 11]),
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()},
+        fv,
+        scope_pairs=transformer_scope_pairs(2),
+    )
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x), torch.tensor([11, 11]))
+    f_out = fm.apply(pv, jnp.asarray(x), jnp.asarray([11, 11]))
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("reduction_factor", [1, 4])
+def test_port_fftblocks_encoder(ref_models, reduction_factor):
+    """fs2 FFT-block encoder parity: reversed positional encoding with
+    alpha, pre-norm attention (combined qkv, no bias), gelu conv FFN."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.models.diffsinger import (
+        FFTBlocksEncoder,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+    from nnsvs.diffsinger.fs2 import FFTBlocksEncoder as TorchFFT
+
+    torch.manual_seed(11)
+    tm = TorchFFT(
+        in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
+        ffn_kernel_size=3, num_heads=2, dropout=0.0,
+        reduction_factor=reduction_factor, downsample_by_conv=True,
+    ).eval()
+    fm = FFTBlocksEncoder(
+        in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
+        kernel_size=3, num_heads=2, dropout=0.0,
+        reduction_factor=reduction_factor, downsample_by_conv=True,
+    )
+    T = 12
+    x = np.random.default_rng(11).normal(size=(2, T, 10)).astype(np.float32)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(x.shape, jnp.float32),
+        jnp.asarray([T, T]),
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x), torch.tensor([T, T]))
+    f_out = fm.apply(pv, jnp.asarray(x), jnp.asarray([T, T]))
+    np.testing.assert_allclose(
+        np.asarray(f_out), t_out.numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_port_conv1d_resnet_sar(ref_models):
+    """Shallow-AR port: FIR taps come across un-flipped and the inverse
+    IIR inference matches the torch implementation."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ensemble_svs_with_interactions_tpu.models import Conv1dResnetSAR
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(13)
+    kw = dict(
+        in_dim=8, hidden_dim=6, out_dim=5, num_layers=2,
+        stream_sizes=[3, 2], ar_orders=[2, 3],
+    )
+    tm = ref_models.Conv1dResnetSAR(**kw).eval()
+    fm = Conv1dResnetSAR(**kw)
+    T = 10
+    x = np.random.default_rng(13).normal(size=(1, T, 8)).astype(np.float32)
+    y = np.random.default_rng(14).normal(size=(1, T, 5)).astype(np.float32)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(x.shape, jnp.float32),
+        jnp.asarray([T]),
+    )
+    pv, n = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    with torch.no_grad():
+        t_pre = tm.preprocess_target(torch.from_numpy(y))
+        t_inf = tm.inference(torch.from_numpy(x), [T])
+    f_pre = fm.apply(pv, jnp.asarray(y), method="preprocess_target")
+    f_inf = fm.apply(pv, jnp.asarray(x), jnp.asarray([T]), method="inference")
+    np.testing.assert_allclose(np.asarray(f_pre), t_pre.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_inf), t_inf.numpy(), atol=1e-4)
