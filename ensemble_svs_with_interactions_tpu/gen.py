@@ -243,8 +243,16 @@ class ModelPack:
 
         return _finalize() if block else _finalize
 
-    def inference(self, x: np.ndarray, spks=None, x_sub: Optional[np.ndarray] = None):
-        """Run inference on a single (T, D) sequence with bucket padding."""
+    def inference(
+        self,
+        x: np.ndarray,
+        spks=None,
+        x_sub: Optional[np.ndarray] = None,
+        method: str = "inference",
+    ):
+        """Run inference on a single (T, D) sequence with bucket padding.
+        ``method`` selects an alternate module entry point (e.g.
+        ``inference_main`` on multitrack models)."""
         T = x.shape[0]
         T_long = max(T, 1, 0 if x_sub is None else x_sub.shape[0])
         T_pad = _round_up(T_long, self.bucket)
@@ -258,12 +266,11 @@ class ModelPack:
         if spks is not None:
             args.append(spks)
         lengths = jnp.asarray([T])
-        if self._lengths_kwarg_ok("inference"):
-            out = self._jit_infer(
-                self.variables, self._rng, *args, lengths=lengths
-            )
+        jit_infer = partial(self._jit_infer_raw, method, self._half_transfer, False)
+        if self._lengths_kwarg_ok(method):
+            out = jit_infer(self.variables, self._rng, *args, lengths=lengths)
         else:
-            out = self._jit_infer(self.variables, self._rng, *args, lengths)
+            out = jit_infer(self.variables, self._rng, *args, lengths)
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[0, :T] for o in out)
         return np.asarray(out)[0, :T]
@@ -354,6 +361,42 @@ def _denorm_and_mlpg(pred, out_scaler, config, is_probabilistic: bool):
 # --------------------------------------------------------------------------
 
 
+def _clip_timelag(lag, note_labels, allowed_range, allowed_range_rest):
+    """Round the predicted per-note timelag (frames) and clip to the
+    allowed range, with the wider rest range on silence-context notes
+    (reference nnsvs/gen.py predict_timelag tail)."""
+    lag = np.round(lag)
+    for idx in range(len(lag)):
+        rng = (
+            allowed_range_rest
+            if hts.is_silence_context(note_labels.contexts[idx])
+            else allowed_range
+        )
+        lag[idx] = np.clip(lag[idx], rng[0], rng[1])
+    return lag
+
+
+def _denorm_duration_pred(pred, duration_model, duration_out_scaler):
+    """Denormalize a duration prediction.
+
+    MDN models return real-unit ``(mu, sigma_sq)`` for the variance-scaled
+    note normalization in :func:`postprocess_duration`; deterministic
+    models return rounded, floor-1 durations.
+    """
+    if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
+        mu, sigma = pred
+        if np.any(duration_model.config.has_dynamic_features):
+            raise RuntimeError("dynamic features are not supported for durations")
+        sigma_sq = np.maximum(
+            np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_), 1e-14
+        )
+        mu = np.asarray(duration_out_scaler.inverse_transform(mu))
+        return mu, sigma_sq
+    out = _denorm_and_mlpg(pred, duration_out_scaler, duration_model.config, False)
+    out[out <= 0] = 1
+    return np.round(out)
+
+
 def predict_timelag(
     labels,
     timelag_model: ModelPack,
@@ -398,15 +441,9 @@ def predict_timelag(
         pred, timelag_out_scaler, timelag_model.config, is_prob
     )
 
-    pred_timelag = np.round(pred_timelag)
-    for idx in range(len(pred_timelag)):
-        rng = (
-            allowed_range_rest
-            if hts.is_silence_context(note_labels.contexts[idx])
-            else allowed_range
-        )
-        pred_timelag[idx] = np.clip(pred_timelag[idx], rng[0], rng[1])
-
+    pred_timelag = _clip_timelag(
+        pred_timelag, note_labels, allowed_range, allowed_range_rest
+    )
     return pred_timelag * hts_frame_shift, pred_timelag
 
 
@@ -442,19 +479,7 @@ def predict_duration(
     )
 
     pred = duration_model.inference(feats, spks=spk)
-    if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
-        mu, sigma = pred
-        if np.any(duration_model.config.has_dynamic_features):
-            raise RuntimeError("dynamic features are not supported for durations")
-        sigma_sq = np.maximum(
-            np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_), 1e-14
-        )
-        mu = np.asarray(duration_out_scaler.inverse_transform(mu))
-        return mu, sigma_sq
-
-    out = _denorm_and_mlpg(pred, duration_out_scaler, duration_model.config, False)
-    out[out <= 0] = 1
-    return np.round(out)
+    return _denorm_duration_pred(pred, duration_model, duration_out_scaler)
 
 
 def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
@@ -583,30 +608,12 @@ def predict_timing_batch(
         lag = _denorm_and_mlpg(
             lag_pred, timelag_out_scaler, timelag_model.config, is_prob
         )
-        lag = np.round(lag)
-        for idx in range(len(lag)):
-            rng = (
-                allowed_range_rest
-                if hts.is_silence_context(note_labels.contexts[idx])
-                else allowed_range
-            )
-            lag[idx] = np.clip(lag[idx], rng[0], rng[1])
+        lag = _clip_timelag(lag, note_labels, allowed_range, allowed_range_rest)
         lag = lag * hts_frame_shift
 
-        if duration_model.prediction_type() == PredictionType.PROBABILISTIC:
-            mu, sigma = dur_pred
-            sigma_sq = np.maximum(
-                np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_),
-                1e-14,
-            )
-            mu = np.asarray(duration_out_scaler.inverse_transform(mu))
-            durations = (mu, sigma_sq)
-        else:
-            d = _denorm_and_mlpg(
-                dur_pred, duration_out_scaler, duration_model.config, False
-            )
-            d[d <= 0] = 1
-            durations = np.round(d)
+        durations = _denorm_duration_pred(
+            dur_pred, duration_model, duration_out_scaler
+        )
         outs.append(postprocess_duration(labels, durations, lag, frame_period)[0])
     return outs
 
@@ -839,9 +846,14 @@ def gen_spsvs_static_features(
             add_frame_features=True,
             frame_shift=hts_frame_shift,
         )
-    # align lengths defensively
+    # align lengths defensively — trim BOTH sides, or a shorter label-
+    # derived frame count leaves mismatched stream lengths downstream
+    # (vuv[mask] IndexError in correct_vuv_by_phone / ragged streams)
     n = min(len(linguistic_features), len(mgc))
     linguistic_features = linguistic_features[:n]
+    mgc, target_f0, vuv, bap = mgc[:n], target_f0[:n], vuv[:n], bap[:n]
+    vib = vib[:n] if vib is not None else None
+    vib_flags = vib_flags[:n] if vib_flags is not None else None
 
     if force_fix_vuv:
         vuv = correct_vuv_by_phone(vuv, binary_dict, linguistic_features)

@@ -297,7 +297,6 @@ def predict_timing_multitrack_batch(
     du_preds = du_future()
 
     tl_prob = timelag_model.prediction_type() == PredictionType.PROBABILISTIC
-    du_prob = duration_model.prediction_type() == PredictionType.PROBABILISTIC
 
     outs = []
     for i in range(N):
@@ -306,30 +305,18 @@ def predict_timing_multitrack_batch(
         lag = gen._denorm_and_mlpg(
             tl_preds[i], timelag_out_scaler, timelag_model.config, tl_prob
         )
-        lag = np.round(lag[tl_masks[i]])
-        for idx in range(len(lag)):
-            rng = (
-                allowed_range_rest
-                if hts.is_silence_context(note_labels[i].contexts[idx])
-                else allowed_range
-            )
-            lag[idx] = np.clip(lag[idx], rng[0], rng[1])
+        lag = gen._clip_timelag(
+            lag[tl_masks[i]], note_labels[i], allowed_range, allowed_range_rest
+        )
         lag = lag * hts_frame_shift
 
-        if du_prob:
-            mu, sigma = du_preds[i]
-            sigma_sq = np.maximum(
-                np.asarray(sigma) ** 2 * np.asarray(duration_out_scaler.var_),
-                1e-14,
-            )
-            mu = np.asarray(duration_out_scaler.inverse_transform(np.asarray(mu)))
-            durations = (mu[du_masks[i]], sigma_sq[du_masks[i]])
+        durations = gen._denorm_duration_pred(
+            du_preds[i], duration_model, duration_out_scaler
+        )
+        if isinstance(durations, tuple):  # MDN: un-merge mu and sigma_sq
+            durations = (durations[0][du_masks[i]], durations[1][du_masks[i]])
         else:
-            d = np.asarray(
-                duration_out_scaler.inverse_transform(np.asarray(du_preds[i]))
-            )[du_masks[i]]
-            d[d <= 0] = 1
-            durations = np.round(d)
+            durations = durations[du_masks[i]]
         outs.append(
             gen.postprocess_duration(labels_list[i], durations, lag, frame_period)[0]
         )
@@ -428,22 +415,30 @@ def predict_acoustic_multitrack(
         jnp.asarray([spks_list[0]], jnp.int32),
         jnp.asarray([spks_list[1]], jnp.int32),
     )
-    pred = acoustic_model.inference(x0, spks=spks, x_sub=x1)
+    # main-track-only inference where available (sub-track outputs are
+    # discarded here — see multistream.inference_main, ~2x less compute)
+    use_main = hasattr(acoustic_model.module, "inference_main")
+    pred = acoustic_model.inference(
+        x0, spks=spks, x_sub=x1,
+        method="inference_main" if use_main else "inference",
+    )
+    is_prob = acoustic_model.prediction_type() in (
+        PredictionType.PROBABILISTIC,
+        PredictionType.MULTISTREAM_HYBRID,
+    )
+    if not use_main and isinstance(pred, tuple) and (
+        acoustic_model.prediction_type() != PredictionType.PROBABILISTIC
+    ):
+        # full multitrack inference returns (out_main, out_sub) point
+        # estimates; only PROBABILISTIC models return (mu, sigma)
+        pred = pred[0]
+    n = len(feats[0])
     if isinstance(pred, tuple):
-        pred = pred[0]  # (out_main, out_sub) -> main
-    pred = np.asarray(pred)[: len(feats[0])]
-    out = np.asarray(acoustic_out_scaler.inverse_transform(pred))
-    if np.any(acoustic_model.config.has_dynamic_features):
-        from ensemble_svs_with_interactions_tpu.ops.multistream import (
-            get_windows,
-            multi_stream_mlpg,
-        )
-
-        out = multi_stream_mlpg(
-            out,
-            np.asarray(acoustic_out_scaler.var_),
-            get_windows(acoustic_model.config.num_windows),
-            list(acoustic_model.config.stream_sizes),
-            list(acoustic_model.config.has_dynamic_features),
-        )
-    return out
+        pred = tuple(np.asarray(p)[:n] for p in pred)
+    else:
+        pred = np.asarray(pred)[:n]
+    # shared denorm + optional per-stream MLPG (reference gen.py:1249-1283:
+    # PROBABILISTIC models solve MLPG with the predicted sigma)
+    return gen._denorm_and_mlpg(
+        pred, acoustic_out_scaler, acoustic_model.config, is_prob
+    )

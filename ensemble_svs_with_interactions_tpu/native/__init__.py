@@ -135,13 +135,15 @@ def lib() -> Optional[ctypes.CDLL]:
                     _TRIED = True
                     return None
             _LIB = _declare(ctypes.CDLL(str(so)))
-        except OSError:
-            # stale/incompatible cache: rebuild once
+        except (OSError, AttributeError):
+            # stale/incompatible cache (AttributeError = a cached .so
+            # missing a newer export; mtimes are unreliable after copies/
+            # clones): rebuild once, else fall back to NumPy
             try:
                 so.unlink(missing_ok=True)
                 if _build(so):
                     _LIB = _declare(ctypes.CDLL(str(so)))
-            except OSError:
+            except (OSError, AttributeError):
                 _LIB = None
         _TRIED = True
         return _LIB

@@ -97,8 +97,14 @@ class NEUTRINO(SPSVS):
 
     def predict_waveform_neutrino(self, f0, mgc, bap, vocoder_type="world"):
         """(f0, mgc, bap) -> waveform (NSF.exe replacement)."""
+        from ensemble_svs_with_interactions_tpu.ops.pitch import interp1d
+
         lf0 = f0.copy()
         lf0[np.nonzero(f0)] = np.log(f0[np.nonzero(f0)])
+        # continuous lf0 (reference svs.py:950-952): neural vocoders are
+        # trained on the interpolated contour; lf0=0 at unvoiced frames
+        # would feed exp(0)=1 Hz excitation to uSFGAN
+        lf0 = interp1d(lf0)
         vuv = (f0 > 0).astype(np.float32)
         wav = self.predict_waveform(
             (mgc.astype(np.float32), lf0.astype(np.float32), vuv, bap.astype(np.float32)),

@@ -77,13 +77,19 @@ def _download_and_port(name: str, entry: dict) -> Path:
         staging = cache / f"{safe}_torch.partial"
         shutil.rmtree(staging, ignore_errors=True)
         try:
-            urlretrieve(entry["url"], tar_path)  # requires network egress
+            # download to a per-process temp then rename: concurrent
+            # processes must not interleave writes into one tar_path
+            tar_tmp = cache / f"{safe}.tar.gz.tmp{os.getpid()}"
+            urlretrieve(entry["url"], tar_tmp)  # requires network egress
+            os.replace(tar_tmp, tar_path)
             staging.mkdir(parents=True)
             with tarfile.open(tar_path) as tf:
-                tf.extractall(staging)
+                # filter="data" rejects path-traversal members (CVE-2007-4559)
+                tf.extractall(staging, filter="data")
             staging.rename(raw_dir)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
+            tar_tmp.unlink(missing_ok=True)
             tar_path.unlink(missing_ok=True)
             raise
     # locate the packed dir (the tarball may nest one directory)

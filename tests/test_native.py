@@ -109,3 +109,26 @@ def test_disable_env_var(signal):
     finally:
         os.environ["ESVS_DISABLE_NATIVE"] = "0"
     assert native.available()
+
+
+def test_stale_so_missing_symbol_falls_back(signal, monkeypatch):
+    """A cached .so missing a newer export (AttributeError from dlsym)
+    must fall back to the NumPy path, not crash every lib() caller."""
+    import ensemble_svs_with_interactions_tpu.native as nat
+
+    monkeypatch.setattr(nat, "_LIB", None)
+    monkeypatch.setattr(nat, "_TRIED", False)
+
+    def bad_declare(lib):
+        raise AttributeError("undefined symbol: esvs_new_kernel")
+
+    monkeypatch.setattr(nat, "_declare", bad_declare)
+    monkeypatch.setattr(nat, "_build", lambda so: False)
+    # real so exists on disk; _declare rejects it, rebuild "fails"
+    assert nat.lib() is None
+    assert nat.available() is False  # cached, no re-raise
+    # fresh state + working declare restores the library
+    monkeypatch.undo()
+    nat._TRIED = False
+    nat._LIB = None
+    assert nat.available()

@@ -300,3 +300,62 @@ def test_fill_silence_to_rest(engine, short_labels):
     assert not changed.all()  # voiced frames untouched
     # filled rest frames approach the silence estimate mgc0 = -23.3
     assert mgc_fill[:, 0].min() < -20.0
+
+
+def test_gen_spsvs_static_features_truncates_both_sides():
+    """Defensive length alignment must trim the acoustic streams too:
+    labels shorter than acoustic features + force_fix_vuv previously
+    raised IndexError in correct_vuv_by_phone (ragged mask)."""
+    T, n = 20, 15
+    stream_sizes = [4, 1, 1, 2]
+    acoustic = np.random.default_rng(0).normal(size=(T, 8)).astype(np.float32)
+    # raw frame features: col1 = C-VUV_Voiced flag (index >0: the
+    # reference's correct_vuv_by_phone ignores a voiced flag at column 0),
+    # col2 = pitch (unused with relative_f0=False)
+    ling = np.zeros((n, 3), np.float32)
+    ling[5:10, 1] = 1.0
+    binary_dict = {0: ("dummy", None), 1: ("C-VUV_Voiced", None)}
+    mgc, lf0, vuv, bap = gen.gen_spsvs_static_features(
+        labels=None,
+        acoustic_features=acoustic,
+        binary_dict=binary_dict,
+        numeric_dict={},
+        stream_sizes=stream_sizes,
+        has_dynamic_features=[False] * 4,
+        pitch_idx=2,
+        num_windows=1,
+        relative_f0=False,
+        force_fix_vuv=True,
+        linguistic_features=ling,
+    )
+    assert len(mgc) == len(lf0) == len(vuv) == len(bap) == n
+    assert np.all(vuv[5:10] == 1.0)  # voiced flag applied
+
+
+def test_predict_waveform_neutrino_interpolates_lf0():
+    """Neural vocoders receive the continuous (interpolated) lf0 contour,
+    not lf0=0 (-> exp(0)=1 Hz excitation) at unvoiced frames
+    (reference svs.py:950-952)."""
+    from ensemble_svs_with_interactions_tpu.neutrino import NEUTRINO
+
+    eng = object.__new__(NEUTRINO)
+    captured = {}
+
+    def fake_predict_waveform(streams, vocoder_type="world"):
+        captured["streams"] = streams
+        return np.zeros(100, np.float32)
+
+    eng.predict_waveform = fake_predict_waveform
+    eng.postprocess_waveform = lambda w: w
+    T = 10
+    f0 = np.zeros((T, 1))
+    f0[3:7, 0] = 220.0
+    eng.predict_waveform_neutrino(
+        f0, np.zeros((T, 4)), np.zeros((T, 1)), vocoder_type="usfgan"
+    )
+    mgc_s, lf0_s, vuv_s, bap_s = captured["streams"]
+    np.testing.assert_allclose(lf0_s[3:7, 0], np.log(220.0), atol=1e-6)
+    # unvoiced head/tail carry the interpolated contour, not zeros
+    np.testing.assert_allclose(lf0_s[:3, 0], np.log(220.0), atol=1e-6)
+    np.testing.assert_allclose(lf0_s[7:, 0], np.log(220.0), atol=1e-6)
+    assert vuv_s[0, 0] == 0 and vuv_s[3, 0] == 1
