@@ -292,17 +292,39 @@ def stage6_pack(cfg, work):
 
     packed = work / "packed_model"
     packed.mkdir(parents=True, exist_ok=True)
+    ac_params = cfg.features.acoustic.params
+    dp = cfg.get("data_prep", {}) or {}
     save_config(
         {
-            "sample_rate": int(cfg.features.acoustic.params.get("sample_rate", 48000)),
-            "frame_period": float(cfg.features.acoustic.params.get("frame_period", 5)),
+            "sample_rate": int(ac_params.get("sample_rate", 48000)),
+            "frame_period": float(ac_params.get("frame_period", 5)),
             "feature_type": "world",
-            "use_world_codec": bool(
-                cfg.features.acoustic.params.get("use_world_codec", True)
+            "use_world_codec": bool(ac_params.get("use_world_codec", True)),
+            "relative_f0": bool(ac_params.get("relative_f0", False)),
+            # synthesis-time flags the engine reads back (the reference's
+            # packed config template, run_common_steps_dev.sh:174-193)
+            "log_f0_conditioning": bool(
+                cfg.features.get("log_f0_conditioning", True)
             ),
-            "relative_f0": bool(
-                cfg.features.acoustic.params.get("relative_f0", False)
-            ),
+            "timelag": {
+                # clip synthesis lags to the range the training targets
+                # were clipped to in data prep
+                "allowed_range": list(
+                    dp.get("timelag_allowed_range", (-20, 20))
+                ),
+                "allowed_range_rest": list(
+                    dp.get("timelag_allowed_range_rest", (-40, 40))
+                ),
+                "force_clip_input_features": True,
+            },
+            "duration": {"force_clip_input_features": True},
+            "acoustic": {
+                "subphone_features": str(
+                    ac_params.get("subphone_features", "coarse_coding")
+                ),
+                "relative_f0": bool(ac_params.get("relative_f0", False)),
+                "force_clip_input_features": True,
+            },
         },
         packed / "config.yaml",
     )
@@ -424,6 +446,16 @@ def stage8_postfilter_features(cfg, work):
     )
     from ensemble_svs_with_interactions_tpu.svs import SPSVS, extract_static_scaler
 
+    if cfg.get("multitrack", False):
+        # the reference's multitrack recipes stop at synthesis + timing
+        # evaluation; pairing sub-tracks for postfilter data is undefined
+        raise ValueError(
+            "stage 8 (postfilter features) does not support multitrack "
+            "recipes: the cross-conditioned acoustic model needs a sub "
+            "track per utterance. Train the postfilter on a single-track "
+            "recipe (reference parity: multitrack run.sh has no postfilter "
+            "stage)."
+        )
     engine = SPSVS(work / "packed_model")
     model = engine.acoustic_model
     static_scaler = extract_static_scaler(

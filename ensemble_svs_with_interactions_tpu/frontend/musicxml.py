@@ -552,6 +552,7 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
             ScoreNote(start=0, duration=pad + lead, midi=None,
                       tempo=notes[0].tempo, beats=notes[0].beats,
                       beat_type=notes[0].beat_type,
+                      fifths=notes[0].fifths,
                       measure_index=-1),
         )
     last = notes[-1]
@@ -560,6 +561,7 @@ def musicxml_to_labels(path) -> hts.HTSLabels:
             ScoreNote(start=last.start + last.duration, duration=pad,
                       midi=None, tempo=last.tempo, beats=last.beats,
                       beat_type=last.beat_type,
+                      fifths=last.fifths,
                       measure_index=-1)
         )
     return notes_to_labels(notes)

@@ -492,6 +492,13 @@ def postprocess_duration(labels, pred_durations, lag, frame_period: float = 5):
     durations.  Host-side: per-note data-dependent loop.
     """
     hts_frame_shift = int(frame_period * 1e4)
+    # round on a copy: the reference mutates the caller's labels in its
+    # predict_* steps (gen.py:101 round_()); computing note lengths from
+    # unrounded times here would differ from the reference pipeline by a
+    # frame whenever label times are off the frame grid
+    labels = labels.copy()
+    labels.frame_shift = hts_frame_shift
+    labels.round_()
     note_indices = hts.get_note_indices(labels)
     note_indices.append(len(labels))
     is_mdn = isinstance(pred_durations, tuple) and len(pred_durations) == 2

@@ -213,6 +213,10 @@ def _hts_wildcard_to_regex(pattern: str, numeric: bool = False) -> str:
             re.escape("(\\d+)"): r"(\d+)",
             re.escape("([-\\d]+)"): r"([\-\d]+)",
             re.escape("([\\-\\d]+)"): r"([\-\d]+)",
+            # nnmnkwii-documented decimal capture (frontend/merlin.py
+            # wildcards2regex converts ([\d\.]+) too)
+            re.escape("([\\d\\.]+)"): r"([\d\.]+)",
+            re.escape("([\\d.]+)"): r"([\d\.]+)",
             re.escape("(\\NOTE)"): _NOTE_RE,
             re.escape("([A-Z][b#]?[0-9]+)"): _NOTE_RE,
             re.escape("([pm]\\d+)"): r"([pm]\d+)",

@@ -29,6 +29,7 @@ import numpy as np
 from flax import serialization
 
 from ensemble_svs_with_interactions_tpu import gen, gen_multitrack
+from ensemble_svs_with_interactions_tpu.base import PredictionType
 from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.utils.config import (
     Config,
@@ -269,6 +270,37 @@ class SPSVS(BaseSVS):
         section = self.config.get(phase, {}) or {}
         return bool(section.get("force_clip_input_features", True))
 
+    def _subphone_features(self) -> str:
+        """Frame-level subphone feature mode from the packed config
+        (reference svs.py:439 config.acoustic.subphone_features)."""
+        section = self.config.get("acoustic", {}) or {}
+        return str(section.get("subphone_features", "coarse_coding"))
+
+    def _log_f0_conditioning(self) -> bool:
+        """Packed-config log-F0 conditioning flag (reference svs.py:338
+        reads config.log_f0_conditioning for every model call)."""
+        return bool(self.config.get("log_f0_conditioning", True))
+
+    def _timelag_ranges(self):
+        """(allowed_range, allowed_range_rest) from the packed config
+        (reference svs.py:339-340); these are the clip bounds the timelag
+        training targets were clipped to."""
+        section = self.config.get("timelag", {}) or {}
+        return (
+            tuple(section.get("allowed_range", (-20, 20))),
+            tuple(section.get("allowed_range_rest", (-40, 40))),
+        )
+
+    def _validate_synthesis_args(self, vocoder_type, post_filter_type) -> str:
+        """Fail fast on typos (reference svs.py:660-664); returns the
+        lower-cased vocoder type."""
+        vocoder_type = str(vocoder_type).lower()
+        if vocoder_type not in ("world", "pwg", "usfgan", "auto"):
+            raise ValueError(f"Unknown vocoder type: {vocoder_type}")
+        if post_filter_type not in ("merlin", "nnsvs", "gv", "none", "off", None):
+            raise ValueError(f"Unknown post-filter type: {post_filter_type}")
+        return vocoder_type
+
     # ----------------------------------------------------------- pipeline
     def predict_timelag(self, labels):
         """Note-onset time-lags in frames (reference svs.py:318)."""
@@ -280,6 +312,9 @@ class SPSVS(BaseSVS):
             self.binary_dict,
             self.numeric_dict,
             pitch_indices=self.pitch_indices,
+            log_f0_conditioning=self._log_f0_conditioning(),
+            allowed_range=self._timelag_ranges()[0],
+            allowed_range_rest=self._timelag_ranges()[1],
             force_clip_input_features=self._force_clip("timelag"),
             frame_period=self.frame_period,
         )
@@ -294,13 +329,16 @@ class SPSVS(BaseSVS):
             self.binary_dict,
             self.numeric_dict,
             pitch_indices=self.pitch_indices,
+            log_f0_conditioning=self._log_f0_conditioning(),
             force_clip_input_features=self._force_clip("duration"),
         )
 
     def postprocess_duration(self, labels, pred_durations, lag):
         """Note-level duration normalization (reference svs.py:378);
         returns the duration-modified labels."""
-        return gen.postprocess_duration(labels, pred_durations, lag)[0]
+        return gen.postprocess_duration(
+            labels, pred_durations, lag, frame_period=self.frame_period
+        )[0]
 
     def predict_timing(self, labels):
         return gen.predict_timing(
@@ -313,6 +351,9 @@ class SPSVS(BaseSVS):
             self.duration_model,
             self.in_duration_scaler,
             self.out_duration_scaler,
+            log_f0_conditioning=self._log_f0_conditioning(),
+            allowed_range=self._timelag_ranges()[0],
+            allowed_range_rest=self._timelag_ranges()[1],
             force_clip_input_features=self._force_clip("timelag"),
             force_clip_input_features_duration=self._force_clip("duration"),
             frame_period=self.frame_period,
@@ -326,6 +367,8 @@ class SPSVS(BaseSVS):
             self.out_acoustic_scaler,
             self.binary_dict,
             self.numeric_dict,
+            subphone_features=self._subphone_features(),
+            log_f0_conditioning=self._log_f0_conditioning(),
             force_clip_input_features=self._force_clip("acoustic"),
             frame_period=self.frame_period,
             f0_shift_in_cent=f0_shift_in_cent,
@@ -345,6 +388,9 @@ class SPSVS(BaseSVS):
             self.duration_model,
             self.in_duration_scaler,
             self.out_duration_scaler,
+            log_f0_conditioning=self._log_f0_conditioning(),
+            allowed_range=self._timelag_ranges()[0],
+            allowed_range_rest=self._timelag_ranges()[1],
             force_clip_input_features=self._force_clip("timelag"),
             force_clip_input_features_duration=self._force_clip("duration"),
             frame_period=self.frame_period,
@@ -364,6 +410,8 @@ class SPSVS(BaseSVS):
             self.out_acoustic_scaler,
             self.binary_dict,
             self.numeric_dict,
+            subphone_features=self._subphone_features(),
+            log_f0_conditioning=self._log_f0_conditioning(),
             force_clip_input_features=self._force_clip("acoustic"),
             frame_period=self.frame_period,
             f0_shift_in_cent=f0_shift_in_cent,
@@ -424,6 +472,7 @@ class SPSVS(BaseSVS):
         segmented_synthesis: bool = False,
     ):
         """Full score-to-waveform synthesis.  Returns (wav, sample_rate)."""
+        vocoder_type = self._validate_synthesis_args(vocoder_type, post_filter_type)
         if self.is_multitrack:
             raise ValueError(
                 "this pack holds a multitrack (cross-conditioned) model; "
@@ -496,6 +545,8 @@ class SPSVS(BaseSVS):
             lab.frame_shift = hts_frame_shift
 
         force_clip = self._force_clip("acoustic")
+        subphone = self._subphone_features()
+        log_f0 = self._log_f0_conditioning()
 
         def _feat(lab):
             return gen._prepare_linguistic_features(
@@ -505,8 +556,8 @@ class SPSVS(BaseSVS):
                 self.in_acoustic_scaler,
                 self.pitch_indices,
                 True,
-                "coarse_coding",
-                True,
+                subphone,
+                log_f0,
                 force_clip,
                 hts_frame_shift,
                 return_raw=True,
@@ -796,6 +847,7 @@ class SPSVS(BaseSVS):
 
         Returns (list of wavs, sample_rate).
         """
+        vocoder_type = self._validate_synthesis_args(vocoder_type, post_filter_type)
         start = time.time()
         if self.is_multitrack:
             N = len(labels_list)
@@ -815,6 +867,9 @@ class SPSVS(BaseSVS):
                 self.duration_model,
                 self.in_duration_scaler,
                 self.out_duration_scaler,
+                log_f0_conditioning=self._log_f0_conditioning(),
+                allowed_range=self._timelag_ranges()[0],
+                allowed_range_rest=self._timelag_ranges()[1],
                 force_clip_input_features=self._force_clip("timelag"),
                 force_clip_input_features_duration=self._force_clip("duration"),
                 frame_period=self.frame_period,
@@ -860,14 +915,33 @@ class SPSVS(BaseSVS):
                     method=method,
                 )
                 t_acoustic = time.time()
-                # multitrack inference returns (out_main, out_sub); each
-                # track appears exactly once as main, so keep the main output
+                # same branch logic as gen_multitrack.predict_acoustic_
+                # multitrack: with inference_main the output is the main
+                # track already; otherwise (out_main, out_sub) tuples are
+                # unwrapped, while PROBABILISTIC (mu, sigma) keeps both so
+                # MLPG solves with the predicted sigma
+                ptype = self.acoustic_model.prediction_type()
+                is_prob = ptype in (
+                    PredictionType.PROBABILISTIC,
+                    PredictionType.MULTISTREAM_HYBRID,
+                )
+                use_main = method == "inference_main"
+
+                def _main_pred(p):
+                    if (
+                        not use_main
+                        and isinstance(p, tuple)
+                        and ptype != PredictionType.PROBABILISTIC
+                    ):
+                        return p[0]
+                    return p
+
                 acoustics = [
                     gen._denorm_and_mlpg(
-                        p[0] if isinstance(p, tuple) else p,
+                        _main_pred(p),
                         self.out_acoustic_scaler,
                         self.acoustic_model.config,
-                        False,
+                        is_prob,
                     )
                     for p in preds
                 ]
@@ -882,6 +956,9 @@ class SPSVS(BaseSVS):
                 self.duration_model,
                 self.in_duration_scaler,
                 self.out_duration_scaler,
+                log_f0_conditioning=self._log_f0_conditioning(),
+                allowed_range=self._timelag_ranges()[0],
+                allowed_range_rest=self._timelag_ranges()[1],
                 force_clip_input_features=self._force_clip("timelag"),
                 force_clip_input_features_duration=self._force_clip("duration"),
                 frame_period=self.frame_period,

@@ -236,3 +236,16 @@ def test_state_alignment_rows_without_frame_features(dev_hed_path, fixture_label
     np.testing.assert_allclose(
         durs.sum(axis=1), merlin.duration_features(fixture_labels)[:, 0]
     )
+
+
+def test_cqs_decimal_capture(tmp_path):
+    """CQS with nnmnkwii's documented ([\\d.]+) decimal capture syntax."""
+    hed = tmp_path / "q.hed"
+    hed.write_text(
+        'QS "sil" {*-sil+*}\n'
+        'CQS "e5_tempo" {~([\\d.]+)!}\n'
+    )
+    binary_dict, numeric_dict = hts.load_question_set(hed)
+    name, regex = numeric_dict[0]
+    m = regex.search("x^y-a+b=c/E:xx]xx^0=4~120.5!1@8#24+xx")
+    assert m is not None and m.group(1) == "120.5"

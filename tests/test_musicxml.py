@@ -113,3 +113,35 @@ def test_neutrino_accepts_musicxml(tmp_path):
     engine = NEUTRINO(model_dir)
     labels = engine.musicxml_to_labels(XML)
     assert len(labels) > 40
+
+
+def test_padding_silence_carries_key_signature(tmp_path):
+    """Leading/trailing pau labels must carry the key number (e3) of the
+    score — real Sinsy/NEUTRINO pau labels do — not fifths=0's key."""
+    xml = tmp_path / "amajor.xml"
+    xml.write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+<score-partwise version="3.1">
+  <part-list><score-part id="P1"><part-name>v</part-name></score-part></part-list>
+  <part id="P1">
+    <measure number="1">
+      <attributes>
+        <divisions>4</divisions>
+        <key><fifths>3</fifths></key>
+        <time><beats>4</beats><beat-type>4</beat-type></time>
+      </attributes>
+      <direction><sound tempo="120"/></direction>
+      <note><pitch><step>A</step><octave>4</octave></pitch>
+            <duration>8</duration><lyric><text>あ</text></lyric></note>
+      <note><pitch><step>E</step><octave>4</octave></pitch>
+            <duration>8</duration><lyric><text>か</text></lyric></note>
+    </measure>
+  </part>
+</score-partwise>
+"""
+    )
+    labels = musicxml_to_labels(xml)
+    key = "^9="  # (7 * 3) % 12 == 9, A-major key number
+    assert key in labels.contexts[0], labels.contexts[0]  # leading pau
+    assert key in labels.contexts[-1], labels.contexts[-1]  # trailing pau
+    assert all(key in c for c in labels.contexts)

@@ -359,3 +359,83 @@ def test_predict_waveform_neutrino_interpolates_lf0():
     np.testing.assert_allclose(lf0_s[:3, 0], np.log(220.0), atol=1e-6)
     np.testing.assert_allclose(lf0_s[7:, 0], np.log(220.0), atol=1e-6)
     assert vuv_s[0, 0] == 0 and vuv_s[3, 0] == 1
+
+
+def test_postprocess_duration_rounds_off_grid_labels():
+    """Labels with times off the 5 ms grid: note lengths must come from
+    rounded times (the reference rounds in place during predict_*; the
+    step-by-step API here keeps caller labels untouched)."""
+    labels = hts.HTSLabels()
+    shift = 50000
+    # off-grid by 20000 (0.4 frames)
+    for i, ph in enumerate(["a", "b", "c"]):
+        s = i * 10 * shift + (20000 if i else 0)
+        e = (i + 1) * 10 * shift + 20000
+        labels.append((s, e, ph), strict=False)
+    before = (list(labels.start_times), list(labels.end_times))
+    durations = np.array([[10.0], [10.0], [10.0]])
+    lag = np.zeros((3, 1))
+    out, _ = gen.postprocess_duration(labels, durations, lag)
+    # caller labels are NOT mutated
+    assert (list(labels.start_times), list(labels.end_times)) == before
+    # all output times land on the frame grid
+    for t in list(out.start_times) + list(out.end_times):
+        assert t % shift == 0, t
+    # identical result as pre-rounded labels
+    rounded = labels.copy()
+    rounded.frame_shift = shift
+    rounded.round_()
+    out2, _ = gen.postprocess_duration(rounded, durations, lag)
+    assert list(out.end_times) == list(out2.end_times)
+
+
+def test_packed_config_timing_plumbing(tmp_path):
+    """SPSVS reads timelag.allowed_range{,_rest} and log_f0_conditioning
+    from the packed config (reference svs.py:338-341)."""
+    from tests.util import build_tiny_packed_model
+    import yaml
+
+    model_dir = tmp_path / "packed"
+    build_tiny_packed_model(model_dir, sr=24000)
+    cfg_path = model_dir / "config.yaml"
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["timelag"] = {"allowed_range": [-3, 3], "allowed_range_rest": [-7, 7]}
+    cfg["log_f0_conditioning"] = True
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    eng = SPSVS(model_dir)
+    assert eng._timelag_ranges() == ((-3, 3), (-7, 7))
+    assert eng._log_f0_conditioning() is True
+
+    captured = {}
+    orig = gen.predict_timelag
+
+    def spy(*args, **kw):
+        captured.update(kw)
+        return orig(*args, **kw)
+
+    gen.predict_timelag = spy
+    try:
+        labels = hts.HTSLabels()
+        shift = 50000
+        for i, ph in enumerate(["pau", "a", "pau"]):
+            labels.append(
+                (i * 20 * shift, (i + 1) * 20 * shift, f"x^x-{ph}+x=x/A:x"),
+                strict=False,
+            )
+        eng.predict_timelag(labels)
+    finally:
+        gen.predict_timelag = orig
+    assert captured["allowed_range"] == (-3, 3)
+    assert captured["allowed_range_rest"] == (-7, 7)
+
+
+def test_svs_rejects_unknown_types(tmp_path):
+    from tests.util import build_tiny_packed_model
+
+    model_dir = tmp_path / "packed"
+    build_tiny_packed_model(model_dir, sr=24000)
+    eng = SPSVS(model_dir)
+    with pytest.raises(ValueError, match="Unknown vocoder type"):
+        eng.svs(hts.HTSLabels(), vocoder_type="wrld")
+    with pytest.raises(ValueError, match="Unknown post-filter type"):
+        eng.svs(hts.HTSLabels(), post_filter_type="GV")
