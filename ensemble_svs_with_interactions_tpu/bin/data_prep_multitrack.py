@@ -259,13 +259,34 @@ def prepare_corpus(
         for spk in sorted(tracks):
             aligned, score, g_off, apply_corr = tracks[spk]
             segs, idx = segment_by_positions(aligned, cuts)
-            score_segs = [score[i0 : i1 + 1] for (i0, i1) in idx]
+            # (None, None) marks a cut interval overlapping no label entry;
+            # emit an empty slice so the per-segment blacklist guard below
+            # handles it instead of crashing the whole prep run
+            score_segs = [
+                score[i0 : i1 + 1] if i0 is not None else score[0:0]
+                for (i0, i1) in idx
+            ]
             wav_path = root / spk / f"{song}.wav"
             wav, sr = (None, None)
+            if not wav_path.exists():
+                raise FileNotFoundError(
+                    f"{wav_path}: every (singer, song) needs a wav; a "
+                    "label-only track would put utts in the train lists "
+                    "that the acoustic phase cannot use"
+                )
             if wav_path.exists():
                 sr, wav = wavfile.read(wav_path)
-                if wav.dtype == np.int16:
-                    wav = wav.astype(np.float32) / 32768.0
+                # normalize ANY PCM dtype to [-1, 1] floats (librosa.load
+                # semantics in the reference); jaCappella ships 24-bit PCM,
+                # which scipy reads as int32
+                if wav.dtype == np.uint8:  # WAV uint8 is offset-binary
+                    wav = (wav.astype(np.float32) - 128.0) / 128.0
+                elif np.issubdtype(wav.dtype, np.integer):
+                    wav = wav.astype(np.float32) / float(
+                        -np.iinfo(wav.dtype).min
+                    )
+                else:
+                    wav = wav.astype(np.float32)
                 if sample_rate and sr != sample_rate:
                     from scipy.signal import resample_poly
 
@@ -352,9 +373,6 @@ def prepare_corpus(
                 )
                 utt_ids.append(utt)
                 song_of_utt[utt] = song
-
-    # drop blacklisted utts that earlier phases already wrote
-    utt_ids = [u for u in utt_ids if u not in blacklist]
 
     # ---- song-level splits (reference split_by_song_multitrack.py) -------
     all_songs = sorted({song_of_utt[u] for u in utt_ids})

@@ -64,12 +64,13 @@ def _engine(name: str) -> NEUTRINO:
         with _LOCK:
             engine = _ENGINES.get(name)
         if engine is None:
-            try:
-                engine = NEUTRINO(model_dir)
-            except Exception:
-                with _LOCK:  # don't leak the lock entry on a failed load
-                    _ENGINE_LOCKS.pop(name, None)
-                raise
+            # NOTE: on failure the lock entry stays in _ENGINE_LOCKS —
+            # popping it would let a thread already blocked on THIS lock
+            # object race a newcomer that setdefault()s a fresh one
+            # (two concurrent multi-second loads of the same model).
+            # Entries are bounded: only names validated against the model
+            # root ever reach this point.
+            engine = NEUTRINO(model_dir)
             with _LOCK:
                 _ENGINES[name] = engine
         return engine
@@ -101,14 +102,17 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path == "/models":
-            models = sorted(
-                p.name for p in _MODEL_ROOT.iterdir()
-                if (p / "config.yaml").exists()
-            )
-            self._json({"models": models})
-        else:
-            self._json({"error": "not found"}, 404)
+        try:
+            if self.path == "/models":
+                models = sorted(
+                    p.name for p in _MODEL_ROOT.iterdir()
+                    if (p / "config.yaml").exists()
+                )
+                self._json({"models": models})
+            else:
+                self._json({"error": "not found"}, 404)
+        except Exception as e:  # same JSON error envelope as do_POST
+            self._json({"error": f"{type(e).__name__}: {e}"}, 500)
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))

@@ -52,7 +52,7 @@ class HiFiGANPeriodDiscriminator(BaseModel):
     period: int = 3
     channels: int = 32
     kernel_size: int = 5
-    max_downsample_channels: int = 256
+    max_downsample_channels: int = 1024  # reference discriminator.py:157
     downsample_scales: Sequence[int] = (3, 3, 3, 3, 1)
 
     @nn.compact
@@ -96,10 +96,11 @@ class HiFiGANScaleDiscriminator(BaseModel):
     """Scale discriminator: grouped 1-D convs over (possibly pooled) audio
     (discriminator.py:343)."""
 
-    channels: int = 64
-    max_downsample_channels: int = 256
+    # defaults == reference discriminator.py:343-355
+    channels: int = 128
+    max_downsample_channels: int = 1024
     max_groups: int = 16
-    downsample_scales: Sequence[int] = (4, 4, 4, 4, 1)
+    downsample_scales: Sequence[int] = (2, 2, 4, 4, 1)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -12,13 +12,13 @@ import shutil
 from pathlib import Path
 from typing import Dict, Optional
 
-import numpy as np
 from flax import serialization
 
 from ensemble_svs_with_interactions_tpu.utils.config import save_config
 from ensemble_svs_with_interactions_tpu.utils.scalers import (
     MinMaxScaler,
     StandardScaler,
+    save_scaler,
 )
 
 
@@ -38,8 +38,6 @@ def save_model_phase(
         f.write(serialization.to_bytes(variables))
     # dispatch on scaler type so e.g. a StandardScaler vocoder input
     # scaler writes mean/var/scale (what svs.load_vocoder reads back)
-    from ensemble_svs_with_interactions_tpu.utils.scalers import save_scaler
-
     if in_scaler is not None:
         save_scaler(in_scaler, str(out_dir / f"in_{phase}_scaler"))
     if out_scaler is not None:

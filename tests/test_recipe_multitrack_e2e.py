@@ -80,6 +80,10 @@ def corpus(tmp_path_factory):
             score.save(root / spk / f"{song}_score.lab")
             aligned.save(root / spk / f"{song}_aligned.lab")
             wav = _synth_wav(score, binary_dict, numeric_dict, rng)
+            if spk == "soprano":
+                # high-bit-depth PCM (scipy reads 24-bit wavs as int32):
+                # data prep must normalize any integer dtype, not just int16
+                wav = (wav.astype(np.int64) << 16).astype(np.int32)
             wavfile.write(root / spk / f"{song}.wav", SR, wav)
     return root
 
