@@ -25,7 +25,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ensemble_svs_with_interactions_tpu.base import BaseModel, PredictionType
-from ensemble_svs_with_interactions_tpu.models.acoustic.util import point_estimate
+from ensemble_svs_with_interactions_tpu.models.acoustic.util import (
+    concat_stream_outputs,
+    point_estimate,
+)
 from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
 
 
@@ -106,12 +109,12 @@ class MultistreamSeparateF0ParametricModel(BaseModel):
         vuv = self._vuv(enc, lengths, y_vuv, train=train)
         bap = self._bap(enc, lengths, y_bap, train=train)
 
-        out = jnp.concatenate([mgc, lf0, vuv, bap], axis=-1)
-        assert out.shape[-1] == self.out_dim
+        out = concat_stream_outputs([mgc, lf0, vuv, bap], self.out_dim)
         return out, lf0_residual
 
     def inference(self, x, lengths=None):
-        return self(x, lengths)[0]
+        out = self(x, lengths)[0]
+        return out[-1] if isinstance(out, list) else out
 
 
 class MultiSpeakerMultistreamSeparateF0ParametricModel(BaseModel):
@@ -182,11 +185,12 @@ class MultiSpeakerMultistreamSeparateF0ParametricModel(BaseModel):
         mgc = self._mgc(enc, lengths, y_mgc, train=train)
         vuv = self._vuv(enc, lengths, y_vuv, train=train)
         bap = self._bap(enc, lengths, y_bap, train=train)
-        out = jnp.concatenate([mgc, lf0, vuv, bap], axis=-1)
+        out = concat_stream_outputs([mgc, lf0, vuv, bap], self.out_dim)
         return out, lf0_residual
 
     def inference(self, x, spks, lengths=None):
-        return self(x, spks, lengths)[0]
+        out = self(x, spks, lengths)[0]
+        return out[-1] if isinstance(out, list) else out
 
 
 class MultiTrackMultistreamSeparateF0ParametricModel(BaseModel):

@@ -24,9 +24,29 @@ from ensemble_svs_with_interactions_tpu.models.acoustic.multistream import (
     _maybe_instantiate,
 )
 from ensemble_svs_with_interactions_tpu.models.acoustic.util import (
+    concat_stream_outputs,
     point_estimate as _point,
 )
 from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
+
+
+def _run_stream_decoder(mod, x, lengths, y, train=False, spk_embs=None):
+    """Call a cascade stream decoder.
+
+    Teacher-forced (y given): plain ``__call__``.  Free-running (y=None):
+    diffusion sub-models dispatch to their ``.inference()`` sampling loop
+    (the reference cascades call ``self.*_model.inference`` at inference,
+    multistream.py:946-995 — DDPM training and sampling are distinct
+    paths); every other family runs inference through ``__call__(y=None)``
+    which preserves the MDN parameter tuples the callers reduce with
+    ``point_estimate``.
+    """
+    if y is None and mod.prediction_type() == PredictionType.DIFFUSION:
+        return mod.inference(x, lengths, spk_embs=spk_embs)
+    kwargs = {"train": train}
+    if spk_embs is not None:
+        kwargs["spk_embs"] = spk_embs
+    return mod(x, lengths, y, **kwargs)
 
 
 class _NPSSBase(BaseModel):
@@ -61,17 +81,23 @@ class _NPSSBase(BaseModel):
     def has_residual_lf0_prediction(self):
         return True
 
+    # V/UV conditioning order: the MDN cascades concatenate
+    # (x, mgc, lf0, bap) (reference multistream.py:1190-1214); the
+    # deterministic cascade uses (x, mgc, bap, lf0) (:995-1005)
+    _VUV_COND_ORDER = ("mgc", "lf0", "bap")
+
     def _vuv_inputs(self, x, mgc, bap, lf0):
         bap_cond = bap[..., 0:1] if self.vuv_model_bap0_conditioning else bap
-        # conditioning order is (x, mgc, lf0, bap) — reference
-        # multistream.py:1190-1214
+        enabled = {
+            "mgc": (self.vuv_model_mgc_conditioning, mgc),
+            "lf0": (self.vuv_model_lf0_conditioning, lf0),
+            "bap": (self.vuv_model_bap_conditioning, bap_cond),
+        }
         parts = [x]
-        if self.vuv_model_mgc_conditioning:
-            parts.append(mgc)
-        if self.vuv_model_lf0_conditioning:
-            parts.append(lf0)
-        if self.vuv_model_bap_conditioning:
-            parts.append(bap_cond)
+        for name in self._VUV_COND_ORDER:
+            on, feat = enabled[name]
+            if on:
+                parts.append(feat)
         return jnp.concatenate(parts, axis=-1)
 
     def _cascade(self, x, lengths, y, spk_embs=None, train: bool = False):
@@ -94,8 +120,12 @@ class _NPSSBase(BaseModel):
         # probabilistic lf0 submodels condition downstream streams on the
         # point estimate (reference multistream.py:1151-1157 lf0_cond=lf0[0])
         cond_lf0 = _point(lf0) if is_inference else y_lf0
-        mgc = self._mgc(jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, **kwargs)
-        bap = self._bap(jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, **kwargs)
+        mgc = _run_stream_decoder(
+            self._mgc, jnp.concatenate([x, cond_lf0], -1), lengths, y_mgc, **kwargs
+        )
+        bap = _run_stream_decoder(
+            self._bap, jnp.concatenate([x, cond_lf0], -1), lengths, y_bap, **kwargs
+        )
 
         if is_inference:
             vuv_inp = self._vuv_inputs(x, _point(mgc), _point(bap), cond_lf0)
@@ -106,7 +136,13 @@ class _NPSSBase(BaseModel):
 
 
 class NPSSMultistreamParametricModel(_NPSSBase):
-    """Deterministic NPSS cascade (multistream.py:813)."""
+    """Deterministic NPSS cascade (multistream.py:813).  Pairs with
+    deterministic AR stream decoders (BiLSTMNonAttentiveDecoder with an
+    optional Post-Net — the reference ``ar_mgcf0bap`` recipe config)."""
+
+    # deterministic cascade conditions V/UV as (x, mgc, bap, lf0)
+    # (reference multistream.py:995-1005)
+    _VUV_COND_ORDER = ("mgc", "bap", "lf0")
 
     def prediction_type(self):
         return PredictionType.DETERMINISTIC
@@ -114,12 +150,12 @@ class NPSSMultistreamParametricModel(_NPSSBase):
     def __call__(self, x, lengths=None, y=None, train: bool = False):
         assert x.shape[-1] == self.in_dim
         mgc, lf0, vuv, bap, lf0_residual = self._cascade(x, lengths, y, train=train)
-        out = jnp.concatenate([mgc, lf0, vuv, bap], axis=-1)
-        assert out.shape[-1] == self.out_dim
+        out = concat_stream_outputs([mgc, lf0, vuv, bap], self.out_dim)
         return out, lf0_residual
 
     def inference(self, x, lengths=None):
-        return self(x, lengths)[0]
+        out = self(x, lengths)[0]
+        return out[-1] if isinstance(out, list) else out
 
 
 class NPSSMDNMultistreamParametricModel(_NPSSBase):
@@ -201,12 +237,15 @@ class MultiTrackNPSSMDNMultistreamParametricModel(_NPSSBase):
         """Call a stream decoder, passing spk_embs only when its signature
         accepts speaker conditioning (the reference always forwards
         spk_embs, :1685-1737, but its configs pair this class with
-        spk-capable decoders; plain FFN/MDN decoders remain usable)."""
+        spk-capable decoders; plain FFN/MDN decoders remain usable).
+        Free-running diffusion decoders dispatch to their sampling loop."""
         import inspect
 
         if "spk_embs" in inspect.signature(mod.__call__).parameters:
-            return mod(x, lengths, y, spk_embs=spk_e, train=train)
-        return mod(x, lengths, y, train=train)
+            return _run_stream_decoder(
+                mod, x, lengths, y, train=train, spk_embs=spk_e
+            )
+        return _run_stream_decoder(mod, x, lengths, y, train=train)
 
     def _main_cascade(self, x, x_other, spk_e, spk_e_other, lengths, y, train):
         """The full cascade for one track, speaker-conditioned sub-decoders

@@ -23,7 +23,10 @@ from ensemble_svs_with_interactions_tpu.models.layers import (
     ReflectConv1d,
     kernel_initializer,
 )
-from ensemble_svs_with_interactions_tpu.models.tacotron import ar_decode
+from ensemble_svs_with_interactions_tpu.models.tacotron import (
+    apply_postnet,
+    ar_decode,
+)
 
 
 class ResF0NonAttentiveDecoder(BaseModel):
@@ -50,6 +53,7 @@ class ResF0NonAttentiveDecoder(BaseModel):
     use_mdn: bool = False
     num_gaussians: int = 8
     sampling_mode: str = "mean"
+    eval_dropout: bool = True
 
     def is_autoregressive(self) -> bool:
         return True
@@ -159,6 +163,7 @@ class BiLSTMResF0NonAttentiveDecoder(BaseModel):
     in_ph_end_idx: int = 50
     embed_dim: Optional[int] = None
     init_type: str = "none"
+    eval_dropout: bool = True
 
     def is_autoregressive(self) -> bool:
         return True
@@ -250,6 +255,7 @@ class MultiTrackBiLSTMResF0NonAttentiveDecoder(BaseModel):
     in_ph_end_idx: int = 50
     embed_dim: Optional[int] = None
     init_type: str = "none"
+    eval_dropout: bool = True
 
     def is_autoregressive(self) -> bool:
         return True
@@ -329,7 +335,11 @@ class MultiTrackBiLSTMResF0NonAttentiveDecoder(BaseModel):
 class BiLSTMNonAttentiveDecoder(BaseModel):
     """Sinsy-like encoder + plain (non-ResF0) AR decoder
     (reference nnsvs/acoustic_models/tacotron.py:118,312; the MDN variant
-    is selected with ``use_mdn``)."""
+    is selected with ``use_mdn``).  Unlike the ResF0 variants, the plain
+    decoder has NO score-lf0 conditioning (reference tacotron.py:198-232:
+    the encoder is ff -> conv -> biLSTM only), and supports an optional
+    residual Post-Net (forward returns [coarse, fine],
+    tacotron.py:293-300)."""
 
     in_dim: int = 512
     ff_hidden_dim: int = 2048
@@ -346,7 +356,6 @@ class BiLSTMNonAttentiveDecoder(BaseModel):
     zoneout: float = 0.1
     reduction_factor: int = 1
     downsample_by_conv: bool = False
-    in_lf0_idx: int = 300
     use_mdn: bool = False
     num_gaussians: int = 4
     sampling_mode: str = "mean"
@@ -354,6 +363,13 @@ class BiLSTMNonAttentiveDecoder(BaseModel):
     in_ph_end_idx: int = 50
     embed_dim: Optional[int] = None
     init_type: str = "none"
+    initial_value: float = 0.0
+    prenet_noise_std: float = 0.0
+    eval_dropout: bool = True
+    postnet_layers: int = 0
+    postnet_channels: int = 512
+    postnet_kernel_size: int = 5
+    postnet_dropout: float = 0.0
 
     def is_autoregressive(self) -> bool:
         return True
@@ -367,7 +383,6 @@ class BiLSTMNonAttentiveDecoder(BaseModel):
 
     @nn.compact
     def __call__(self, x, lengths=None, y=None, spk_embs=None, train: bool = False):
-        lf0_score = x[:, :, self.in_lf0_idx][..., None]
         if self.embed_dim is not None:
             x = PhonemeContextEmbedding(
                 self.in_dim, self.embed_dim, self.in_ph_start_idx, self.in_ph_end_idx
@@ -381,12 +396,18 @@ class BiLSTMNonAttentiveDecoder(BaseModel):
             self.num_lstm_layers,
             self.dropout,
             self.init_type,
-        )(x, [lf0_score], lengths, train=train)
-        outs, _ = ar_decode(self, h, y, train, residual_f0=False)
+        )(x, [], lengths, train=train)
+        outs, _ = ar_decode(
+            self, h, y, train, residual_f0=False,
+            initial_value=self.initial_value,
+        )
+        if self.postnet_layers > 0 and not self.use_mdn:
+            return apply_postnet(self, outs, lengths, train)
         return outs
 
     def inference(self, x, lengths=None, spk_embs=None):
-        return self(x, lengths, spk_embs=spk_embs)
+        outs = self(x, lengths, spk_embs=spk_embs)
+        return outs[-1] if isinstance(outs, list) else outs
 
 
 class BiLSTMMDNNonAttentiveDecoder(BiLSTMNonAttentiveDecoder):

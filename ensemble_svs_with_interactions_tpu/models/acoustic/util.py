@@ -22,6 +22,10 @@ def point_estimate(pred):
     (nnsvs/acoustic_models/multistream.py:1151-1157 ``lf0_cond = lf0[0]``,
     tacotron_f0.py:511-514 returning the mu trajectory).
     """
+    if isinstance(pred, list):
+        # Post-Net decoders return [coarse, fine]; condition on the fine
+        # trajectory (reference pad_inference, acoustic_models/util.py:146)
+        pred = pred[-1]
     if isinstance(pred, tuple) and len(pred) == 3:
         from ensemble_svs_with_interactions_tpu.ops.mdn import (
             mdn_get_most_probable_sigma_and_mu,
@@ -31,6 +35,29 @@ def point_estimate(pred):
     if isinstance(pred, tuple) and len(pred) == 2:
         return pred[0]
     return pred
+
+
+def concat_stream_outputs(parts, out_dim: int):
+    """Concatenate per-stream decoder outputs into the full feature vector.
+
+    If any decoder returned a ``[coarse, fine]`` list (a Post-Net decoder),
+    the result is a LIST of concatenated outputs — one per refinement
+    stage — so the trainer supervises both, exactly like the reference's
+    ``has_postnet_output`` branch (nnsvs/acoustic_models/multistream.py:
+    148-167).  Otherwise a single (B, T, out_dim) array.
+    """
+    if any(isinstance(p, list) for p in parts):
+        n = max(len(p) for p in parts if isinstance(p, list))
+        outs = []
+        for idx in range(n):
+            row = [p[idx] if isinstance(p, list) else p for p in parts]
+            out = jnp.concatenate(row, axis=-1)
+            assert out.shape[-1] == out_dim
+            outs.append(out)
+        return outs
+    out = jnp.concatenate(list(parts), axis=-1)
+    assert out.shape[-1] == out_dim
+    return out
 
 
 def predict_lf0_with_residual(

@@ -34,21 +34,85 @@ _MAX_LF0_RATIO = 600.0 * np.log(2) / 1200.0
 
 class Prenet(nn.Module):
     """Tacotron pre-net; dropout stays on at inference (a stochastic AR
-    regularizer, not a training-only one)."""
+    regularizer, not a training-only one) unless ``dropout_enabled`` is
+    False (the reference's ``eval_dropout=False``, decoder.py:84-87)."""
 
     layers: int = 2
     hidden_dim: int = 256
     dropout: float = 0.5
+    dropout_enabled: bool = True
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.layers):
             x = nn.relu(nn.Dense(self.hidden_dim, name=f"fc{i}")(x))
-            if self.dropout > 0:
+            if self.dropout > 0 and self.dropout_enabled:
                 sub = self.make_rng("prenet")
                 keep = jax.random.bernoulli(sub, 1.0 - self.dropout, x.shape)
                 x = jnp.where(keep, x / (1.0 - self.dropout), 0.0)
         return x
+
+
+class Postnet(nn.Module):
+    """Tacotron 2 Post-Net (reference nnsvs/tacotron/postnet.py:9): a conv
+    stack whose output refines the decoder trajectory residually.
+    BatchNorm uses masked batch statistics so padded frames don't skew the
+    running stats (the reference's unmasked BatchNorm1d sees padding)."""
+
+    layers: int = 5
+    channels: int = 512
+    kernel_size: int = 5
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        from ensemble_svs_with_interactions_tpu.models.layers import (
+            MaskedBatchNorm,
+        )
+
+        in_dim = x.shape[-1]
+        for layer in range(self.layers):
+            out_ch = in_dim if layer == self.layers - 1 else self.channels
+            x = nn.Conv(
+                out_ch,
+                (self.kernel_size,),
+                padding=(self.kernel_size - 1) // 2,
+                use_bias=False,
+                name=f"conv{layer}",
+            )(x)
+            x = MaskedBatchNorm(name=f"bn{layer}")(
+                x, mask=mask, use_running_average=not train
+            )
+            if layer != self.layers - 1:
+                x = jnp.tanh(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x
+
+
+def apply_postnet(parent, outs, lengths, train: bool):
+    """Residual Post-Net refinement shared by the AR decoder wrappers.
+
+    Returns ``[outs, outs + postnet(outs)]`` (the reference returns the
+    coarse/fine pair as a list so the trainer supervises both,
+    nnsvs/acoustic_models/tacotron.py:100-110); inference callers take the
+    last element.  Must be called inside ``parent``'s @nn.compact
+    __call__ with ``postnet_layers > 0``.
+    """
+    mask = None
+    if lengths is not None:
+        mask = (
+            jnp.arange(outs.shape[1])[None, :]
+            < jnp.asarray(lengths)[:, None]
+        )
+    fine = outs + Postnet(
+        layers=parent.postnet_layers,
+        channels=parent.postnet_channels,
+        kernel_size=parent.postnet_kernel_size,
+        dropout=parent.postnet_dropout,
+        name="postnet",
+    )(outs, mask=mask, train=train)
+    return [outs, fine]
 
 
 def zoneout_blend(prev_state, new_state, prob: float, train: bool, rng):
@@ -90,6 +154,8 @@ class _ARDecoderCore(nn.Module):
     use_mdn: bool = False
     num_gaussians: int = 8
     sampling_mode: str = "mean"
+    prenet_noise_std: float = 0.0
+    eval_dropout: bool = True
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -107,8 +173,16 @@ class _ARDecoderCore(nn.Module):
                 self.prenet_layers,
                 self.prenet_hidden_dim,
                 self.prenet_dropout,
+                dropout_enabled=self.train or self.eval_dropout,
                 name="prenet",
             )(prenet_in)
+        elif self.prenet_noise_std > 0:
+            # prenet-less Gaussian-noise regularizer on the fed-back frame
+            # (reference decoder.py:233-235), active at inference too
+            rng = self.make_rng("prenet")
+            prenet_out = prev_out + self.prenet_noise_std * jax.random.normal(
+                rng, prev_out.shape
+            )
         else:
             # prenet-less path always consumes the PREVIOUS frame
             # (reference tacotron_f0.py:190-191 dropout(prev_out))
@@ -302,6 +376,8 @@ def ar_decode(
         use_mdn=use_mdn,
         num_gaussians=int(getattr(parent, "num_gaussians", 8)),
         sampling_mode=str(getattr(parent, "sampling_mode", "mean")),
+        prenet_noise_std=float(getattr(parent, "prenet_noise_std", 0.0)),
+        eval_dropout=bool(getattr(parent, "eval_dropout", True)),
         name="ar_core",
     )
 
@@ -370,6 +446,12 @@ class NonAttentiveDecoder(BaseModel):
     use_mdn: bool = False
     num_gaussians: int = 8
     sampling_mode: str = "mean"
+    prenet_noise_std: float = 0.0
+    eval_dropout: bool = True
+    postnet_layers: int = 0
+    postnet_channels: int = 512
+    postnet_kernel_size: int = 5
+    postnet_dropout: float = 0.0
 
     def is_autoregressive(self) -> bool:
         return True
@@ -393,10 +475,15 @@ class NonAttentiveDecoder(BaseModel):
             residual_f0=False,
             initial_value=self.initial_value,
         )
+        if self.postnet_layers > 0 and not self.use_mdn:
+            return apply_postnet(self, outs, lengths, train)
         return outs
 
     def inference(self, x, lengths=None):
-        return self(x, lengths)
+        outs = self(x, lengths)
+        # Post-Net decoders return [coarse, fine]; serve the refined one
+        # (reference pad_inference, acoustic_models/util.py:146-148)
+        return outs[-1] if isinstance(outs, list) else outs
 
 
 class MDNNonAttentiveDecoder(NonAttentiveDecoder):

@@ -267,21 +267,37 @@ def create_train_step(
         if prediction_type == PredictionType.MULTISTREAM_HYBRID:
             # wrappers with all-deterministic sub-decoders return an
             # already-concatenated (B, T, D) array — split it back into
-            # streams (same guard as train/multitrack.py)
+            # streams; Post-Net wrappers return a LIST of concatenated
+            # refinement stages, each supervised (same as
+            # train/multitrack.py)
             pred_streams = pred_out
-            if not isinstance(pred_streams, (list, tuple)):
-                pred_streams = L.split_streams(
-                    pred_streams, list(stream_sizes)
+            if L.is_refinement_list(pred_streams, list(stream_sizes)):
+                loss_feats = sum(
+                    L.multistream_loss(
+                        L.split_streams(p, list(stream_sizes)),
+                        out_feats,
+                        mask,
+                        stream_sizes,
+                        criterion=feats_criterion,
+                        stream_wise=stream_wise_loss,
+                        stream_weights=stream_weights,
+                    )
+                    for p in pred_streams
+                ) / len(pred_streams)
+            else:
+                if not isinstance(pred_streams, (list, tuple)):
+                    pred_streams = L.split_streams(
+                        pred_streams, list(stream_sizes)
+                    )
+                loss_feats = L.multistream_loss(
+                    pred_streams,
+                    out_feats,
+                    mask,
+                    stream_sizes,
+                    criterion=feats_criterion,
+                    stream_wise=stream_wise_loss,
+                    stream_weights=stream_weights,
                 )
-            loss_feats = L.multistream_loss(
-                pred_streams,
-                out_feats,
-                mask,
-                stream_sizes,
-                criterion=feats_criterion,
-                stream_wise=stream_wise_loss,
-                stream_weights=stream_weights,
-            )
         elif prediction_type == PredictionType.PROBABILISTIC:
             loss_feats = L.mdn_stream_loss(pred_out, out_feats, mask)
         elif prediction_type == PredictionType.DIFFUSION:
@@ -292,9 +308,13 @@ def create_train_step(
                 x_recon, noise, mask, feats_criterion
             )
         else:
-            loss_feats = L.feats_criterion(
-                pred_out, out_feats, mask, feats_criterion
-            )
+            # Post-Net decoders return [coarse, fine]: supervise every
+            # refinement stage (reference train_acoustic.py:145-149)
+            preds = pred_out if isinstance(pred_out, list) else [pred_out]
+            loss_feats = sum(
+                L.feats_criterion(p, out_feats, mask, feats_criterion)
+                for p in preds
+            ) / len(preds)
 
         if pitch_reg_weight > 0 and lf0_residual is not None:
             dyn_ws = batch.get("pitch_reg_dyn_ws", 1.0)

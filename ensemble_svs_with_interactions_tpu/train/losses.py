@@ -54,6 +54,22 @@ def get_stream_weight(
     return [s / total for s in stream_sizes]
 
 
+def is_refinement_list(pred, stream_sizes: Sequence[int]) -> bool:
+    """True when ``pred`` is a Post-Net wrapper's ``[coarse, fine, ...]``
+    list of CONCATENATED outputs (each item full-width), as opposed to a
+    per-stream list whose item widths match ``stream_sizes``."""
+    if not isinstance(pred, list) or not pred:
+        return False
+    widths = [
+        p.shape[-1] if hasattr(p, "shape") and getattr(p, "ndim", 0) else None
+        for p in pred
+    ]
+    if len(pred) == len(stream_sizes) and widths == list(stream_sizes):
+        return False
+    total = sum(stream_sizes)
+    return all(w == total for w in widths)
+
+
 def multistream_loss(
     pred_streams,
     out_feats,
@@ -75,6 +91,22 @@ def multistream_loss(
     loss = 0.0
     total_n = 0.0
     for i, (pred, target) in enumerate(zip(pred_streams, streams)):
+        if isinstance(pred, list):
+            # Post-Net sub-decoder: [coarse, fine] — supervise both
+            # (reference train_acoustic.py:145-149 loops over predictions)
+            for p in pred:
+                err = (
+                    (p - target) ** 2
+                    if criterion in ("l2", "mse")
+                    else jnp.abs(p - target)
+                )
+                m = jnp.broadcast_to(mask, err.shape)
+                if stream_wise:
+                    loss = loss + weights[i] * masked_mean(err, m) / len(pred)
+                else:
+                    loss = loss + jnp.sum(err * m)
+                    total_n = total_n + jnp.sum(m)
+            continue
         if isinstance(pred, tuple) and len(pred) == 3:
             log_pi, log_sigma, mu = pred
             nll = mdn_loss(log_pi, log_sigma, mu, target, reduce=False)

@@ -42,6 +42,9 @@ def interaction_weight(spec, epoch: int, nepochs: int) -> float:
 
 def _stream_to_point(pred_stream):
     """Reduce a stream prediction to a point estimate (mu for MDN)."""
+    if isinstance(pred_stream, list):
+        # Post-Net sub-decoder: take the refined stage
+        pred_stream = pred_stream[-1]
     if isinstance(pred_stream, tuple) and len(pred_stream) == 3:
         from ensemble_svs_with_interactions_tpu.ops.mdn import (
             mdn_get_most_probable_sigma_and_mu,
@@ -77,6 +80,14 @@ def multitrack_acoustic_loss(
 
     streams_main = split_streams(out_main, list(stream_sizes))
     streams_sub = split_streams(out_sub, list(stream_sizes))
+
+    # A full-width LIST is a Post-Net wrapper's [coarse, fine] pair of
+    # concatenated outputs: supervise the fine stage (the interaction
+    # terms read it too); per-stream lists pass through untouched
+    if L.is_refinement_list(pred_main, list(stream_sizes)):
+        pred_main = pred_main[-1]
+    if L.is_refinement_list(pred_sub, list(stream_sizes)):
+        pred_sub = pred_sub[-1]
 
     if prediction_type == PredictionType.MULTISTREAM_HYBRID:
         # per-stream predictions (may be tuples, or already concatenated by

@@ -22,6 +22,7 @@ from ensemble_svs_with_interactions_tpu.data.dataset import (
     FeatsDataset,
 )
 from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
+from ensemble_svs_with_interactions_tpu.train import losses as L
 from ensemble_svs_with_interactions_tpu.train import metrics as M
 from ensemble_svs_with_interactions_tpu.train.loop import (
     MetricsWriter,
@@ -298,6 +299,12 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                     )
 
                     ptype = module.prediction_type()
+                    if L.is_refinement_list(
+                        pred_out, list(config.model.stream_sizes)
+                    ):
+                        # Post-Net wrappers: [coarse, fine] concatenated
+                        # outputs — score the refined stage
+                        pred_out = pred_out[-1]
                     pred_point = pred_out
                     if ptype == PredictionType.DIFFUSION:
                         pred_point = None

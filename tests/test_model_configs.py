@@ -45,7 +45,7 @@ def _shrink(node):
         "hidden_dim", "ff_hidden_dim", "conv_hidden_dim", "lstm_hidden_dim",
         "decoder_hidden_dim", "attention_dim", "embed_dim", "spk_embed_dim",
         "residual_channels", "encoder_hidden_dim", "prenet_hidden_dim",
-        "embedding_dim",
+        "embedding_dim", "postnet_channels", "channels",
     }
     if isinstance(node, Mapping):
         for k, v in list(node.items()):
@@ -58,6 +58,37 @@ def _shrink(node):
                 node[k] = 4
             else:
                 _shrink(v)
+
+
+def _check_postfilter_config(cfg, module, B, T, lengths):
+    """Postfilter configs carry a netG MultistreamPostFilter + netD
+    Conv2dD pair (reference conf/train_postfilter/model/*.yaml): run the
+    generator on a full feature stack and the discriminator on its
+    output."""
+    D = sum(cfg.stream_sizes)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, T, D)), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "noise": jax.random.PRNGKey(1),
+    }
+    v = module.init(rngs, x, lengths, train=True)
+    out = module.apply(
+        v, x, lengths, method="inference", rngs={"noise": jax.random.PRNGKey(2)}
+    )
+    assert out.shape == (B, T, D)
+    assert np.isfinite(np.asarray(out)).all()
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+
+    netD = dict(cfg["netD"])
+    if netD.get("in_dim") is None:
+        netD["in_dim"] = D
+    disc = instantiate(netD)
+    dv = disc.init({"params": jax.random.PRNGKey(3)}, out, train=True)
+    d_outs = disc.apply(dv, out, train=False)
+    leaves = jax.tree_util.tree_leaves(d_outs)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: str(p.relative_to(CONF_ROOT)))
@@ -75,9 +106,12 @@ def test_shipped_config_contract(path):
                 netG[k]["in_dim"] = enc_out + 2
 
     module = instantiate(netG)
-    in_dim = netG["in_dim"]
     B, T = 2, 16
     lengths = jnp.asarray([T, T])
+    if "PostFilter" in netG["_target_"]:
+        _check_postfilter_config(cfg, module, B, T, lengths)
+        return
+    in_dim = netG["in_dim"]
     rngs = {
         "params": jax.random.PRNGKey(0),
         "dropout": jax.random.PRNGKey(1),
@@ -101,7 +135,8 @@ def test_shipped_config_contract(path):
         v = module.init(rngs, x0, x1, spks, lengths, (y, y), train=True)
         out = module.apply(
             v, x0, x1, spks, lengths, method="inference",
-            rngs={"prenet": jax.random.PRNGKey(9)},
+            rngs={"prenet": jax.random.PRNGKey(9),
+                  "diffusion": jax.random.PRNGKey(10)},
             mutable=["batch_stats"],
         )[0]
         assert np.isfinite(np.asarray(out[0])).all()
@@ -111,6 +146,18 @@ def test_shipped_config_contract(path):
         v = module.init(rngs, x, spks, lengths, train=True)
         out = module.apply(v, x, spks, lengths, method="inference")
         assert np.isfinite(np.asarray(out[0])).all()
+    elif "MultiSpeaker" in netG["_target_"]:
+        x = jnp.asarray(rng.uniform(0, 1, (B, T, in_dim)), jnp.float32)
+        spks = jnp.zeros((B,), jnp.int32)
+        v = module.init(rngs, x, spks, lengths, y, train=True)
+        out = module.apply(
+            v, x, spks, lengths, method="inference",
+            rngs={"prenet": jax.random.PRNGKey(9),
+                  "diffusion": jax.random.PRNGKey(10)},
+            mutable=["batch_stats"],
+        )[0]
+        flat = out[0] if isinstance(out, (tuple, list)) else out
+        assert np.isfinite(np.asarray(flat)).all()
     else:
         x = jnp.asarray(rng.uniform(0, 1, (B, T, in_dim)), jnp.float32)
         v = module.init(rngs, x, lengths, y if "Diffusion" in netG["_target_"] else None,

@@ -146,7 +146,7 @@ def test_bilstm_nonattentive_decoder(use_mdn):
     dec = cls(
         in_dim=8, ff_hidden_dim=8, conv_hidden_dim=8, lstm_hidden_dim=4,
         num_lstm_layers=1, out_dim=3, decoder_layers=1, decoder_hidden_dim=8,
-        prenet_layers=0, reduction_factor=1, num_gaussians=2, in_lf0_idx=0,
+        prenet_layers=0, reduction_factor=1, num_gaussians=2,
     )
     x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, 8)),
                     dtype=jnp.float32)
@@ -164,6 +164,114 @@ def test_bilstm_nonattentive_decoder(use_mdn):
     else:
         assert inf.shape == (B, T, 3)
         assert np.isfinite(np.asarray(inf)).all()
+
+
+def test_bilstm_decoder_postnet_coarse_fine():
+    """Post-Net decoders return [coarse, fine] in the forward pass
+    (reference acoustic_models/tacotron.py:293-300) and serve the refined
+    trajectory at inference; the Post-Net contribution must be a real
+    (nonzero) residual."""
+    dec = acoustic.BiLSTMNonAttentiveDecoder(
+        in_dim=8, ff_hidden_dim=8, conv_hidden_dim=8, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=3, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=0, reduction_factor=2, downsample_by_conv=True,
+        postnet_layers=2, postnet_channels=8, postnet_kernel_size=5,
+        initial_value=-4.0, init_type="kaiming_normal",
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, 8)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, T, 3)), dtype=jnp.float32)
+    lengths = jnp.asarray([T, T - 4])
+    v = dec.init(_rngs(), x, lengths, y, train=True)
+    outs, mut = dec.apply(
+        v, x, lengths, y, train=True,
+        rngs={"prenet": jax.random.PRNGKey(7),
+              "zoneout": jax.random.PRNGKey(8),
+              "dropout": jax.random.PRNGKey(9)},
+        mutable=["batch_stats"],
+    )
+    assert isinstance(outs, list) and len(outs) == 2
+    coarse, fine = outs
+    assert coarse.shape == fine.shape == (B, T, 3)
+    assert not np.allclose(np.asarray(coarse), np.asarray(fine))
+
+    inf = dec.apply(
+        v, x, lengths, method="inference",
+        rngs={"prenet": jax.random.PRNGKey(7)},
+    )
+    assert inf.shape == (B, T, 3)
+    assert np.isfinite(np.asarray(inf)).all()
+
+
+def test_npss_deterministic_cascade_postnet_trains():
+    """The deterministic NPSS cascade propagates [coarse, fine] stream
+    outputs as a list of concatenated predictions and the deterministic
+    loss supervises both (reference train_acoustic.py:145-149)."""
+    from ensemble_svs_with_interactions_tpu.train import losses as L
+
+    ss = [4, 1, 1, 2]
+    net = acoustic.NPSSMultistreamParametricModel(
+        in_dim=8, out_dim=8, stream_sizes=ss, reduction_factor=2,
+        in_rest_idx=0, in_lf0_idx=5, out_lf0_idx=4,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9, out_lf0_scale=0.23,
+        vuv_model_bap_conditioning=False, vuv_model_mgc_conditioning=True,
+        lf0_model=acoustic.BiLSTMResF0NonAttentiveDecoder(
+            in_dim=8, out_dim=1, ff_hidden_dim=8, conv_hidden_dim=8,
+            lstm_hidden_dim=4, num_lstm_layers=1, decoder_layers=1,
+            decoder_hidden_dim=8, prenet_layers=0, reduction_factor=2,
+            downsample_by_conv=True, in_lf0_idx=5, out_lf0_idx=0,
+            in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9,
+            out_lf0_scale=0.23, zoneout=0.0,
+        ),
+        mgc_model=acoustic.BiLSTMNonAttentiveDecoder(
+            in_dim=9, out_dim=4, ff_hidden_dim=8, conv_hidden_dim=8,
+            lstm_hidden_dim=4, num_lstm_layers=1, decoder_layers=1,
+            decoder_hidden_dim=8, prenet_layers=0, reduction_factor=2,
+            downsample_by_conv=True, postnet_layers=2, postnet_channels=8,
+            initial_value=-4.0,
+        ),
+        bap_model=acoustic.BiLSTMNonAttentiveDecoder(
+            in_dim=9, out_dim=2, ff_hidden_dim=8, conv_hidden_dim=8,
+            lstm_hidden_dim=4, num_lstm_layers=1, decoder_layers=1,
+            decoder_hidden_dim=8, prenet_layers=0, reduction_factor=2,
+            downsample_by_conv=True,
+        ),
+        vuv_model=acoustic.BiLSTMNonAttentiveDecoder(
+            in_dim=13, out_dim=1, ff_hidden_dim=8, conv_hidden_dim=8,
+            lstm_hidden_dim=4, num_lstm_layers=1, decoder_layers=1,
+            decoder_hidden_dim=8, prenet_layers=0, reduction_factor=2,
+            downsample_by_conv=True,
+        ),
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (B, T, 8)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, T, 8)), dtype=jnp.float32)
+    lengths = jnp.asarray([T, T - 4])
+    v = net.init(_rngs(), x, lengths, y, train=True)
+    (pred, lf0_res), _ = net.apply(
+        v, x, lengths, y, train=True,
+        rngs={"prenet": jax.random.PRNGKey(7),
+              "zoneout": jax.random.PRNGKey(8),
+              "dropout": jax.random.PRNGKey(9)},
+        mutable=["batch_stats"],
+    )
+    # mgc has a Post-Net -> list of 2 concatenated predictions
+    assert isinstance(pred, list) and len(pred) == 2
+    assert pred[0].shape == pred[1].shape == (B, T, 8)
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None].astype(
+        jnp.float32
+    )
+    loss = sum(
+        L.feats_criterion(p, y, mask, "mse") for p in pred
+    ) / len(pred)
+    assert np.isfinite(float(loss))
+
+    out = net.apply(
+        v, x, lengths, method="inference",
+        rngs={"prenet": jax.random.PRNGKey(7)},
+    )
+    assert out.shape == (B, T, 8)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_ar_decoder_odd_length_inference():
