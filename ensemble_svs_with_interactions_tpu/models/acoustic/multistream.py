@@ -409,9 +409,95 @@ class MultistreamSeparateF0MelModel(BaseModel):
         return self(x, lengths)[0]
 
 
-# MDN-headed mel variant uses the same wrapper; the mel_model itself carries
-# the MDN head (reference multistream.py:2207 differs only in loss dispatch)
-MDNMultistreamSeparateF0MelModel = MultistreamSeparateF0MelModel
+class MDNMultistreamSeparateF0MelModel(BaseModel):
+    """Encoder-less mel cascade (reference multistream.py:2207): unlike
+    :class:`MultistreamSeparateF0MelModel`, the mel decoder is conditioned
+    directly on ``cat(x, lf0)`` and V/UV on ``(x [, lf0] [, mel])``,
+    mirroring the NPSS factorization.  Despite the MDN name, sub-decoders
+    may be deterministic, MDN, or diffusion (the reference pairs it with
+    GaussianDiffusion in acoustic_nnsvs_melf0_ar_f0_diff_mel.yaml)."""
+
+    in_dim: int
+    out_dim: int
+    stream_sizes: Sequence[int]
+    reduction_factor: int
+    lf0_model: Any
+    mel_model: Any
+    vuv_model: Any
+    in_rest_idx: int = 0
+    in_lf0_idx: int = 300
+    in_lf0_min: float = 5.3936276
+    in_lf0_max: float = 6.491111
+    out_lf0_idx: int = 180
+    out_lf0_mean: float = 5.953093881972361
+    out_lf0_scale: float = 0.23435173188961034
+    vuv_model_lf0_conditioning: bool = True
+    vuv_model_mel_conditioning: bool = True
+
+    def setup(self):
+        self._mel = _maybe_instantiate(self.mel_model)
+        self._lf0 = _maybe_instantiate(self.lf0_model)
+        self._vuv = _maybe_instantiate(self.vuv_model)
+
+    def prediction_type(self):
+        return PredictionType.MULTISTREAM_HYBRID
+
+    def has_residual_lf0_prediction(self):
+        return True
+
+    def is_autoregressive(self):
+        return self._lf0.is_autoregressive() or self._mel.is_autoregressive()
+
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        from ensemble_svs_with_interactions_tpu.models.acoustic.npss import (
+            _run_stream_decoder,
+        )
+
+        assert x.shape[-1] == self.in_dim
+        assert len(self.stream_sizes) == 3
+        is_inference = y is None
+        if is_inference:
+            y_mel = y_lf0 = y_vuv = None
+        else:
+            y_mel, y_lf0, y_vuv = split_streams(y, list(self.stream_sizes))
+
+        lf0_out = self._lf0(x, lengths, y_lf0, train=train)
+        if isinstance(lf0_out, tuple) and len(lf0_out) == 2:
+            lf0, lf0_residual = lf0_out
+        else:
+            lf0, lf0_residual = lf0_out, None
+        cond_lf0 = point_estimate(lf0) if is_inference else y_lf0
+
+        mel = _run_stream_decoder(
+            self._mel,
+            jnp.concatenate([x, cond_lf0], axis=-1),
+            lengths,
+            y_mel,
+            train=train,
+        )
+
+        # V/UV conditioning order: (x, lf0, mel) — reference
+        # multistream.py:2345-2360 appends lf0 then mel (the in-source
+        # "(x, mel, lf0)" comment contradicts its own code)
+        vuv_inp = [x]
+        if self.vuv_model_lf0_conditioning:
+            vuv_inp.append(cond_lf0 if is_inference else y_lf0)
+        if self.vuv_model_mel_conditioning:
+            vuv_inp.append(point_estimate(mel) if is_inference else y_mel)
+        vuv = self._vuv(
+            jnp.concatenate(vuv_inp, axis=-1), lengths, y_vuv, train=train
+        )
+
+        if is_inference:
+            out = jnp.concatenate(
+                [point_estimate(mel), point_estimate(lf0), vuv], axis=-1
+            )
+            assert out.shape[-1] == self.out_dim
+            return out, out  # reference returns (out, out) at inference
+        return (mel, lf0, vuv), lf0_residual
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)[0]
 
 
 class MultiTrackMultistreamSeparateF0ParametricModelv3(

@@ -144,10 +144,15 @@ class NPSSMultistreamParametricModel(_NPSSBase):
     # (reference multistream.py:995-1005)
     _VUV_COND_ORDER = ("mgc", "bap", "lf0")
 
+    # reference knob that was never implemented upstream either
+    # (multistream.py:871-886 asserts it off)
+    npss_style_conditioning: bool = False
+
     def prediction_type(self):
         return PredictionType.DETERMINISTIC
 
     def __call__(self, x, lengths=None, y=None, train: bool = False):
+        assert not self.npss_style_conditioning, "Not supported"
         assert x.shape[-1] == self.in_dim
         mgc, lf0, vuv, bap, lf0_residual = self._cascade(x, lengths, y, train=train)
         out = concat_stream_outputs([mgc, lf0, vuv, bap], self.out_dim)

@@ -256,6 +256,10 @@ class MultiTrackBiLSTMResF0NonAttentiveDecoder(BaseModel):
     embed_dim: Optional[int] = None
     init_type: str = "none"
     eval_dropout: bool = True
+    # accepted for reference-config compatibility; the reference declares
+    # num_speaker=15 but never reads it (tacotron_f0.py:800 — speaker
+    # embeddings arrive pre-computed as spk_emb_main/spk_emb_sub)
+    num_speaker: Optional[int] = None
 
     def is_autoregressive(self) -> bool:
         return True

@@ -120,6 +120,11 @@ class GaussianDiffusion(BaseModel):
     encoder: Any = None
     K_step: int = 100
     schedule_type: str = "linear"
+    # explicit beta array overrides the schedule; scheduler_params feeds
+    # the schedule builder (reference configs pass betas: null +
+    # scheduler_params: {max_beta: 0.06}, diffsinger/diffusion.py:54-80)
+    betas: Any = None
+    scheduler_params: Any = None
     norm_scale: float = 10.0
     pndm_speedup: Optional[int] = None
 
@@ -130,10 +135,15 @@ class GaussianDiffusion(BaseModel):
 
         self._denoiser = _maybe_instantiate(self.denoise_fn)
         self._encoder = _maybe_instantiate(self.encoder)
-        if self.schedule_type == "linear":
-            betas = linear_beta_schedule(self.K_step)
+        if self.betas is not None:
+            betas = np.asarray(self.betas, np.float64)
+            assert len(betas) == self.K_step
         else:
-            betas = cosine_beta_schedule(self.K_step)
+            params = dict(self.scheduler_params or {})
+            if self.schedule_type == "linear":
+                betas = linear_beta_schedule(self.K_step, **params)
+            else:
+                betas = cosine_beta_schedule(self.K_step, **params)
         alphas_cumprod = np.cumprod(1.0 - betas)
         prev = np.append(1.0, alphas_cumprod[:-1])
         self._betas = jnp.asarray(betas, jnp.float32)
@@ -400,6 +410,10 @@ class FFTBlocksEncoder(BaseModel):
     num_layers: int = 4
     num_heads: int = 2
     kernel_size: int = 9  # == reference ffn_kernel_size
+    # config-compat alias: reference configs say ffn_kernel_size
+    # (fs2.py:750); overrides kernel_size when given
+    ffn_kernel_size: Optional[int] = None
+    norm: str = "ln"  # only LayerNorm is implemented (fs2.py:755 default)
     dropout: float = 0.1
     use_pos_embed: bool = True
     use_last_norm: bool = True
@@ -416,6 +430,7 @@ class FFTBlocksEncoder(BaseModel):
             PhonemeContextEmbedding,
         )
 
+        assert self.norm == "ln", "only LayerNorm FFT blocks are supported"
         B, T = x.shape[0], x.shape[1]
         if lengths is None:
             lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -456,9 +471,14 @@ class FFTBlocksEncoder(BaseModel):
             h = h + alpha * (h * np.sqrt(self.hidden_dim) + pe)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = h * fmask
+        ffn_k = (
+            self.ffn_kernel_size
+            if self.ffn_kernel_size is not None
+            else self.kernel_size
+        )
         for _ in range(self.num_layers):
             h = _FFTBlock(
-                self.hidden_dim, self.num_heads, self.kernel_size, self.dropout
+                self.hidden_dim, self.num_heads, ffn_k, self.dropout
             )(h, mask, train=train)
         if self.use_last_norm:
             h = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(h) * fmask

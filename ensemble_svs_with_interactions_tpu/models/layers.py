@@ -342,6 +342,7 @@ class TrTimeInvFIRFilter(nn.Module):
 
     channels: int
     filt_dim: int
+    causal: bool = True
     tanh: bool = True
     fixed_0th: bool = True
 
@@ -360,15 +361,20 @@ class TrTimeInvFIRFilter(nn.Module):
         return b
 
     def __call__(self, x):
-        """Apply the causal FIR filter to (B, T, C)."""
+        """Apply the FIR filter to (B, T, C).  Causal: y[t] = Σ b_k x[t−k];
+        non-causal shifts the window by (K−1)//2 like the reference's
+        symmetric Conv1d padding (nnsvs/dsp.py:110-118)."""
         b = self.coefs()  # (C, K)
         K = self.filt_dim
-        x_pad = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0)))
-        # y[t] = sum_k b[k] x[t-k]
+        shift = 0 if self.causal else (K - 1) // 2
+        x_pad = jnp.pad(x, ((0, 0), (K - 1 - shift, shift), (0, 0)))
+        # y[t] = sum_k b[k] x[t-k+shift]; with left pad K-1-shift the
+        # x_pad slice offset for tap k is K-1-k regardless of shift
         out = jnp.zeros_like(x)
         for k in range(K):
+            lo = K - 1 - k
             out = out + b[None, None, :, k].squeeze(0) * x_pad[
-                :, K - 1 - k : K - 1 - k + x.shape[1], :
+                :, lo : lo + x.shape[1], :
             ]
         return out
 
@@ -377,6 +383,7 @@ class TrTimeInvFIRFilter(nn.Module):
 
         y[t] = x[t] - sum_{k>=1} b_k y[t-k]
         """
+        assert self.causal, "inverse IIR filtering requires a causal filter"
         b = self.coefs()  # (C, K)
         K = self.filt_dim
         if K == 1:

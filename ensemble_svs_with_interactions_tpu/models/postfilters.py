@@ -77,6 +77,9 @@ class Conv2dPostFilter(BaseModel):
     noise_scale: float = 1.0
     noise_type: str = "bin_wise"
     smoothing_width: int = -1
+    # accepted for reference-config compatibility (postfilters.py:84);
+    # flax infers the feature dim from the input
+    in_dim: Optional[int] = None
 
     @nn.compact
     def __call__(

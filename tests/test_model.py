@@ -195,6 +195,25 @@ def test_lstm_masking_matches_unpadded():
     assert np.allclose(np.asarray(out_pad)[:, 6:], 0.0)
 
 
+def test_fir_filter_noncausal_centered():
+    """Non-causal mode centers the filter window: y[t] = Σ b_k x[t−k+p]
+    with p=(K−1)//2 (reference nnsvs/dsp.py:110-138 symmetric Conv1d
+    padding, untrimmed output)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 12, 2)).astype(np.float32))
+    filt = TrTimeInvFIRFilter(2, 5, causal=False, tanh=False, fixed_0th=False)
+    variables = filt.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(filt.apply(variables, x))
+    b = np.asarray(
+        filt.apply(variables, method="coefs")
+    )  # (C, K)
+    xn = np.asarray(x)[0]
+    # centered FIR == np.convolve 'same' (odd K) per channel
+    for c in range(2):
+        expect = np.convolve(xn[:, c], b[c], mode="same")
+        np.testing.assert_allclose(y[0, :, c], expect, atol=1e-5)
+
+
 def test_fir_filter_inverse_roundtrip():
     """FIR analysis then IIR inverse must recover the input."""
     rng = np.random.default_rng(0)

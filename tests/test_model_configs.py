@@ -160,8 +160,10 @@ def test_shipped_config_contract(path):
         assert np.isfinite(np.asarray(flat)).all()
     else:
         x = jnp.asarray(rng.uniform(0, 1, (B, T, in_dim)), jnp.float32)
-        v = module.init(rngs, x, lengths, y if "Diffusion" in netG["_target_"] else None,
-                        train=True)
+        # init teacher-forced: every model accepts y per the __call__
+        # contract, and cascade wrappers with diffusion sub-decoders
+        # REQUIRE it in the training path
+        v = module.init(rngs, x, lengths, y, train=True)
         out = module.apply(
             v, x, lengths, method="inference",
             rngs={"prenet": jax.random.PRNGKey(9),

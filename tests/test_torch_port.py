@@ -251,6 +251,55 @@ def test_port_res_skip_f0_ffconvlstm(ref_models):
     np.testing.assert_allclose(np.asarray(f_res), t_res.numpy(), atol=1e-5)
 
 
+def test_port_bilstm_postnet_decoder(ref_models):
+    """BiLSTMNonAttentiveDecoder with a residual Post-Net and AR
+    initial_value: ported weights must reproduce the reference's
+    teacher-forced [coarse, fine] forward (acoustic_models/tacotron.py:
+    118-300, postnet.py:9)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.acoustic_models import BiLSTMNonAttentiveDecoder as TModel
+
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        BiLSTMNonAttentiveDecoder as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(11)
+    kw = dict(
+        in_dim=12, ff_hidden_dim=8, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=3, decoder_layers=1, decoder_hidden_dim=8,
+        prenet_layers=1, prenet_hidden_dim=4, prenet_dropout=0.0,
+        zoneout=0.0, reduction_factor=1, embed_dim=None,
+        postnet_layers=2, postnet_channels=5, postnet_kernel_size=5,
+        postnet_dropout=0.0, initial_value=-4.0,
+    )
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 6, 12)), jnp.asarray([6]), jnp.zeros((1, 6, 3)),
+        train=True,
+    )
+    pv, _ = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    x = np.random.default_rng(13).normal(size=(1, 6, 12)).astype(np.float32)
+    y = np.random.default_rng(14).normal(size=(1, 6, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_coarse, t_fine = tm(torch.from_numpy(x), [6], torch.from_numpy(y))
+    f_coarse, f_fine = fm.apply(
+        pv, jnp.asarray(x), jnp.asarray([6]), jnp.asarray(y),
+        rngs={"prenet": jax.random.PRNGKey(9),
+              "zoneout": jax.random.PRNGKey(10)},
+    )
+    np.testing.assert_allclose(np.asarray(f_coarse), t_coarse.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_fine), t_fine.numpy(), atol=1e-5)
+
+
 def test_port_flagship_multitrack(ref_models):
     """THE paper's acoustic model: MultiTrackMultistreamSeparateF0
     ParametricModel ported end-to-end, teacher-forced forward parity
