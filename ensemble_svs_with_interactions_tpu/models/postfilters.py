@@ -178,3 +178,166 @@ class MultistreamPostFilter(BaseModel):
 
     def inference(self, x, lengths=None):
         return self(x, lengths, is_inference=True)
+
+
+class MelF0MultistreamPostFilter(BaseModel):
+    """3-stream (mel, lf0, vuv) postfilter router
+    (reference nnsvs/postfilters.py:309-368): mel and lf0 run through
+    their own postfilters (first ``mel_offset`` mel dims pass through),
+    V/UV is untouched."""
+
+    mel_postfilter: Optional[BaseModel]
+    lf0_postfilter: Optional[BaseModel]
+    stream_sizes: Sequence[int] = (80, 1, 1)
+    mel_offset: int = 0
+
+    def __call__(
+        self,
+        x,
+        lengths=None,
+        y=None,
+        train: bool = False,
+        is_inference: bool = False,
+    ):
+        def _run(pf, s):
+            if is_inference:
+                return pf.inference(s, lengths)
+            return pf(s, lengths, train=train)
+
+        streams = split_streams(x, list(self.stream_sizes))
+        assert len(streams) == 3
+        mel, lf0, vuv = streams
+        if self.mel_postfilter is not None:
+            if self.mel_offset > 0:
+                mel0 = mel[:, :, : self.mel_offset]
+                mel = jnp.concatenate(
+                    [mel0, _run(self.mel_postfilter, mel[:, :, self.mel_offset :])],
+                    axis=-1,
+                )
+            else:
+                mel = _run(self.mel_postfilter, mel)
+        if self.lf0_postfilter is not None:
+            lf0 = _run(self.lf0_postfilter, lf0)
+        return jnp.concatenate([mel, lf0, vuv], axis=-1)
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths, is_inference=True)
+
+
+def _reflect_pad2d(x, top: int, bottom: int, left: int, right: int):
+    """Reflection-pad a (B, T, D, C) image on the T (top/bottom) and D
+    (left/right) axes."""
+    return jnp.pad(
+        x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="reflect"
+    )
+
+
+class _PadConv2dPostFilter(nn.Module):
+    """One band of the low/mid/high split postfilter
+    (reference nnsvs/postfilters.py:371-457): the feature axis is
+    reflection-padded on only one side so adjacent bands overlap by the
+    conv padding width."""
+
+    in_dim: int
+    channels: int = 128
+    kernel_size: int = 5
+    init_type: str = "kaiming_normal"
+    padding_side: str = "left"
+
+    @nn.compact
+    def __call__(self, x, z):
+        init = kernel_initializer(self.init_type)
+        ks = self.kernel_size
+        pad = (ks - 1) // 2
+        C = self.channels
+
+        # z: (B, T, 1) shared noise -> per-dim via a linear layer
+        z = nn.Dense(self.in_dim, kernel_init=init, name="fc")(z)
+        x_img = x[..., None]  # (B, T, D, 1)
+        z_img = z[..., None]
+
+        if self.padding_side == "left":
+            lr = (pad, 0)
+        elif self.padding_side == "none":
+            lr = (0, 0)
+        elif self.padding_side == "right":
+            lr = (0, pad)
+        else:
+            raise ValueError("Invalid padding side")
+        h = jnp.concatenate(
+            [
+                _reflect_pad2d(x_img, pad, pad, *lr),
+                _reflect_pad2d(z_img, pad, pad, *lr),
+            ],
+            axis=-1,
+        )
+        h = nn.relu(
+            nn.Conv(C, (ks, ks), padding="VALID", kernel_init=init, name="conv1")(h)
+        )
+
+        # the band output drops the overlap columns eaten by conv1
+        if self.padding_side == "left":
+            x_syn = x_img[:, :, :-pad]
+        elif self.padding_side == "none":
+            x_syn = x_img[:, :, pad:-pad]
+        else:
+            x_syn = x_img[:, :, pad:]
+
+        def _conv(h, ch, kw, name):
+            h = _reflect_pad2d(h, pad, pad, (kw - 1) // 2, (kw - 1) // 2)
+            return nn.Conv(
+                ch, (ks, kw), padding="VALID", kernel_init=init, name=name
+            )(h)
+
+        h = nn.relu(_conv(jnp.concatenate([x_syn, h], -1), C * 2, 3, "conv2"))
+        h = nn.relu(_conv(jnp.concatenate([x_syn, h], -1), C, 3, "conv3"))
+        residual = _conv(jnp.concatenate([x_syn, h], -1), 1, 1, "conv4")
+        return (x_syn + residual)[..., 0]
+
+
+class MultistreamConv2dPostFilter(BaseModel):
+    """Conv2d MGC postfilter split into low/mid/high bands with
+    kernel-width overlaps (reference nnsvs/postfilters.py:460-559)."""
+
+    in_dim: Optional[int] = None
+    channels: int = 128
+    kernel_size: int = 5
+    init_type: str = "kaiming_normal"
+    noise_scale: float = 1.0
+    stream_sizes: Sequence[int] = (8, 20, 30)
+
+    @nn.compact
+    def __call__(self, x, lengths=None, y=None, train: bool = False):
+        assert len(self.stream_sizes) == 3
+        assert x.shape[-1] == sum(self.stream_sizes)
+        pad = (self.kernel_size - 1) // 2
+        s0, s1, _ = self.stream_sizes
+
+        key = (
+            self.make_rng("noise")
+            if self.has_rng("noise")
+            else jax.random.PRNGKey(0)
+        )
+        z = jax.random.normal(key, (x.shape[0], x.shape[1], 1)) * self.noise_scale
+
+        kw = dict(
+            channels=self.channels,
+            kernel_size=self.kernel_size,
+            init_type=self.init_type,
+        )
+        out1 = _PadConv2dPostFilter(
+            s0 + pad, padding_side="left", name="low_postfilter", **kw
+        )(x[:, :, : s0 + pad], z)
+        out2 = _PadConv2dPostFilter(
+            s1 + 2 * pad, padding_side="none", name="mid_postfilter", **kw
+        )(x[:, :, s0 - pad : s0 + s1 + pad], z)
+        out3 = _PadConv2dPostFilter(
+            sum(self.stream_sizes[2:]) + pad,
+            padding_side="right",
+            name="high_postfilter",
+            **kw,
+        )(x[:, :, s0 + s1 - pad :], z)
+        return jnp.concatenate([out1, out2, out3], axis=-1)
+
+    def inference(self, x, lengths=None):
+        return self(x, lengths)

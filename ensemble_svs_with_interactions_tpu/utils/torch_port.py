@@ -124,6 +124,13 @@ def _torch_units(sd: Dict[str, np.ndarray]) -> List[Tuple[str, str, Dict]]:
                     tensors["bias"] = sd[bias_k]
                     seen.add(bias_k)
                 units.append(("conv1d", prefix, tensors))
+            elif w.ndim == 4:
+                tensors = {"weight": w}
+                seen.add(k)
+                if bias_k in sd:
+                    tensors["bias"] = sd[bias_k]
+                    seen.add(bias_k)
+                units.append(("conv2d", prefix, tensors))
             elif w.ndim == 1 and bias_k in sd:
                 # LayerNorm / affine norm (no running stats)
                 tensors = {"weight": w, "bias": sd[bias_k]}
@@ -176,7 +183,8 @@ def _flax_units(params: Dict, path: str = "") -> List[Tuple[str, str, Dict]]:
         units.append(("lstm_cell", path, params))
         return units
     if "kernel" in keys:
-        kind = "conv1d" if np.ndim(params["kernel"]) == 3 else "linear"
+        rank = np.ndim(params["kernel"])
+        kind = {3: "conv1d", 4: "conv2d"}.get(rank, "linear")
         units.append((kind, path, params))
         return units
     if "scale" in keys and "bias" in keys and len(keys) == 2:
@@ -248,6 +256,13 @@ def _assign(new_params, new_stats, kind, fpath, funit, tensors):
         _set_wn_scale(funit, w)
         if "bias" in tensors and "bias" in funit:
             _set_path(new_params, fpath, "bias", tensors["bias"])
+    elif kind == "conv2d":
+        # (out, in, kh, kw) -> (kh, kw, in, out)
+        w = np.ascontiguousarray(tensors["weight"].transpose(2, 3, 1, 0))
+        _set_path(new_params, fpath, "kernel", w)
+        _set_wn_scale(funit, w)
+        if "bias" in tensors and "bias" in funit:
+            _set_path(new_params, fpath, "bias", tensors["bias"])
     elif kind == "lstm_cell":
         w_ih = tensors[[k for k in tensors if k.startswith("weight_ih")][0]]
         w_hh = tensors[[k for k in tensors if k.startswith("weight_hh")][0]]
@@ -308,6 +323,10 @@ def _shapes_compatible(kind, funit, tensors) -> bool:
     if kind == "conv1d":
         return tuple(np.shape(funit["kernel"])) == tuple(
             tensors["weight"].transpose(2, 1, 0).shape
+        )
+    if kind == "conv2d":
+        return tuple(np.shape(funit["kernel"])) == tuple(
+            tensors["weight"].transpose(2, 3, 1, 0).shape
         )
     if kind == "lstm_cell":
         w_ih = tensors[[k for k in tensors if k.startswith("weight_ih")][0]]

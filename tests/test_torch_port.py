@@ -976,3 +976,76 @@ def test_port_conv1d_resnet_sar(ref_models):
     f_inf = fm.apply(pv, jnp.asarray(x), jnp.asarray([T]), method="inference")
     np.testing.assert_allclose(np.asarray(f_pre), t_pre.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(f_inf), t_inf.numpy(), atol=1e-4)
+
+
+def test_port_multistream_conv2d_postfilter(ref_models):
+    """MultistreamConv2dPostFilter: the low/mid/high band split with
+    one-sided reflection padding must match the reference bit-near-exactly
+    (postfilters.py:371-559).  noise_scale=0 makes the forward
+    deterministic so outputs are directly comparable."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.postfilters import MultistreamConv2dPostFilter as TModel
+
+    from ensemble_svs_with_interactions_tpu.models.postfilters import (
+        MultistreamConv2dPostFilter as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(21)
+    kw = dict(channels=3, kernel_size=5, noise_scale=0.0,
+              stream_sizes=(4, 6, 8))
+    tm = TModel(**kw).eval()
+    fm = FModel(**kw)
+    x = np.random.default_rng(22).normal(size=(1, 12, 18)).astype(np.float32)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(x),
+    )
+    pv, _ = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x))
+    f_out = fm.apply(pv, jnp.asarray(x),
+                     rngs={"noise": jax.random.PRNGKey(2)})
+    assert f_out.shape == t_out.shape
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+
+
+def test_port_conv2d_postfilter(ref_models):
+    """Conv2dPostFilter with an asymmetric kernel: ported 2-D conv kernels
+    must keep their spatial orientation (regression: 4-dim weights were
+    matched as 'linear' and silently kh<->kw-transposed for square
+    kernels, mismatched otherwise)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from nnsvs.postfilters import Conv2dPostFilter as TModel
+
+    from ensemble_svs_with_interactions_tpu.models.postfilters import (
+        Conv2dPostFilter as FModel,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
+
+    torch.manual_seed(23)
+    tm = TModel(in_dim=7, channels=3, kernel_size=(5, 3),
+                noise_type="bin_wise", noise_scale=0.0).eval()
+    fm = FModel(channels=3, kernel_size=(5, 3), noise_type="bin_wise",
+                noise_scale=0.0)
+    x = np.random.default_rng(24).normal(size=(1, 11, 7)).astype(np.float32)
+    fv = fm.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.asarray(x),
+    )
+    pv, _ = torch_to_flax(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+    )
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x), [11])
+    f_out = fm.apply(pv, jnp.asarray(x),
+                     rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
