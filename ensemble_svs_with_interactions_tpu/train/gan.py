@@ -19,6 +19,10 @@ import optax
 from ensemble_svs_with_interactions_tpu.train.losses import masked_mean
 
 
+def nn_relu(x):
+    return jnp.maximum(x, 0.0)
+
+
 def create_gan_train_step(
     netG,
     netD,
@@ -28,6 +32,11 @@ def create_gan_train_step(
     fm_weight: float = 2.0,
     recon_weight: float = 1.0,
     clip_norm: float = 1.0,
+    gan_type: str = "lsgan",
+    stream_sizes=None,
+    adv_streams=None,
+    mask_nth_mgc_for_adv_loss: int = 0,
+    vuv_mask: bool = False,
 ):
     """Build a jitted GAN train step.
 
@@ -35,7 +44,41 @@ def create_gan_train_step(
     netD: discriminator returning a list of feature maps (logits last).
     Batch: in_feats (B, T, D) degraded, out_feats (B, T, D) target,
     lengths (B,).
+
+    Reference knobs (nnsvs/bin/train_postfilter.py:43-215):
+      * ``gan_type``: "lsgan" | "vanilla-gan" | "hinge";
+      * ``adv_streams``: per-stream bools selecting which streams feed
+        the discriminator (with ``stream_sizes``);
+      * ``mask_nth_mgc_for_adv_loss``: drop the first n dims of the
+        D input (energy coefficients);
+      * ``vuv_mask``: zero D inputs on frames unvoiced in either the
+        target or the degraded input (vuv stream at sum(sizes[:2])).
     """
+    if gan_type not in ("lsgan", "vanilla-gan", "hinge"):
+        raise ValueError(f"Unknown gan type: {gan_type}")
+
+    from ensemble_svs_with_interactions_tpu.ops.multistream import (
+        select_streams,
+    )
+
+    eps = 1e-14
+
+    def _adv_input(feats):
+        if adv_streams is not None and stream_sizes is not None:
+            feats = select_streams(feats, list(stream_sizes), list(adv_streams))
+        if mask_nth_mgc_for_adv_loss > 0:
+            feats = feats[:, :, mask_nth_mgc_for_adv_loss:]
+        return feats
+
+    def _vuv_weight(x, y):
+        if not vuv_mask:
+            return 1.0
+        vuv_idx = int(sum(stream_sizes[:2]))
+        is_v = jnp.logical_and(
+            y[:, :, vuv_idx : vuv_idx + 1] > 0,
+            x[:, :, vuv_idx : vuv_idx + 1] > 0,
+        )
+        return is_v.astype(jnp.float32)
 
     def _d_mean(vals, mask):
         # mask D outputs over padded frames when the time resolution
@@ -58,9 +101,17 @@ def create_gan_train_step(
             rngs={"dropout": rng_drop, "noise": rng_noise},
         )
         loss_recon = masked_mean((fake - y) ** 2, mask)
-        d_fake = netD.apply({"params": paramsD}, fake * mask)
-        d_real = netD.apply({"params": paramsD}, y * mask)
-        loss_adv = _d_mean((d_fake[-1] - 1.0) ** 2, mask)
+        vuv = _vuv_weight(x, y)
+        d_fake = netD.apply({"params": paramsD}, _adv_input(fake) * vuv * mask)
+        d_real = netD.apply({"params": paramsD}, _adv_input(y) * vuv * mask)
+        logits = d_fake[-1]
+        if gan_type == "lsgan":
+            adv = (1.0 - logits) ** 2
+        elif gan_type == "vanilla-gan":
+            adv = -jnp.log(logits + eps)
+        else:  # hinge
+            adv = -logits
+        loss_adv = _d_mean(adv, mask)
         loss_fm = sum(
             _d_mean(jnp.abs(f - jax.lax.stop_gradient(r)), mask)
             for f, r in zip(d_fake[:-1], d_real[:-1])
@@ -84,10 +135,22 @@ def create_gan_train_step(
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[
             :, :, None
         ]
-        d_real = netD.apply({"params": paramsD}, y * mask)
-        d_fake = netD.apply({"params": paramsD}, jax.lax.stop_gradient(fake) * mask)
-        loss_real = _d_mean((d_real[-1] - 1.0) ** 2, mask)
-        loss_fake = _d_mean(d_fake[-1] ** 2, mask)
+        vuv = _vuv_weight(x, y)
+        d_real = netD.apply({"params": paramsD}, _adv_input(y) * vuv * mask)
+        d_fake = netD.apply(
+            {"params": paramsD},
+            _adv_input(jax.lax.stop_gradient(fake)) * vuv * mask,
+        )
+        r, f = d_real[-1], d_fake[-1]
+        if gan_type == "lsgan":
+            loss_real = _d_mean((r - 1.0) ** 2, mask)
+            loss_fake = _d_mean(f ** 2, mask)
+        elif gan_type == "vanilla-gan":
+            loss_real = _d_mean(-jnp.log(r + eps), mask)
+            loss_fake = _d_mean(-jnp.log(1.0 - f + eps), mask)
+        else:  # hinge
+            loss_real = _d_mean(nn_relu(1.0 - r), mask)
+            loss_fake = _d_mean(nn_relu(1.0 + f), mask)
         loss = loss_real + loss_fake
         return loss, {"Loss_D": loss, "Loss_D_Real": loss_real, "Loss_D_Fake": loss_fake}
 

@@ -68,6 +68,10 @@ def train_postfilter(config: Config) -> Dict[str, float]:
         "optD_state": optD.init(vD["params"]),
         "step": 0,
     }
+    adv_streams = config.train.get("adv_streams", None)
+    stream_sizes = list(config.model.get("stream_sizes", []) or [])
+    if adv_streams is not None and len(adv_streams) != len(stream_sizes):
+        raise ValueError("adv_streams must be specified for all streams")
     step_fn = create_gan_train_step(
         netG,
         netD,
@@ -75,8 +79,20 @@ def train_postfilter(config: Config) -> Dict[str, float]:
         optD,
         adv_weight=float(config.train.get("adv_weight", 1.0)),
         fm_weight=float(config.train.get("fm_weight", 2.0)),
-        recon_weight=float(config.train.get("recon_weight", 1.0)),
+        # the reference names the reconstruction weight mse_weight
+        recon_weight=float(
+            config.train.get(
+                "mse_weight", config.train.get("recon_weight", 1.0)
+            )
+        ),
         clip_norm=float(config.train.optim.get("clip_norm", 1.0)),
+        gan_type=str(config.train.get("gan_type", "lsgan")),
+        stream_sizes=stream_sizes or None,
+        adv_streams=list(adv_streams) if adv_streams is not None else None,
+        mask_nth_mgc_for_adv_loss=int(
+            config.train.get("mask_nth_mgc_for_adv_loss", 0)
+        ),
+        vuv_mask=bool(config.train.get("vuv_mask", False)),
     )
 
     datasets = {}

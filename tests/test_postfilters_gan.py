@@ -115,6 +115,55 @@ def test_gan_train_step_runs_and_improves():
     assert float(metrics["Loss_Recon"]) < first
 
 
+@pytest.mark.parametrize("gan_type", ["lsgan", "vanilla-gan", "hinge"])
+def test_gan_train_step_reference_knobs(gan_type):
+    """The reference train_postfilter knobs: adv_streams stream selection,
+    mask_nth_mgc_for_adv_loss, vuv masking, and all three gan_type loss
+    families (nnsvs/bin/train_postfilter.py:43-215)."""
+    ss = [4, 1, 1, 2]
+    Dd = sum(ss)
+    netG = Conv2dPostFilter(channels=4)
+    # adv input = mgc (minus 1 energy dim) + bap = 4 - 1 + 2 = 5 dims
+    netD = Conv2dD(channels=4, padding=None, last_sigmoid=(gan_type == "vanilla-gan"))
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, T, Dd)).astype(np.float32) * 0.5
+    y = (x * 1.5).astype(np.float32)
+    x[:, :, sum(ss[:2])] = rng.integers(0, 2, size=(B, T))  # vuv streams
+    y[:, :, sum(ss[:2])] = x[:, :, sum(ss[:2])]
+    batch = {
+        "in_feats": jnp.asarray(x),
+        "out_feats": jnp.asarray(y),
+        "lengths": jnp.asarray([T, T - 3]),
+    }
+    vG = netG.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch["in_feats"],
+    )
+    vD = netD.init(jax.random.PRNGKey(2), jnp.zeros((B, T, 5)))
+    optG, optD = optax.adam(1e-3), optax.adam(1e-3)
+    state = {
+        "paramsG": vG["params"],
+        "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]),
+        "step": jnp.asarray(0),
+    }
+    step = create_gan_train_step(
+        netG, netD, optG, optD,
+        gan_type=gan_type,
+        stream_sizes=ss,
+        adv_streams=[True, False, False, True],
+        mask_nth_mgc_for_adv_loss=1,
+        vuv_mask=True,
+    )
+    key = jax.random.PRNGKey(5)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    for name in ("Loss_G", "Loss_D", "Loss_Recon", "Loss_Adv"):
+        assert np.isfinite(float(metrics[name])), name
+
+
 def test_train_postfilter_cli(tmp_path):
     """Full postfilter GAN training loop from the CLI entry point."""
     import yaml
