@@ -4,11 +4,18 @@ UnivNet multi-resolution spectral.
 Parity targets: /root/reference/nnsvs/usfgan/models/discriminator.py:28-980.
 Audio is (B, T, 1) feature-last; each discriminator returns a list of
 feature maps with the final logits last (feature-matching taps).
+
+The full reference config surface is accepted (kernel_sizes, bias,
+nonlinear_activation(+params), use_weight_norm, nested
+``*_discriminator_params`` dicts) so reference vocoder-training YAMLs
+port key-for-key.  ``use_spectral_norm`` is accepted but must stay False
+(the reference default; power-iteration state would need a mutable
+collection through the GAN step).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -18,61 +25,127 @@ import numpy as np
 from ensemble_svs_with_interactions_tpu.base import BaseModel
 
 
+def _activation(name: str, params: Optional[dict]):
+    params = dict(params or {})
+    if name == "LeakyReLU":
+        slope = float(params.get("negative_slope", 0.01))
+        return lambda x: nn.leaky_relu(x, slope)
+    if name == "ReLU":
+        return nn.relu
+    raise ValueError(f"unsupported activation: {name}")
+
+
+def _maybe_wn(conv, use_weight_norm: bool):
+    return nn.WeightNorm(conv) if use_weight_norm else conv
+
+
 class PWGDiscriminator(BaseModel):
     """Parallel WaveGAN discriminator: stacked dilated convs
     (discriminator.py:28)."""
 
+    in_channels: int = 1
+    out_channels: int = 1
     layers: int = 10
     conv_channels: int = 64
     kernel_size: int = 3
+    dilation_factor: int = 1
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Any = None
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        act = _activation(
+            self.nonlinear_activation,
+            self.nonlinear_activation_params or {"negative_slope": 0.2},
+        )
         feats = []
         h = x
         for i in range(self.layers - 1):
-            dilation = i if i > 0 else 1
-            h = nn.Conv(
-                self.conv_channels,
-                (self.kernel_size,),
-                kernel_dilation=(dilation,),
-                padding="SAME",
+            dilation = i * self.dilation_factor if i > 0 else 1
+            h = _maybe_wn(
+                nn.Conv(
+                    self.conv_channels,
+                    (self.kernel_size,),
+                    kernel_dilation=(dilation,),
+                    padding="SAME",
+                    use_bias=self.bias,
+                ),
+                self.use_weight_norm,
             )(h)
-            h = nn.leaky_relu(h, 0.2)
+            h = act(h)
             feats.append(h)
-        h = nn.Conv(1, (self.kernel_size,), padding="SAME")(h)
+        h = _maybe_wn(
+            nn.Conv(
+                self.out_channels,
+                (self.kernel_size,),
+                padding="SAME",
+                use_bias=self.bias,
+            ),
+            self.use_weight_norm,
+        )(h)
         feats.append(h)
         return feats
 
 
 class HiFiGANPeriodDiscriminator(BaseModel):
     """Period discriminator: fold time into (T/p, p) and conv2d
-    (discriminator.py:146)."""
+    (discriminator.py:146).  ``kernel_sizes`` = (downsample convs, final
+    conv); the final conv keeps kernel_sizes[1] (the reference's
+    ``kernel_sizes[1] - 1`` even-kernel quirk is not reproduced)."""
 
+    in_channels: int = 1
+    out_channels: int = 1
     period: int = 3
+    kernel_sizes: Sequence[int] = (5, 3)
     channels: int = 32
-    kernel_size: int = 5
     max_downsample_channels: int = 1024  # reference discriminator.py:157
     downsample_scales: Sequence[int] = (3, 3, 3, 3, 1)
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Any = None
+    use_weight_norm: bool = True
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not self.use_spectral_norm, "spectral norm is not supported"
+        act = _activation(
+            self.nonlinear_activation,
+            self.nonlinear_activation_params or {"negative_slope": 0.1},
+        )
         B, T, _ = x.shape
         pad = (self.period - T % self.period) % self.period
         if pad:
             x = jnp.concatenate([x, x[:, T - pad : T]], axis=1)  # reflect-ish
         T2 = x.shape[1]
-        h = x.reshape(B, T2 // self.period, self.period, 1)
+        h = x.reshape(B, T2 // self.period, self.period, x.shape[-1])
         feats = []
         ch = self.channels
         for scale in self.downsample_scales:
-            h = nn.Conv(
-                ch, (self.kernel_size, 1), strides=(scale, 1), padding="SAME"
+            h = _maybe_wn(
+                nn.Conv(
+                    ch,
+                    (self.kernel_sizes[0], 1),
+                    strides=(scale, 1),
+                    padding="SAME",
+                    use_bias=self.bias,
+                ),
+                self.use_weight_norm,
             )(h)
-            h = nn.leaky_relu(h, 0.1)
+            h = act(h)
             feats.append(h)
             ch = min(ch * 4, self.max_downsample_channels)
-        h = nn.Conv(1, (3, 1), padding="SAME")(h)
+        h = _maybe_wn(
+            nn.Conv(
+                self.out_channels,
+                (self.kernel_sizes[1], 1),
+                padding="SAME",
+                use_bias=self.bias,
+            ),
+            self.use_weight_norm,
+        )(h)
         feats.append(h)
         return feats
 
@@ -81,50 +154,83 @@ class HiFiGANMultiPeriodDiscriminator(BaseModel):
     """(discriminator.py:282)"""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
-    channels: int = 32
+    channels: int = 32  # shorthand when discriminator_params is not given
+    discriminator_params: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        params = dict(self.discriminator_params or {"channels": self.channels})
+        params.pop("period", None)
         return [
-            HiFiGANPeriodDiscriminator(period=p, channels=self.channels,
-                                       name=f"period{p}")(x)
+            HiFiGANPeriodDiscriminator(period=p, name=f"period{p}", **params)(x)
             for p in self.periods
         ]
 
 
 class HiFiGANScaleDiscriminator(BaseModel):
     """Scale discriminator: grouped 1-D convs over (possibly pooled) audio
-    (discriminator.py:343)."""
+    (discriminator.py:343).  ``kernel_sizes`` = (input conv, grouped
+    downsample convs, penultimate conv, final conv)."""
 
     # defaults == reference discriminator.py:343-355
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_sizes: Sequence[int] = (15, 41, 5, 3)
     channels: int = 128
     max_downsample_channels: int = 1024
     max_groups: int = 16
     downsample_scales: Sequence[int] = (2, 2, 4, 4, 1)
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Any = None
+    use_weight_norm: bool = True
+    use_spectral_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not self.use_spectral_norm, "spectral norm is not supported"
+        act = _activation(
+            self.nonlinear_activation,
+            self.nonlinear_activation_params or {"negative_slope": 0.1},
+        )
+        k0, k1, k2, k3 = self.kernel_sizes
         feats = []
-        h = nn.Conv(self.channels, (15,), padding="SAME")(x)
-        h = nn.leaky_relu(h, 0.1)
+        h = _maybe_wn(
+            nn.Conv(self.channels, (k0,), padding="SAME", use_bias=self.bias),
+            self.use_weight_norm,
+        )(x)
+        h = act(h)
         feats.append(h)
         ch = self.channels
         groups = 4
         for scale in self.downsample_scales:
             ch_next = min(ch * 2, self.max_downsample_channels)
             g = min(groups, self.max_groups)
-            h = nn.Conv(
-                ch_next, (41,), strides=(scale,), padding="SAME",
-                feature_group_count=g if ch % g == 0 else 1,
+            h = _maybe_wn(
+                nn.Conv(
+                    ch_next,
+                    (k1,),
+                    strides=(scale,),
+                    padding="SAME",
+                    feature_group_count=g if ch % g == 0 else 1,
+                    use_bias=self.bias,
+                ),
+                self.use_weight_norm,
             )(h)
-            h = nn.leaky_relu(h, 0.1)
+            h = act(h)
             feats.append(h)
             ch = ch_next
             groups *= 4
-        h = nn.Conv(ch, (5,), padding="SAME")(h)
-        h = nn.leaky_relu(h, 0.1)
+        h = _maybe_wn(
+            nn.Conv(ch, (k2,), padding="SAME", use_bias=self.bias),
+            self.use_weight_norm,
+        )(h)
+        h = act(h)
         feats.append(h)
-        h = nn.Conv(1, (3,), padding="SAME")(h)
+        h = _maybe_wn(
+            nn.Conv(self.out_channels, (k3,), padding="SAME", use_bias=self.bias),
+            self.use_weight_norm,
+        )(h)
         feats.append(h)
         return feats
 
@@ -137,18 +243,29 @@ class HiFiGANMultiScaleDiscriminator(BaseModel):
     """(discriminator.py:508)"""
 
     scales: int = 3
+    downsample_pooling: str = "AvgPool1d"
+    downsample_pooling_params: Any = None
     downsample_pooling_window: int = 4
     downsample_pooling_stride: int = 2
+    discriminator_params: Any = None
+    # reference knob: the official HiFiGAN uses spectral norm on the first
+    # scale — not supported here, so the flag only switches nothing off
+    follow_official_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert self.downsample_pooling == "AvgPool1d"
+        pool = dict(self.downsample_pooling_params or {})
+        window = int(pool.get("kernel_size", self.downsample_pooling_window))
+        stride = int(pool.get("stride", self.downsample_pooling_stride))
+        params = dict(self.discriminator_params or {})
         outs = []
         h = x
         for i in range(self.scales):
-            outs.append(HiFiGANScaleDiscriminator(name=f"scale{i}")(h))
-            h = _avg_pool1d(
-                h, self.downsample_pooling_window, self.downsample_pooling_stride
+            outs.append(
+                HiFiGANScaleDiscriminator(name=f"scale{i}", **params)(h)
             )
+            h = _avg_pool1d(h, window, stride)
         return outs
 
 
@@ -157,22 +274,43 @@ class HiFiGANMultiScaleMultiPeriodDiscriminator(BaseModel):
 
     scales: int = 3
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    scale_downsample_pooling: str = "AvgPool1d"
+    scale_downsample_pooling_params: Any = None
+    scale_discriminator_params: Any = None
+    period_discriminator_params: Any = None
+    follow_official_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        msd = HiFiGANMultiScaleDiscriminator(scales=self.scales, name="msd")(x)
-        mpd = HiFiGANMultiPeriodDiscriminator(periods=self.periods, name="mpd")(x)
+        msd = HiFiGANMultiScaleDiscriminator(
+            scales=self.scales,
+            downsample_pooling=self.scale_downsample_pooling,
+            downsample_pooling_params=self.scale_downsample_pooling_params,
+            discriminator_params=self.scale_discriminator_params,
+            follow_official_norm=self.follow_official_norm,
+            name="msd",
+        )(x)
+        mpd = HiFiGANMultiPeriodDiscriminator(
+            periods=self.periods,
+            discriminator_params=self.period_discriminator_params,
+            name="mpd",
+        )(x)
         return msd + mpd
 
 
-def _stft_mag(x, fft_size: int, hop: int, win_length: int):
+def _stft_mag(x, fft_size: int, hop: int, win_length: int, window: str = "hann_window"):
     """|STFT| of (B, T) -> (B, frames, fft//2+1)."""
     B, T = x.shape
     n_frames = max((T - win_length) // hop + 1, 1)
     idx = jnp.arange(win_length)[None, :] + hop * jnp.arange(n_frames)[:, None]
     frames = x[:, idx]  # (B, frames, win)
-    window = jnp.hanning(win_length)
-    spec = jnp.fft.rfft(frames * window, n=fft_size, axis=-1)
+    if window in ("hann_window", "hann"):
+        win = jnp.hanning(win_length)
+    elif window in ("hamming_window", "hamming"):
+        win = jnp.hamming(win_length)
+    else:
+        raise ValueError(f"unsupported window: {window}")
+    spec = jnp.fft.rfft(frames * win, n=fft_size, axis=-1)
     return jnp.sqrt(jnp.maximum(jnp.abs(spec) ** 2, 1e-9))
 
 
@@ -182,19 +320,42 @@ class UnivNetSpectralDiscriminator(BaseModel):
     fft_size: int = 1024
     hop_size: int = 120
     win_length: int = 600
+    window: str = "hann_window"
     channels: int = 32
+    kernel_sizes: Sequence = ((3, 9), (3, 9), (3, 9), (3, 9), (3, 3), (3, 3))
+    strides: Sequence = ((1, 1), (1, 2), (1, 2), (1, 2), (1, 1), (1, 1))
+    bias: bool = True
+    nonlinear_activation: str = "LeakyReLU"
+    nonlinear_activation_params: Any = None
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        mag = _stft_mag(x[..., 0], self.fft_size, self.hop_size, self.win_length)
+        act = _activation(
+            self.nonlinear_activation,
+            self.nonlinear_activation_params or {"negative_slope": 0.2},
+        )
+        mag = _stft_mag(
+            x[..., 0], self.fft_size, self.hop_size, self.win_length, self.window
+        )
         h = mag[..., None]  # (B, frames, bins, 1)
         feats = []
-        for strides in ((1, 1), (1, 2), (1, 2), (1, 2), (1, 1)):
-            h = nn.Conv(self.channels, (3, 9), strides=strides, padding="SAME")(h)
-            h = nn.leaky_relu(h, 0.2)
+        assert len(self.kernel_sizes) == len(self.strides)
+        for i, (ks, st) in enumerate(zip(self.kernel_sizes, self.strides)):
+            out_ch = 1 if i == len(self.kernel_sizes) - 1 else self.channels
+            h = _maybe_wn(
+                nn.Conv(
+                    out_ch,
+                    tuple(ks),
+                    strides=tuple(st),
+                    padding="SAME",
+                    use_bias=self.bias,
+                ),
+                self.use_weight_norm,
+            )(h)
+            if i != len(self.kernel_sizes) - 1:
+                h = act(h)
             feats.append(h)
-        h = nn.Conv(1, (3, 3), padding="SAME")(h)
-        feats.append(h)
         return feats
 
 
@@ -204,12 +365,16 @@ class UnivNetMultiResolutionSpectralDiscriminator(BaseModel):
     fft_sizes: Sequence[int] = (1024, 2048, 512)
     hop_sizes: Sequence[int] = (120, 240, 50)
     win_lengths: Sequence[int] = (600, 1200, 240)
+    window: str = "hann_window"
+    discriminator_params: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        params = dict(self.discriminator_params or {})
         return [
             UnivNetSpectralDiscriminator(
-                fft_size=f, hop_size=h, win_length=w, name=f"spec{i}"
+                fft_size=f, hop_size=h, win_length=w, window=self.window,
+                name=f"spec{i}", **params,
             )(x)
             for i, (f, h, w) in enumerate(
                 zip(self.fft_sizes, self.hop_sizes, self.win_lengths)
@@ -224,8 +389,11 @@ class UnivNetMultiResolutionMultiPeriodDiscriminator(BaseModel):
     fft_sizes: Sequence[int] = (1024, 2048, 512)
     hop_sizes: Sequence[int] = (120, 240, 50)
     win_lengths: Sequence[int] = (600, 1200, 240)
+    window: str = "hann_window"
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     period_channels: int = 32
+    spectral_discriminator_params: Any = None
+    period_discriminator_params: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -233,11 +401,16 @@ class UnivNetMultiResolutionMultiPeriodDiscriminator(BaseModel):
             fft_sizes=tuple(self.fft_sizes),
             hop_sizes=tuple(self.hop_sizes),
             win_lengths=tuple(self.win_lengths),
+            window=self.window,
+            discriminator_params=self.spectral_discriminator_params,
             name="spectral",
         )(x)
+        period_params = dict(
+            self.period_discriminator_params or {"channels": self.period_channels}
+        )
         outs += HiFiGANMultiPeriodDiscriminator(
             periods=tuple(self.periods),
-            channels=self.period_channels,
+            discriminator_params=period_params,
             name="period",
         )(x)
         return outs

@@ -277,6 +277,10 @@ class USFGANGenerator(BaseModel):
     aux_channels: int = 80
     aux_context_window: int = 2
     upsample_params: dict = None
+    # accepted for reference-config compatibility: weight norm is a
+    # training reparameterization the torch porter materializes into
+    # plain kernels (reference generator.py remove_weight_norm)
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x, c, d, train: bool = False):
@@ -477,6 +481,8 @@ class _HnUSFGANBase(BaseModel):
     aux_channels: int = 80
     aux_context_window: int = 2
     upsample_params: dict = None
+    # accepted for reference-config compatibility (see USFGANGenerator)
+    use_weight_norm: bool = True
 
     _CASCADE = False
 

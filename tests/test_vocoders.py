@@ -379,3 +379,86 @@ def test_hifigan_generator():
     assert ((wav >= -1) & (wav <= 1)).all()  # tanh output range
     inf = g.apply(v, c[0], method="inference")
     assert inf.shape == (120,)
+
+
+@pytest.mark.parametrize(
+    "conf_name",
+    ["nnsvs_hifigan.yaml", "nnsvs_univnet.yaml"],
+)
+def test_reference_discriminator_configs_port(conf_name):
+    """The reference vocoder-training discriminator YAMLs instantiate
+    key-for-key through our classes (recipes/_common/conf/jp_dev_48k_nodyn/
+    train_usfgan/discriminator/*.yaml)."""
+    import yaml
+    from pathlib import Path
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+
+    path = Path(
+        "/root/reference/recipes/_common/conf/jp_dev_48k_nodyn/"
+        "train_usfgan/discriminator"
+    ) / conf_name
+    if not path.exists():
+        pytest.skip("reference checkout unavailable")
+    cfg = yaml.safe_load(path.read_text())
+    cfg["_target_"] = cfg["_target_"].replace(
+        "usfgan.models.",
+        "ensemble_svs_with_interactions_tpu.models.vocoders.",
+    )
+    # shrink for test speed
+    for key in ("spectral_discriminator_params", "period_discriminator_params",
+                "scale_discriminator_params"):
+        if cfg.get(key):
+            for k in ("channels", "max_downsample_channels"):
+                if k in cfg[key]:
+                    cfg[key][k] = min(int(cfg[key][k]), 8)
+    disc = instantiate(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 1024, 1)), jnp.float32
+    )
+    v = disc.init(jax.random.PRNGKey(0), x)
+    outs = disc.apply(v, x)
+    leaves = jax.tree_util.tree_leaves(outs)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_reference_usfgan_generator_config_ports():
+    """The reference ParallelHnUSFGAN generator YAML instantiates
+    key-for-key (incl. use_weight_norm) through our class."""
+    import yaml
+    from pathlib import Path
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+
+    path = Path(
+        "/root/reference/recipes/_common/conf/jp_dev_48k_nodyn/train_usfgan/"
+        "generator/nnsvs_world_parallel_hn_usfgan_sr48k.yaml"
+    )
+    if not path.exists():
+        pytest.skip("reference checkout unavailable")
+    cfg = yaml.safe_load(path.read_text())
+    cfg["_target_"] = cfg["_target_"].replace(
+        "usfgan.models.",
+        "ensemble_svs_with_interactions_tpu.models.vocoders.",
+    )
+    # shrink for test speed
+    cfg["residual_channels"] = 8
+    cfg["gate_channels"] = 16
+    cfg["skip_channels"] = 8
+    cfg["aux_channels"] = 5
+    for key in ("harmonic_network_params", "noise_network_params",
+                "filter_network_params"):
+        for k in ("blockA", "blockF"):
+            cfg[key][k] = min(int(cfg[key][k]), 2)
+        for k in ("cycleA", "cycleF"):
+            cfg[key][k] = min(int(cfg[key][k]), 2)
+    gen = instantiate(cfg)
+    hop = int(np.prod(cfg["upsample_params"]["upsample_scales"]))
+    Tf = 4
+    # hn-uSFGAN excitation input = (sine, noise) channel pair
+    x = jnp.zeros((1, Tf * hop, 2))
+    c = jnp.zeros((1, Tf, 5))
+    d = jnp.ones((1, Tf * hop))
+    v = gen.init(jax.random.PRNGKey(0), x, c, d)
+    wav = gen.apply(v, x, c, d, method="inference")
+    assert wav.shape == (1, Tf * hop, 1)
