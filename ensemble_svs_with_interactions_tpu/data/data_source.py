@@ -488,8 +488,23 @@ def logmelfilterbank(
         padded=True,
     )
     spec = np.abs(Z).T  # (T, fft//2+1)
+    fb = mel_filterbank(sr, fft_size, num_mels, fmin, fmax)
+    mel = np.maximum(eps, spec @ fb.T)
+    return np.log10(mel).astype(np.float32)
 
-    # HTK-free Slaney-style mel filterbank
+
+def mel_filterbank(
+    sr: int,
+    fft_size: int,
+    num_mels: int = 80,
+    fmin: float = 30,
+    fmax: Optional[float] = None,
+) -> np.ndarray:
+    """(num_mels, fft_size//2+1) HTK-free triangular mel filterbank (the
+    matrix behind :func:`logmelfilterbank`; also used as a constant inside
+    jitted mel-spectral vocoder losses)."""
+    fmax = fmax or sr / 2
+
     def hz_to_mel(f):
         return 2595.0 * np.log10(1.0 + f / 700.0)
 
@@ -508,8 +523,7 @@ def logmelfilterbank(
         for k in range(c, hi):
             if hi > c:
                 fb[m - 1, k] = (hi - k) / (hi - c)
-    mel = np.maximum(eps, spec @ fb.T)
-    return np.log10(mel).astype(np.float32)
+    return fb
 
 
 class MelF0AcousticSource(FileDataSource):

@@ -40,6 +40,49 @@ def stft_loss(
     return sc_total / n, mag_total / n
 
 
+def mel_spectral_loss(
+    y_hat,
+    y,
+    fb,
+    fft_size: int = 2048,
+    hop_size: int = 512,
+    win_length: int = 2048,
+):
+    """L1 between log-mel spectrograms (the uSFGAN recipe's
+    ``usfgan.losses.MelSpectralLoss`` objective; fb = host-built
+    (n_mels, bins) filterbank from data_source.mel_filterbank)."""
+    m_hat = _stft_mag(y_hat, fft_size, hop_size, win_length)
+    m = _stft_mag(y, fft_size, hop_size, win_length)
+    lm_hat = jnp.log(jnp.maximum(m_hat @ fb.T, 1e-7))
+    lm = jnp.log(jnp.maximum(m @ fb.T, 1e-7))
+    return jnp.mean(jnp.abs(lm_hat - lm))
+
+
+def residual_source_loss(layer, source, y, f0, fb=None):
+    """hn-uSFGAN source-regularization (``usfgan.losses.ResidualLoss``
+    behavior, Yoneyama et al. 2022): the generated source's log spectrum
+    is pushed toward the target's CheapTrick-whitened residual spectrum
+    log|STFT(y)| - logenv(y), so resonance structure stays in the filter
+    network.  ``layer`` is a CheapTrickLayer whose hop matches the frame
+    rate of ``f0``; ``fb`` optionally mel-compresses both sides."""
+    env = layer(y, f0, elim_0th=True)  # (B, T', bins) log envelope
+    win = layer.fft_size
+    s_y = jnp.log(
+        jnp.maximum(_stft_mag(y, layer.fft_size, layer.hop_size, win), 1e-7)
+    )
+    s_src = jnp.log(
+        jnp.maximum(
+            _stft_mag(source, layer.fft_size, layer.hop_size, win), 1e-7
+        )
+    )
+    T = min(env.shape[1], s_y.shape[1], s_src.shape[1])
+    resid = jax.lax.stop_gradient(s_y[:, :T] - env[:, :T])
+    diff = s_src[:, :T] - resid
+    if fb is not None:
+        diff = diff @ fb.T
+    return jnp.mean(diff**2)
+
+
 def _flatten_d_outs(outs):
     """Discriminators return list[feat_maps] or list[list[feat_maps]]."""
     if isinstance(outs[0], (list, tuple)):
@@ -59,14 +102,50 @@ def create_vocoder_gan_train_step(
     fft_sizes: Sequence[int] = (1024, 2048, 512),
     hop_sizes: Sequence[int] = (120, 240, 50),
     win_lengths: Sequence[int] = (600, 1200, 240),
+    stft_loss_type: str = "multi_resolution",
+    mel_loss_params: dict = None,
+    source_weight: float = 0.0,
+    cheaptrick_layer=None,
+    source_mel_fb=None,
+    discriminator_train_start_steps: int = 0,
 ):
     """Jitted GAN step for source-filter vocoders.
 
     Batch: x (B, T, S) excitation, c (B, T', aux), d (B, T) dilation
-    factors, y (B, T, 1) target audio.
-    """
+    factors, y (B, T, 1) target audio (+ f0 (B, T') when
+    ``source_weight > 0``).
 
-    def g_loss_fn(paramsG, paramsD, batch):
+    Reference trainer surface (the external usfgan trainer the recipe
+    invokes, config recipes/_common/conf/.../train_usfgan/train/*.yaml):
+      * ``stft_loss_type="mel"`` swaps the multi-resolution STFT loss for
+        the single-resolution log-mel L1 (``MelSpectralLoss``,
+        lambda_stft);
+      * ``source_weight`` + ``cheaptrick_layer`` enable the hn-uSFGAN
+        residual source regularization (``ResidualLoss``, lambda_source);
+      * ``discriminator_train_start_steps`` keeps adversarial terms and D
+        updates off until that step (reconstruction-only warm-up).
+    """
+    mel_fb = None
+    mel_params = dict(mel_loss_params or {})
+    if stft_loss_type == "mel":
+        from ensemble_svs_with_interactions_tpu.data.data_source import (
+            mel_filterbank,
+        )
+
+        mel_fb = jnp.asarray(
+            mel_filterbank(
+                int(mel_params.get("sampling_rate", 48000)),
+                int(mel_params.get("fft_size", 2048)),
+                int(mel_params.get("n_mels", 80)),
+                float(mel_params.get("fmin", 0) or 0),
+                mel_params.get("fmax", None),
+            ),
+            jnp.float32,
+        )
+    elif stft_loss_type != "multi_resolution":
+        raise ValueError(f"unknown stft_loss_type: {stft_loss_type}")
+
+    def g_loss_fn(paramsG, paramsD, batch, adv_on):
         outs = generator.apply(
             {"params": paramsG}, batch["x"], batch["c"], batch["d"]
         )
@@ -74,14 +153,31 @@ def create_vocoder_gan_train_step(
         # (wav, src, harmonic_dbg, noise_dbg, gates)
         y_hat = outs[0] if isinstance(outs, tuple) else outs
         y = batch["y"]
-        sc, mag = stft_loss(
-            y_hat[..., 0], y[..., 0], fft_sizes, hop_sizes, win_lengths
-        )
-        loss_stft = sc + mag
+        if stft_loss_type == "mel":
+            loss_stft = mel_spectral_loss(
+                y_hat[..., 0], y[..., 0], mel_fb,
+                int(mel_params.get("fft_size", 2048)),
+                int(mel_params.get("hop_size", 512)),
+                int(mel_params.get("win_length", 2048)),
+            )
+            sc = mag = loss_stft / 2
+        else:
+            sc, mag = stft_loss(
+                y_hat[..., 0], y[..., 0], fft_sizes, hop_sizes, win_lengths
+            )
+            loss_stft = sc + mag
+        loss_source = 0.0
+        if source_weight > 0 and cheaptrick_layer is not None:
+            src = outs[1]
+            loss_source = residual_source_loss(
+                cheaptrick_layer, src[..., 0], y[..., 0], batch["f0"],
+                fb=source_mel_fb,
+            )
         d_fake = _flatten_d_outs(
             discriminator.apply({"params": paramsD}, y_hat)
         )
         loss_adv = sum(jnp.mean((f[-1] - 1.0) ** 2) for f in d_fake) / len(d_fake)
+        loss_adv = loss_adv * adv_on
         loss_fm = 0.0
         if fm_weight > 0:
             d_real = _flatten_d_outs(discriminator.apply({"params": paramsD}, y))
@@ -90,12 +186,19 @@ def create_vocoder_gan_train_step(
                     loss_fm = loss_fm + jnp.mean(
                         jnp.abs(k - jax.lax.stop_gradient(r))
                     )
-        loss = stft_weight * loss_stft + adv_weight * loss_adv + fm_weight * loss_fm
+            loss_fm = loss_fm * adv_on
+        loss = (
+            stft_weight * loss_stft
+            + adv_weight * loss_adv
+            + fm_weight * loss_fm
+            + source_weight * loss_source
+        )
         return loss, {
             "Loss_G": loss,
             "Loss_STFT_SC": sc,
             "Loss_STFT_Mag": mag,
             "Loss_Adv": loss_adv,
+            "Loss_Source": loss_source,
             "y_hat": y_hat,
         }
 
@@ -110,13 +213,20 @@ def create_vocoder_gan_train_step(
         return loss, {"Loss_D": loss, "Loss_D_Real": loss_real, "Loss_D_Fake": loss_fake}
 
     def train_step(state: Dict, batch: Dict):
+        # adversarial warm-up gate: 0 before discriminator_train_start_steps
+        adv_on = (
+            state["step"] >= discriminator_train_start_steps
+        ).astype(jnp.float32) if discriminator_train_start_steps > 0 else 1.0
         (lossG, auxG), gradsG = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state["paramsG"], state["paramsD"], batch
+            state["paramsG"], state["paramsD"], batch, adv_on
         )
         y_hat = auxG.pop("y_hat")
         (lossD, auxD), gradsD = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["paramsD"], batch, y_hat
         )
+        if discriminator_train_start_steps > 0:
+            # freeze D during warm-up (the reference skips its update)
+            gradsD = jax.tree_util.tree_map(lambda g: g * adv_on, gradsD)
         def apply(grads, params, opt_state, opt):
             # clip + NaN-skip like every other train step in this package
             # (the external parallel_wavegan trainer this replaces clips

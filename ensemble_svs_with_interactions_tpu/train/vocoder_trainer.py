@@ -80,7 +80,7 @@ class _VocoderCrops:
         )
 
     def batch(self, rng: np.random.Generator, batch_size: int) -> Dict:
-        xs, cs, ds, ys = [], [], [], []
+        xs, cs, ds, ys, f0s = [], [], [], [], []
         for _ in range(batch_size):
             fpath, wpath = self.items[int(rng.integers(len(self.items)))]
             feats = np.load(fpath)
@@ -114,11 +114,13 @@ class _VocoderCrops:
             )
             cs.append(feats[:, self.aux_indices])
             ys.append(wave[:, None])
+            f0s.append(f0)
         return {
             "x": np.stack(xs).astype(np.float32),
             "c": np.stack(cs).astype(np.float32),
             "d": np.stack(ds).astype(np.float32),
             "y": np.stack(ys).astype(np.float32),
+            "f0": np.stack(f0s).astype(np.float32),
         }
 
 
@@ -177,17 +179,80 @@ def train_vocoder(config: Config) -> Dict[str, float]:
     fft_sizes = tuple(config.train.get("fft_sizes", [1024, 2048, 512]))
     hop_sizes = tuple(config.train.get("hop_sizes", [120, 240, 50]))
     win_lengths = tuple(config.train.get("win_lengths", [600, 1200, 240]))
+
+    # reference usfgan trainer config surface (train_usfgan/train/*.yaml):
+    # lambda_* weights, stft_loss._target_ MelSpectralLoss, source_loss
+    # ResidualLoss, discriminator_train_start_steps
+    stft_loss_cfg = dict(config.train.get("stft_loss", {}) or {})
+    stft_loss_type = str(config.train.get("stft_loss_type", ""))
+    if not stft_loss_type:
+        stft_loss_type = (
+            "mel"
+            if "MelSpectralLoss" in str(stft_loss_cfg.get("_target_", ""))
+            else "multi_resolution"
+        )
+    source_cfg = dict(config.train.get("source_loss", {}) or {})
+    source_weight = float(
+        config.train.get("lambda_source", config.train.get("source_weight", 0.0))
+    )
+    cheaptrick_layer = None
+    source_mel_fb = None
+    if source_weight > 0:
+        from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (
+            CheapTrickLayer,
+        )
+
+        cheaptrick_layer = CheapTrickLayer(
+            sample_rate=int(source_cfg.get("sampling_rate", sr)),
+            hop_size=hop,
+            fft_size=int(source_cfg.get("fft_size", 4096)),
+            f0_floor=int(source_cfg.get("f0_floor", 70)),
+            f0_ceil=int(source_cfg.get("f0_ceil", 1000)),
+        )
+        if source_cfg.get("n_mels"):
+            import jax.numpy as jnp
+
+            from ensemble_svs_with_interactions_tpu.data.data_source import (
+                mel_filterbank,
+            )
+
+            source_mel_fb = jnp.asarray(
+                mel_filterbank(
+                    int(source_cfg.get("sampling_rate", sr)),
+                    int(source_cfg.get("fft_size", 4096)),
+                    int(source_cfg["n_mels"]),
+                    float(source_cfg.get("fmin", 0) or 0),
+                    source_cfg.get("fmax", None),
+                ),
+                jnp.float32,
+            )
     step_fn = create_vocoder_gan_train_step(
         generator,
         discriminator,
         optG,
         optD,
-        stft_weight=float(config.train.get("stft_weight", 1.0)),
-        adv_weight=float(config.train.get("adv_weight", 4.0)),
-        fm_weight=float(config.train.get("fm_weight", 0.0)),
+        stft_weight=float(
+            config.train.get("lambda_stft", config.train.get("stft_weight", 1.0))
+        ),
+        adv_weight=float(
+            config.train.get("lambda_adv", config.train.get("adv_weight", 4.0))
+        ),
+        fm_weight=float(
+            config.train.get(
+                "lambda_feat_match", config.train.get("fm_weight", 0.0)
+            )
+        ),
         fft_sizes=fft_sizes,
         hop_sizes=hop_sizes,
         win_lengths=win_lengths,
+        stft_loss_type=stft_loss_type,
+        mel_loss_params=stft_loss_cfg,
+        source_weight=source_weight,
+        cheaptrick_layer=cheaptrick_layer,
+        source_mel_fb=source_mel_fb,
+        discriminator_train_start_steps=int(
+            config.train.get("discriminator_train_start_steps", 0)
+        ),
     )
 
     out_dir = Path(config.train.out_dir)

@@ -462,3 +462,70 @@ def test_reference_usfgan_generator_config_ports():
     v = gen.init(jax.random.PRNGKey(0), x, c, d)
     wav = gen.apply(v, x, c, d, method="inference")
     assert wav.shape == (1, Tf * hop, 1)
+
+
+def test_vocoder_gan_step_usfgan_losses():
+    """The uSFGAN trainer objectives: log-mel spectral loss, the
+    CheapTrick residual source regularization, and the adversarial
+    warm-up gate (reference train_usfgan/train/*.yaml: MelSpectralLoss,
+    ResidualLoss, discriminator_train_start_steps)."""
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        ParallelHnUSFGANGenerator,
+    )
+    from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (
+        CheapTrickLayer,
+    )
+    from ensemble_svs_with_interactions_tpu.data.data_source import (
+        mel_filterbank,
+    )
+
+    sr = 16000
+    gen = ParallelHnUSFGANGenerator(**_HN_TINY)
+    disc = PWGDiscriminator(layers=3, conv_channels=4)
+    Tf, UP = 128, 20  # _HN_TINY upsamples 4*5 = 20x
+    T = Tf * UP
+    rng = np.random.default_rng(0)
+    f0 = np.where(rng.uniform(size=(1, Tf)) > 0.3, 200.0, 0.0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(1, T, 2)) * 0.1, jnp.float32),
+        "c": jnp.asarray(rng.normal(size=(1, Tf, AUX)), jnp.float32),
+        "d": jnp.ones((1, T)),
+        "y": jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32),
+        "f0": jnp.asarray(f0, jnp.float32),
+    }
+    vG = gen.init(jax.random.PRNGKey(0), batch["x"], batch["c"], batch["d"])
+    vD = disc.init(jax.random.PRNGKey(1), batch["y"])
+    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+    state = {
+        "paramsG": vG["params"],
+        "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]),
+        "step": jnp.asarray(0),
+    }
+    layer = CheapTrickLayer(sr, UP, 1024, f0_floor=70, f0_ceil=400)
+    fb = jnp.asarray(mel_filterbank(sr, 512, 20, 0), jnp.float32)
+    step = create_vocoder_gan_train_step(
+        gen, disc, optG, optD,
+        stft_loss_type="mel",
+        mel_loss_params={"sampling_rate": sr, "fft_size": 512,
+                         "hop_size": 128, "win_length": 512, "n_mels": 20,
+                         "fmin": 0},
+        source_weight=1.0,
+        cheaptrick_layer=layer,
+        discriminator_train_start_steps=2,
+    )
+    d0 = jax.tree_util.tree_leaves(state["paramsD"])
+    state, metrics = step(state, batch)
+    # warm-up: no adversarial loss, D frozen
+    assert float(metrics["Loss_Adv"]) == 0.0
+    d1 = jax.tree_util.tree_leaves(state["paramsD"])
+    assert all(np.allclose(a, b) for a, b in zip(d0, d1))
+    assert np.isfinite(float(metrics["Loss_Source"]))
+    assert float(metrics["Loss_Source"]) > 0.0
+    # past the gate: adversarial kicks in, D updates
+    state["step"] = jnp.asarray(5)
+    state, metrics = step(state, batch)
+    assert float(metrics["Loss_Adv"]) != 0.0
+    d2 = jax.tree_util.tree_leaves(state["paramsD"])
+    assert not all(np.allclose(a, b) for a, b in zip(d1, d2))
