@@ -136,8 +136,11 @@ class GaussianDiffusion(BaseModel):
         self._denoiser = _maybe_instantiate(self.denoise_fn)
         self._encoder = _maybe_instantiate(self.encoder)
         if self.betas is not None:
+            # the reference accepts schedules longer than K_step and only
+            # walks the first K_step of them (diffusion.py:89-96)
             betas = np.asarray(self.betas, np.float64)
-            assert len(betas) == self.K_step
+            assert len(betas) >= self.K_step
+            betas = betas[: self.K_step]
         else:
             params = dict(self.scheduler_params or {})
             if self.schedule_type == "linear":

@@ -44,12 +44,20 @@ class Prenet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        for i in range(self.layers):
-            x = nn.relu(nn.Dense(self.hidden_dim, name=f"fc{i}")(x))
+        def drop(v):
             if self.dropout > 0 and self.dropout_enabled:
                 sub = self.make_rng("prenet")
-                keep = jax.random.bernoulli(sub, 1.0 - self.dropout, x.shape)
-                x = jnp.where(keep, x / (1.0 - self.dropout), 0.0)
+                keep = jax.random.bernoulli(sub, 1.0 - self.dropout, v.shape)
+                return jnp.where(keep, v / (1.0 - self.dropout), 0.0)
+            return v
+
+        # the reference applies dropout after EVERY Sequential child —
+        # the Linear AND its ReLU (decoder.py:67-87 `for layer in
+        # self.prenet: x = F.dropout(layer(x), ...)`), i.e. twice per
+        # prenet layer, once pre-activation
+        for i in range(self.layers):
+            x = drop(nn.Dense(self.hidden_dim, name=f"fc{i}")(x))
+            x = drop(nn.relu(x))
         return x
 
 

@@ -63,7 +63,15 @@ class PWGDiscriminator(BaseModel):
         feats = []
         h = x
         for i in range(self.layers - 1):
-            dilation = i * self.dilation_factor if i > 0 else 1
+            # reference discriminator.py:66-70: dilation 1 at layer 0,
+            # then a linear ramp (i) for factor 1 or exponential
+            # (factor ** i) otherwise
+            if i == 0:
+                dilation = 1
+            elif self.dilation_factor == 1:
+                dilation = i
+            else:
+                dilation = self.dilation_factor**i
             h = _maybe_wn(
                 nn.Conv(
                     self.conv_channels,
@@ -92,8 +100,9 @@ class PWGDiscriminator(BaseModel):
 class HiFiGANPeriodDiscriminator(BaseModel):
     """Period discriminator: fold time into (T/p, p) and conv2d
     (discriminator.py:146).  ``kernel_sizes`` = (downsample convs, final
-    conv); the final conv keeps kernel_sizes[1] (the reference's
-    ``kernel_sizes[1] - 1`` even-kernel quirk is not reproduced)."""
+    conv); the final conv mirrors the reference's ``kernel_sizes[1] - 1``
+    kernel (discriminator.py:210-215) so ported torch checkpoints keep
+    their output-conv weights."""
 
     in_channels: int = 1
     out_channels: int = 1
@@ -140,7 +149,7 @@ class HiFiGANPeriodDiscriminator(BaseModel):
         h = _maybe_wn(
             nn.Conv(
                 self.out_channels,
-                (self.kernel_sizes[1], 1),
+                (max(self.kernel_sizes[1] - 1, 1), 1),
                 padding="SAME",
                 use_bias=self.bias,
             ),
@@ -235,8 +244,11 @@ class HiFiGANScaleDiscriminator(BaseModel):
         return feats
 
 
-def _avg_pool1d(x, window: int, stride: int):
-    return nn.avg_pool(x, (window,), strides=(stride,), padding="SAME")
+def _avg_pool1d(x, window: int, stride: int, padding: int = 0):
+    """torch AvgPool1d semantics (zero pad counted in the mean)."""
+    return nn.avg_pool(
+        x, (window,), strides=(stride,), padding=((padding, padding),)
+    )
 
 
 class HiFiGANMultiScaleDiscriminator(BaseModel):
@@ -258,6 +270,7 @@ class HiFiGANMultiScaleDiscriminator(BaseModel):
         pool = dict(self.downsample_pooling_params or {})
         window = int(pool.get("kernel_size", self.downsample_pooling_window))
         stride = int(pool.get("stride", self.downsample_pooling_stride))
+        pad = int(pool.get("padding", 0))
         params = dict(self.discriminator_params or {})
         outs = []
         h = x
@@ -265,7 +278,7 @@ class HiFiGANMultiScaleDiscriminator(BaseModel):
             outs.append(
                 HiFiGANScaleDiscriminator(name=f"scale{i}", **params)(h)
             )
-            h = _avg_pool1d(h, window, stride)
+            h = _avg_pool1d(h, window, stride, pad)
         return outs
 
 

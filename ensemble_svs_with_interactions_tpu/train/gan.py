@@ -56,6 +56,11 @@ def create_gan_train_step(
     """
     if gan_type not in ("lsgan", "vanilla-gan", "hinge"):
         raise ValueError(f"Unknown gan type: {gan_type}")
+    if vuv_mask and (stream_sizes is None or len(stream_sizes) < 3):
+        raise ValueError(
+            "vuv_mask=True requires stream_sizes (the V/UV stream lives at "
+            "sum(stream_sizes[:2]))"
+        )
 
     from ensemble_svs_with_interactions_tpu.ops.multistream import (
         select_streams,

@@ -272,6 +272,8 @@ def create_train_step(
             # train/multitrack.py)
             pred_streams = pred_out
             if L.is_refinement_list(pred_streams, list(stream_sizes)):
+                # stage losses SUM (the reference accumulates per
+                # prediction with no division, train_acoustic.py:148-170)
                 loss_feats = sum(
                     L.multistream_loss(
                         L.split_streams(p, list(stream_sizes)),
@@ -283,7 +285,7 @@ def create_train_step(
                         stream_weights=stream_weights,
                     )
                     for p in pred_streams
-                ) / len(pred_streams)
+                )
             else:
                 if not isinstance(pred_streams, (list, tuple)):
                     pred_streams = L.split_streams(
@@ -309,12 +311,13 @@ def create_train_step(
             )
         else:
             # Post-Net decoders return [coarse, fine]: supervise every
-            # refinement stage (reference train_acoustic.py:145-149)
+            # refinement stage; stage losses SUM with no division
+            # (reference train_acoustic.py:145-170)
             preds = pred_out if isinstance(pred_out, list) else [pred_out]
             loss_feats = sum(
                 L.feats_criterion(p, out_feats, mask, feats_criterion)
                 for p in preds
-            ) / len(preds)
+            )
 
         if pitch_reg_weight > 0 and lf0_residual is not None:
             dyn_ws = batch.get("pitch_reg_dyn_ws", 1.0)

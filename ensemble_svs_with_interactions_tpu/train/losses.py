@@ -92,8 +92,9 @@ def multistream_loss(
     total_n = 0.0
     for i, (pred, target) in enumerate(zip(pred_streams, streams)):
         if isinstance(pred, list):
-            # Post-Net sub-decoder: [coarse, fine] — supervise both
-            # (reference train_acoustic.py:145-149 loops over predictions)
+            # Post-Net sub-decoder: [coarse, fine] — supervise both;
+            # stage losses SUM with no division (reference
+            # train_acoustic.py:148-170 accumulates per prediction)
             for p in pred:
                 err = (
                     (p - target) ** 2
@@ -102,7 +103,7 @@ def multistream_loss(
                 )
                 m = jnp.broadcast_to(mask, err.shape)
                 if stream_wise:
-                    loss = loss + weights[i] * masked_mean(err, m) / len(pred)
+                    loss = loss + weights[i] * masked_mean(err, m)
                 else:
                     loss = loss + jnp.sum(err * m)
                     total_n = total_n + jnp.sum(m)

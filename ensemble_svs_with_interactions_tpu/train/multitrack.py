@@ -82,9 +82,14 @@ def multitrack_acoustic_loss(
     streams_sub = split_streams(out_sub, list(stream_sizes))
 
     # A full-width LIST is a Post-Net wrapper's [coarse, fine] pair of
-    # concatenated outputs: supervise the fine stage (the interaction
-    # terms read it too); per-stream lists pass through untouched
+    # concatenated outputs: every stage is supervised (summed, reference
+    # train_acoustic_multitrack.py:199-240) while the interaction terms
+    # read the LAST stage (the reference overwrites loss_lf0_interaction
+    # per stage, so only the final stage's value survives); per-stream
+    # lists pass through untouched
+    pred_main_stages = None
     if L.is_refinement_list(pred_main, list(stream_sizes)):
+        pred_main_stages = pred_main
         pred_main = pred_main[-1]
     if L.is_refinement_list(pred_sub, list(stream_sizes)):
         pred_sub = pred_sub[-1]
@@ -105,7 +110,10 @@ def multitrack_acoustic_loss(
         pred_mgc_main = _stream_to_point(pred_main[0])
         pred_mgc_sub = _stream_to_point(pred_sub[0])
     else:
-        loss_feats = L.feats_criterion(pred_main, out_main, mask, criterion)
+        stages = pred_main_stages if pred_main_stages is not None else [pred_main]
+        loss_feats = sum(
+            L.feats_criterion(p, out_main, mask, criterion) for p in stages
+        )
         pm = split_streams(pred_main, list(stream_sizes))
         ps = split_streams(pred_sub, list(stream_sizes))
         pred_lf0_main, pred_lf0_sub = pm[1], ps[1]

@@ -168,6 +168,11 @@ def create_vocoder_gan_train_step(
             loss_stft = sc + mag
         loss_source = 0.0
         if source_weight > 0 and cheaptrick_layer is not None:
+            if not (isinstance(outs, tuple) and len(outs) >= 2):
+                raise ValueError(
+                    "source_weight > 0 requires a source-filter generator "
+                    "returning (wav, source, ...)"
+                )
             src = outs[1]
             loss_source = residual_source_loss(
                 cheaptrick_layer, src[..., 0], y[..., 0], batch["f0"],
@@ -224,9 +229,6 @@ def create_vocoder_gan_train_step(
         (lossD, auxD), gradsD = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["paramsD"], batch, y_hat
         )
-        if discriminator_train_start_steps > 0:
-            # freeze D during warm-up (the reference skips its update)
-            gradsD = jax.tree_util.tree_map(lambda g: g * adv_on, gradsD)
         def apply(grads, params, opt_state, opt):
             # clip + NaN-skip like every other train step in this package
             # (the external parallel_wavegan trainer this replaces clips
@@ -251,6 +253,19 @@ def create_vocoder_gan_train_step(
         newD, optD_state, gnormD = apply(
             gradsD, state["paramsD"], state["optD_state"], optD
         )
+        if discriminator_train_start_steps > 0:
+            # freeze D (params AND optimizer state, so Adam's moments and
+            # step counters don't advance) during warm-up — the reference
+            # trainer never calls optD.step() before the gate opens
+            gate = adv_on > 0
+            newD = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(gate, new, old),
+                newD, state["paramsD"],
+            )
+            optD_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(gate, new, old),
+                optD_state, state["optD_state"],
+            )
         new_state = {
             "paramsG": newG,
             "paramsD": newD,
