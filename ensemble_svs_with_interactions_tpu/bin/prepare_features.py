@@ -133,7 +133,14 @@ def run(config):
         config.acoustic.label_dir,
         config.question_path,
         add_frame_features=True,
-        subphone_features="coarse_coding",
+        # frame-level subphone feature mode (reference
+        # bin/conf/prepare_features/acoustic/*.yaml subphone_features):
+        # coarse_coding / full / state_only / frame_only / uniform_state /
+        # minimal_frame / minimal_phoneme / none
+        subphone_features=config.acoustic.get(
+            "subphone_features",
+            config.get("subphone_features", "coarse_coding"),
+        ),
     )
     acoustic_params = dict(config.acoustic.get("params", {}))
     acoustic_src = WORLDAcousticSource(

@@ -202,6 +202,9 @@ class WORLDAcousticSource(FileDataSource):
         dynamic_features_flags: Optional[List[bool]] = None,
         use_world_codec: bool = False,
         use_mcep_aperiodicity: bool = False,
+        # accepted for reference-config compatibility: resampling here is
+        # always scipy polyphase (reference librosa res_type knob)
+        res_type: str = "scipy",
         mcep_aperiodicity_order: int = 24,
     ):
         self.utt_list = utt_list
@@ -245,12 +248,14 @@ class WORLDAcousticSource(FileDataSource):
         labels.frame_shift = frame_shift
         num_frames = labels.num_frames()
 
+        # only the score-pitch column is consumed here (F0 search range +
+        # score-F0 fill) — subphone features would just append unused dims
         l_features = fe.linguistic_features(
             labels,
             self.binary_dict,
             self.numeric_dict,
             add_frame_features=True,
-            subphone_features="coarse_coding",
+            subphone_features=None,
             frame_shift=frame_shift,
         )
         f0_score = _midi_to_hz(l_features, self.pitch_idx, False)
