@@ -218,9 +218,40 @@ def build_flagship_engine(tmpdir: str):
     return SPSVS(tmpdir)
 
 
+def _probe_accelerator(timeout_s: int = 900) -> str:
+    """Return the backend name, or "" if no accelerator answers in time.
+
+    The TPU chip sits behind a network tunnel that can be down;
+    jax.devices() then blocks forever inside this process, which would
+    hang the whole benchmark run.  Probe in a subprocess with a timeout
+    so an unreachable chip yields a diagnosable JSON error instead.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return (out.stdout or "").strip().splitlines()[-1] if out.returncode == 0 else ""
+    except subprocess.TimeoutExpired:
+        return ""
+
+
 def main():
     _enable_compilation_cache()
     from ensemble_svs_with_interactions_tpu.io import hts
+
+    backend = _probe_accelerator()
+    if not backend:
+        print(json.dumps({
+            "metric": "rtf_4part_flagship_multitrack_48k", "value": -1,
+            "unit": "ratio", "vs_baseline": 0,
+            "error": "accelerator unreachable (device enumeration timed "
+                     "out — TPU tunnel down?)",
+        }))
+        return 1
 
     labels_path = Path("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
     if not labels_path.exists():
@@ -262,6 +293,7 @@ def main():
         "value": round(rtf, 5),
         "unit": "ratio",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "backend": backend,
         "audio_seconds": round(audio_seconds, 2),
         "all_runs_sec": [round(t, 3) for t in times],
         "stages_sec": {
