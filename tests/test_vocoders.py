@@ -482,7 +482,7 @@ def test_vocoder_gan_step_usfgan_losses():
     sr = 16000
     gen = ParallelHnUSFGANGenerator(**_HN_TINY)
     disc = PWGDiscriminator(layers=3, conv_channels=4)
-    Tf, UP = 128, 20  # _HN_TINY upsamples 4*5 = 20x
+    Tf, UP = 64, 20  # _HN_TINY upsamples 4*5 = 20x
     T = Tf * UP
     rng = np.random.default_rng(0)
     f0 = np.where(rng.uniform(size=(1, Tf)) > 0.3, 200.0, 0.0)
@@ -503,7 +503,7 @@ def test_vocoder_gan_step_usfgan_losses():
         "optD_state": optD.init(vD["params"]),
         "step": jnp.asarray(0),
     }
-    layer = CheapTrickLayer(sr, UP, 1024, f0_floor=70, f0_ceil=400)
+    layer = CheapTrickLayer(sr, UP, 1024, f0_floor=100, f0_ceil=300)
     fb = jnp.asarray(mel_filterbank(sr, 512, 20, 0), jnp.float32)
     step = create_vocoder_gan_train_step(
         gen, disc, optG, optD,
