@@ -105,3 +105,15 @@ def make_non_pad_mask(lengths, maxlen: Optional[int] = None):
 def lengths_to_weights(lengths, maxlen: Optional[int] = None, dtype=jnp.float32):
     """(B, T, 1) float mask for loss weighting."""
     return make_non_pad_mask(lengths, maxlen).astype(dtype)[:, :, None]
+
+
+def example_xml_file() -> str:
+    """Path to the packaged first-party example MusicXML score
+    (reference nnsvs/util.py example_xml_file + nnsvs/_example_data/)."""
+    from pathlib import Path
+
+    return str(
+        Path(__file__).parent.parent
+        / "_example_data"
+        / "example_song.musicxml"
+    )
