@@ -464,68 +464,116 @@ def test_reference_usfgan_generator_config_ports():
     assert wav.shape == (1, Tf * hop, 1)
 
 
-def test_vocoder_gan_step_usfgan_losses():
+_USFGAN_LOSS_DRIVE = r"""
+import os
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, ".")
+import numpy as np
+import jax.numpy as jnp
+import optax
+
+from ensemble_svs_with_interactions_tpu.models.vocoders import (
+    ParallelHnUSFGANGenerator,
+    PWGDiscriminator,
+)
+from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (
+    CheapTrickLayer,
+)
+from ensemble_svs_with_interactions_tpu.data.data_source import mel_filterbank
+from ensemble_svs_with_interactions_tpu.train.vocoder import (
+    create_vocoder_gan_train_step,
+)
+
+AUX = 8
+_HN_TINY = dict(
+    residual_channels=4, gate_channels=8, skip_channels=4, aux_channels=AUX,
+    aux_context_window=0,
+    harmonic_network_params={"blockA": 2, "cycleA": 1, "blockF": 0,
+                             "cycleF": 0, "cascade_mode": 0},
+    noise_network_params={"blockA": 0, "cycleA": 0, "blockF": 2,
+                          "cycleF": 1, "cascade_mode": 0},
+    filter_network_params={"blockA": 0, "cycleA": 0, "blockF": 2,
+                           "cycleF": 1, "cascade_mode": 0},
+    upsample_params={"upsample_scales": [4, 5]},
+)
+
+sr = 16000
+gen = ParallelHnUSFGANGenerator(**_HN_TINY)
+disc = PWGDiscriminator(layers=3, conv_channels=4)
+Tf, UP = 64, 20  # _HN_TINY upsamples 4*5 = 20x
+T = Tf * UP
+rng = np.random.default_rng(0)
+f0 = np.where(rng.uniform(size=(1, Tf)) > 0.3, 200.0, 0.0)
+batch = {
+    "x": jnp.asarray(rng.normal(size=(1, T, 2)) * 0.1, jnp.float32),
+    "c": jnp.asarray(rng.normal(size=(1, Tf, AUX)), jnp.float32),
+    "d": jnp.ones((1, T)),
+    "y": jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32),
+    "f0": jnp.asarray(f0, jnp.float32),
+}
+vG = gen.init(jax.random.PRNGKey(0), batch["x"], batch["c"], batch["d"])
+vD = disc.init(jax.random.PRNGKey(1), batch["y"])
+optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+state = {
+    "paramsG": vG["params"],
+    "paramsD": vD["params"],
+    "optG_state": optG.init(vG["params"]),
+    "optD_state": optD.init(vD["params"]),
+    "step": jnp.asarray(0),
+}
+layer = CheapTrickLayer(sr, UP, 1024, f0_floor=100, f0_ceil=300)
+step = create_vocoder_gan_train_step(
+    gen, disc, optG, optD,
+    stft_loss_type="mel",
+    mel_loss_params={"sampling_rate": sr, "fft_size": 512,
+                     "hop_size": 128, "win_length": 512, "n_mels": 20,
+                     "fmin": 0},
+    source_weight=1.0,
+    cheaptrick_layer=layer,
+    discriminator_train_start_steps=2,
+)
+d0 = jax.tree_util.tree_leaves(state["paramsD"])
+state, metrics = step(state, batch)
+assert float(metrics["Loss_Adv"]) == 0.0
+d1 = jax.tree_util.tree_leaves(state["paramsD"])
+assert all(np.allclose(a, b) for a, b in zip(d0, d1))
+assert np.isfinite(float(metrics["Loss_Source"]))
+assert float(metrics["Loss_Source"]) > 0.0
+state["step"] = jnp.asarray(5)
+state, metrics = step(state, batch)
+assert float(metrics["Loss_Adv"]) != 0.0
+d2 = jax.tree_util.tree_leaves(state["paramsD"])
+assert not all(np.allclose(a, b) for a, b in zip(d1, d2))
+print("USFGAN_LOSS_OK")
+"""
+
+
+def test_vocoder_gan_step_usfgan_losses(tmp_path):
     """The uSFGAN trainer objectives: log-mel spectral loss, the
     CheapTrick residual source regularization, and the adversarial
     warm-up gate (reference train_usfgan/train/*.yaml: MelSpectralLoss,
-    ResidualLoss, discriminator_train_start_steps)."""
-    from ensemble_svs_with_interactions_tpu.models.vocoders import (
-        ParallelHnUSFGANGenerator,
-    )
-    from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (
-        CheapTrickLayer,
-    )
-    from ensemble_svs_with_interactions_tpu.data.data_source import (
-        mel_filterbank,
-    )
+    ResidualLoss, discriminator_train_start_steps).
 
-    sr = 16000
-    gen = ParallelHnUSFGANGenerator(**_HN_TINY)
-    disc = PWGDiscriminator(layers=3, conv_channels=4)
-    Tf, UP = 64, 20  # _HN_TINY upsamples 4*5 = 20x
-    T = Tf * UP
-    rng = np.random.default_rng(0)
-    f0 = np.where(rng.uniform(size=(1, Tf)) > 0.3, 200.0, 0.0)
-    batch = {
-        "x": jnp.asarray(rng.normal(size=(1, T, 2)) * 0.1, jnp.float32),
-        "c": jnp.asarray(rng.normal(size=(1, Tf, AUX)), jnp.float32),
-        "d": jnp.ones((1, T)),
-        "y": jnp.asarray(rng.normal(size=(1, T, 1)) * 0.1, jnp.float32),
-        "f0": jnp.asarray(f0, jnp.float32),
-    }
-    vG = gen.init(jax.random.PRNGKey(0), batch["x"], batch["c"], batch["d"])
-    vD = disc.init(jax.random.PRNGKey(1), batch["y"])
-    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
-    state = {
-        "paramsG": vG["params"],
-        "paramsD": vD["params"],
-        "optG_state": optG.init(vG["params"]),
-        "optD_state": optD.init(vD["params"]),
-        "step": jnp.asarray(0),
-    }
-    layer = CheapTrickLayer(sr, UP, 1024, f0_floor=100, f0_ceil=300)
-    fb = jnp.asarray(mel_filterbank(sr, 512, 20, 0), jnp.float32)
-    step = create_vocoder_gan_train_step(
-        gen, disc, optG, optD,
-        stft_loss_type="mel",
-        mel_loss_params={"sampling_rate": sr, "fft_size": 512,
-                         "hop_size": 128, "win_length": 512, "n_mels": 20,
-                         "fmin": 0},
-        source_weight=1.0,
-        cheaptrick_layer=layer,
-        discriminator_train_start_steps=2,
+    Runs in a SUBPROCESS: compiling this differentiated graph late in a
+    long-lived suite process intermittently segfaults the XLA CPU
+    compiler; a fresh process compiles it reliably.
+    """
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = tmp_path / "usfgan_loss_drive.py"
+    script.write_text(_USFGAN_LOSS_DRIVE)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, timeout=540, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
     )
-    d0 = jax.tree_util.tree_leaves(state["paramsD"])
-    state, metrics = step(state, batch)
-    # warm-up: no adversarial loss, D frozen
-    assert float(metrics["Loss_Adv"]) == 0.0
-    d1 = jax.tree_util.tree_leaves(state["paramsD"])
-    assert all(np.allclose(a, b) for a, b in zip(d0, d1))
-    assert np.isfinite(float(metrics["Loss_Source"]))
-    assert float(metrics["Loss_Source"]) > 0.0
-    # past the gate: adversarial kicks in, D updates
-    state["step"] = jnp.asarray(5)
-    state, metrics = step(state, batch)
-    assert float(metrics["Loss_Adv"]) != 0.0
-    d2 = jax.tree_util.tree_leaves(state["paramsD"])
-    assert not all(np.allclose(a, b) for a, b in zip(d1, d2))
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "USFGAN_LOSS_OK" in out.stdout, out.stdout
