@@ -163,3 +163,23 @@ def test_packaged_example_score():
         feats = fe.linguistic_features(labels, binary_dict, numeric_dict)
         assert feats.shape[0] == len(labels)
         assert np.isfinite(feats).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["get_over.xml", "song070_f00001_063.xml", "yuki.xml"]
+)
+def test_all_reference_example_scores_parse(name):
+    """Every bundled reference example score (nnsvs/_example_data/) must
+    survive the full parse -> labels -> linguistic-features path."""
+    path = XML.parent / name
+    if not path.exists():
+        pytest.skip("reference example data unavailable")
+    notes = parse_musicxml(path)
+    assert len(notes) > 10
+    labels = musicxml_to_labels(path)
+    assert len(labels) > len(notes) // 2
+    if HED.exists():
+        binary_dict, numeric_dict = hts.load_question_set(HED)
+        feats = fe.linguistic_features(labels, binary_dict, numeric_dict)
+        assert feats.shape[0] == len(labels)
+        assert np.isfinite(feats).all()
