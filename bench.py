@@ -234,7 +234,8 @@ def _probe_accelerator(timeout_s: int = 900) -> str:
              "import jax; print(jax.default_backend())"],
             capture_output=True, text=True, timeout=timeout_s,
         )
-        return (out.stdout or "").strip().splitlines()[-1] if out.returncode == 0 else ""
+        lines = out.stdout.strip().splitlines()
+        return lines[-1] if out.returncode == 0 and lines else ""
     except subprocess.TimeoutExpired:
         return ""
 

@@ -128,21 +128,27 @@ def run(config):
         config.question_path,
         add_frame_features=False,
     )
+    acoustic_params = dict(config.acoustic.get("params", {}))
+    # frame-level subphone feature mode (reference
+    # bin/conf/prepare_features/acoustic/*.yaml subphone_features):
+    # none / coarse_coding / minimal_phoneme for the phone-aligned singing
+    # labels; the Merlin state modes additionally work on state-aligned
+    # labels.  Canonical home is acoustic.params (what run_recipe packs
+    # into the engine config); acoustic/top-level keys are accepted too.
+    subphone_features = acoustic_params.get(
+        "subphone_features",
+        config.acoustic.get(
+            "subphone_features",
+            config.get("subphone_features", "coarse_coding"),
+        ),
+    )
     linguistic_frame_src = ling_cls(
         config.utt_list,
         config.acoustic.label_dir,
         config.question_path,
         add_frame_features=True,
-        # frame-level subphone feature mode (reference
-        # bin/conf/prepare_features/acoustic/*.yaml subphone_features):
-        # coarse_coding / full / state_only / frame_only / uniform_state /
-        # minimal_frame / minimal_phoneme / none
-        subphone_features=config.acoustic.get(
-            "subphone_features",
-            config.get("subphone_features", "coarse_coding"),
-        ),
+        subphone_features=subphone_features,
     )
-    acoustic_params = dict(config.acoustic.get("params", {}))
     acoustic_src = WORLDAcousticSource(
         config.utt_list,
         config.acoustic.wav_dir,

@@ -321,6 +321,7 @@ def stage6_pack(cfg, work):
             "acoustic": {
                 "subphone_features": str(
                     ac_params.get("subphone_features", "coarse_coding")
+                    or "none"
                 ),
                 "relative_f0": bool(ac_params.get("relative_f0", False)),
                 "force_clip_input_features": True,

@@ -205,6 +205,11 @@ class WORLDAcousticSource(FileDataSource):
         # accepted for reference-config compatibility: resampling here is
         # always scipy polyphase (reference librosa res_type knob)
         res_type: str = "scipy",
+        # accepted so acoustic.params can carry the mode (consumed by the
+        # frame-level linguistic featurization in bin/prepare_features and
+        # packed into the engine config by run_recipe; the internal
+        # pitch-range pass below never needs subphone dims)
+        subphone_features: Optional[str] = "coarse_coding",
         mcep_aperiodicity_order: int = 24,
     ):
         self.utt_list = utt_list

@@ -27,7 +27,20 @@ from ensemble_svs_with_interactions_tpu.io.hts import (
 )
 
 
+def normalize_subphone_features(mode) -> Optional[str]:
+    """Canonicalize a subphone-feature mode from configs: YAML ``none``
+    arrives as the string "none" (and ``null`` as real None) — both mean
+    "no subphone features"."""
+    if mode is None:
+        return None
+    mode = str(mode).strip()
+    if mode.lower() in ("none", "null", ""):
+        return None
+    return mode
+
+
 def get_frame_feature_size(subphone_features: Optional[str] = None) -> int:
+    subphone_features = normalize_subphone_features(subphone_features)
     if subphone_features is None:
         return 0
     sp = subphone_features.strip().lower()
@@ -186,6 +199,7 @@ def linguistic_features(
     Returns:
         (N, D) float32 array, N = num phones, states or frames.
     """
+    subphone_features = normalize_subphone_features(subphone_features)
     if labels.is_state_alignment():
         return _state_alignment_features(
             labels,

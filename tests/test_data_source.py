@@ -119,3 +119,37 @@ def test_world_acoustic_source_parselmouth_mode(utt_list, reference_data_dir):
     )
     with _pytest.raises(AssertionError):
         bad.collect_features(wavs[0], labs[0])
+
+
+def test_normalize_subphone_features():
+    """YAML `none` arrives as the string "none"; all spellings of "no
+    subphone features" canonicalize to None and size 0."""
+    from ensemble_svs_with_interactions_tpu.frontend.merlin import (
+        get_frame_feature_size,
+        normalize_subphone_features,
+    )
+
+    for v in (None, "none", "None", "NULL", ""):
+        assert normalize_subphone_features(v) is None
+        assert get_frame_feature_size(v) == 0
+    assert normalize_subphone_features("coarse_coding") == "coarse_coding"
+    assert get_frame_feature_size("coarse_coding") == 4
+
+
+def test_worldacousticsource_accepts_subphone_features(tmp_path):
+    """acoustic.params may carry subphone_features (the canonical home
+    run_recipe packs from); splatting params into WORLDAcousticSource
+    must not raise."""
+    from ensemble_svs_with_interactions_tpu.data.data_source import (
+        WORLDAcousticSource,
+    )
+
+    src = WORLDAcousticSource(
+        utt_list=str(tmp_path / "nonexistent.list"),
+        wav_root=str(tmp_path),
+        label_root=str(tmp_path),
+        question_path="/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        subphone_features="none",
+        res_type="kaiser_best",
+    )
+    assert src.sample_rate == 48000

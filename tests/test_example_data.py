@@ -1,0 +1,35 @@
+"""Tests for the packaged first-party example data — deliberately NOT
+gated on the reference checkout (these must pass wherever the wheel is
+installed)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+from ensemble_svs_with_interactions_tpu.frontend.musicxml import (
+    musicxml_to_labels,
+    parse_musicxml,
+)
+from ensemble_svs_with_interactions_tpu.io import hts
+
+HED = Path("/root/reference/recipes/_common/hed/jp_dev_latest.hed")
+
+
+def test_packaged_example_score():
+    """The packaged first-party example score parses and featurizes
+    without the reference checkout (reference ships _example_data/ and
+    util.example_xml_file)."""
+    from ensemble_svs_with_interactions_tpu.utils.misc import example_xml_file
+
+    path = example_xml_file()
+    notes = parse_musicxml(path)
+    assert [n.lyric for n in notes if n.lyric] == list("さくらさいた")
+    labels = musicxml_to_labels(path)
+    assert len(labels) >= 10  # pau + phonemes + pau
+    if HED.exists():
+        binary_dict, numeric_dict = hts.load_question_set(HED)
+        feats = fe.linguistic_features(labels, binary_dict, numeric_dict)
+        assert feats.shape[0] == len(labels)
+        assert np.isfinite(feats).all()

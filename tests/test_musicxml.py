@@ -147,24 +147,6 @@ def test_padding_silence_carries_key_signature(tmp_path):
     assert all(key in c for c in labels.contexts)
 
 
-def test_packaged_example_score():
-    """The packaged first-party example score parses and featurizes
-    without the reference checkout (reference ships _example_data/ and
-    util.example_xml_file)."""
-    from ensemble_svs_with_interactions_tpu.utils.misc import example_xml_file
-
-    path = example_xml_file()
-    notes = parse_musicxml(path)
-    assert [n.lyric for n in notes if n.lyric] == list("さくらさいた")
-    labels = musicxml_to_labels(path)
-    assert len(labels) >= 10  # pau + phonemes + pau
-    if HED.exists():
-        binary_dict, numeric_dict = hts.load_question_set(HED)
-        feats = fe.linguistic_features(labels, binary_dict, numeric_dict)
-        assert feats.shape[0] == len(labels)
-        assert np.isfinite(feats).all()
-
-
 @pytest.mark.parametrize(
     "name", ["get_over.xml", "song070_f00001_063.xml", "yuki.xml"]
 )

@@ -482,7 +482,6 @@ from ensemble_svs_with_interactions_tpu.models.vocoders import (
 from ensemble_svs_with_interactions_tpu.models.vocoders.cheaptrick import (
     CheapTrickLayer,
 )
-from ensemble_svs_with_interactions_tpu.data.data_source import mel_filterbank
 from ensemble_svs_with_interactions_tpu.train.vocoder import (
     create_vocoder_gan_train_step,
 )
