@@ -59,7 +59,9 @@ def _bilstm(in_dim, out_dim, **kw):
     return d
 
 
-def test_train_npss_postnet_cascade(tmp_path):
+def _run_npss_postnet_cascade(tmp_path):
+    from pathlib import Path
+    tmp_path = Path(tmp_path)
     rng = np.random.default_rng(0)
     D_in, ss = 8, [4, 1, 1, 2]
     lf0 = dict(in_lf0_idx=5, in_lf0_min=4.5, in_lf0_max=6.5,
@@ -105,7 +107,9 @@ def test_train_npss_postnet_cascade(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_train_mel_diffusion_cascade(tmp_path):
+def _run_mel_diffusion_cascade(tmp_path):
+    from pathlib import Path
+    tmp_path = Path(tmp_path)
     rng = np.random.default_rng(0)
     D_in, ss = 8, [6, 1, 1]
     lf0_idx = 5
@@ -160,3 +164,41 @@ def test_train_mel_diffusion_cascade(tmp_path):
                              "diffusion": jax.random.PRNGKey(10)})
     assert out.shape == (2, 24, sum(ss))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _spawn(family, tmp_path):
+    """Run one family in a FRESH process: compiling these differentiated
+    cascade graphs late in a long-lived suite process intermittently
+    segfaults the XLA CPU compiler (same class as the uSFGAN-losses
+    test); a fresh process compiles them reliably.  Env + CPU forcing
+    happen before this module is imported in the child."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+        "os.environ.setdefault('PALLAS_AXON_POOL_IPS','');"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, '.');"
+        "from tests import test_train_new_families as m;"
+        f"m._run_{family}(sys.argv[1]); print('{family}_OK')"
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path)],
+        capture_output=True, text=True, timeout=540, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert f"{family}_OK" in out.stdout, out.stdout
+
+
+def test_train_npss_postnet_cascade(tmp_path):
+    _spawn("npss_postnet_cascade", tmp_path)
+
+
+def test_train_mel_diffusion_cascade(tmp_path):
+    _spawn("mel_diffusion_cascade", tmp_path)
