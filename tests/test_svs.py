@@ -439,3 +439,116 @@ def test_svs_rejects_unknown_types(tmp_path):
         eng.svs(hts.HTSLabels(), vocoder_type="wrld")
     with pytest.raises(ValueError, match="Unknown post-filter type"):
         eng.svs(hts.HTSLabels(), post_filter_type="GV")
+
+
+def test_gen_spsvs_static_features_relative_f0():
+    """relative_f0=True adds the predicted lf0 DIFFERENCE back onto the
+    score-derived log-F0 (reference gen.py:1942-1959): with a constant
+    midi A4 score and diff_lf0=0.1, the reconstructed lf0 must be
+    log(440)+0.1 on voiced frames."""
+    T = 12
+    diff = 0.1
+    acoustic = np.zeros((T, 5), np.float32)
+    acoustic[:, 2] = diff  # lf0 stream carries the residual
+    acoustic[:, 3] = 1.0  # fully voiced
+    ling = np.zeros((T, 2), np.float32)
+    ling[:, 1] = 69.0  # midi A4 = 440 Hz
+    mgc, lf0, vuv, bap = gen.gen_spsvs_static_features(
+        labels=None,
+        acoustic_features=acoustic,
+        binary_dict={},
+        numeric_dict={},
+        stream_sizes=[2, 1, 1, 1],
+        has_dynamic_features=[False] * 4,
+        pitch_idx=1,
+        num_windows=1,
+        relative_f0=True,
+        force_fix_vuv=False,
+        linguistic_features=ling,
+    )
+    assert lf0.shape == (T, 1)
+    assert np.allclose(lf0, np.log(440.0) + diff, atol=1e-5)
+    # unvoiced frames drop to 0 Hz before the final interp
+    acoustic[:6, 3] = 0.0
+    _, lf0_uv, vuv_uv, _ = gen.gen_spsvs_static_features(
+        labels=None,
+        acoustic_features=acoustic,
+        binary_dict={},
+        numeric_dict={},
+        stream_sizes=[2, 1, 1, 1],
+        has_dynamic_features=[False] * 4,
+        pitch_idx=1,
+        num_windows=1,
+        relative_f0=True,
+        force_fix_vuv=False,
+        linguistic_features=ling,
+    )
+    assert np.all(vuv_uv[:6] == 0.0)
+    # interp1d keeps lf0 continuous through the unvoiced region
+    assert np.allclose(lf0_uv, np.log(440.0) + diff, atol=1e-5)
+
+
+def test_gen_spsvs_static_features_vibrato_diff_stream():
+    """5-stream layout: the 5th stream is an F0 vibrato DIFFERENCE in Hz,
+    scaled by vibrato_scale and added after V/UV gating (reference
+    gen.py:1978-1984 vib add-back)."""
+    T = 10
+    acoustic = np.zeros((T, 6), np.float32)
+    acoustic[:, 2] = np.log(440.0)  # absolute lf0 (relative_f0=False)
+    acoustic[:, 3] = 1.0
+    acoustic[:, 5] = 5.0  # vibrato diff in Hz
+    ling = np.zeros((T, 2), np.float32)
+    _, lf0, _, _ = gen.gen_spsvs_static_features(
+        labels=None,
+        acoustic_features=acoustic,
+        binary_dict={},
+        numeric_dict={},
+        stream_sizes=[2, 1, 1, 1, 1],
+        has_dynamic_features=[False] * 5,
+        pitch_idx=1,
+        num_windows=1,
+        relative_f0=False,
+        force_fix_vuv=False,
+        vibrato_scale=2.0,
+        linguistic_features=ling,
+    )
+    assert np.allclose(np.exp(lf0), 440.0 + 2.0 * 5.0, atol=1e-3)
+
+
+def test_gen_spsvs_static_features_vibrato_sine_flags_gate():
+    """6-stream layout: vibrato (m_a, m_f) sine re-synthesis is gated by
+    the vib_flags stream — flags < 0.5 zero the parameters, leaving F0
+    untouched (reference gen.py:1966-1977)."""
+    T = 10
+    acoustic = np.zeros((T, 8), np.float32)
+    acoustic[:, 2] = np.log(440.0)
+    acoustic[:, 3] = 1.0
+    acoustic[:, 5] = 80.0  # m_a (extent, cents)
+    acoustic[:, 6] = 5.0  # m_f (rate, Hz)
+    acoustic[:, 7] = 0.0  # flags OFF everywhere
+    ling = np.zeros((T, 2), np.float32)
+    kw = dict(
+        labels=None,
+        binary_dict={},
+        numeric_dict={},
+        stream_sizes=[2, 1, 1, 1, 2, 1],
+        has_dynamic_features=[False] * 6,
+        pitch_idx=1,
+        num_windows=1,
+        relative_f0=False,
+        force_fix_vuv=False,
+        linguistic_features=ling,
+    )
+    _, lf0_off, _, _ = gen.gen_spsvs_static_features(
+        acoustic_features=acoustic, **kw
+    )
+    assert np.allclose(np.exp(lf0_off), 440.0, atol=1e-3)
+    acoustic_on = acoustic.copy()
+    acoustic_on[:, 7] = 1.0  # flags ON -> sinusoidal modulation applied
+    _, lf0_on, _, _ = gen.gen_spsvs_static_features(
+        acoustic_features=acoustic_on, **kw
+    )
+    f0_on = np.exp(lf0_on).flatten()
+    assert not np.allclose(f0_on, 440.0, atol=1e-3)
+    # modulation stays within the clipped extent (<=150 cents) bound
+    assert np.all(np.abs(1200 * np.log2(f0_on / 440.0)) <= 150 * 1.01)
