@@ -201,4 +201,5 @@ def create_gan_train_step(
         metrics = {**auxG, **auxD, "GradNorm_G": gnormG, "GradNorm_D": gnormD}
         return new_state, metrics
 
-    return jax.jit(train_step)
+    # state donated: buffers reused in place (see train/loop.py)
+    return jax.jit(train_step, donate_argnums=(0,))

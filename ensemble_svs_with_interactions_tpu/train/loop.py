@@ -382,7 +382,10 @@ def create_train_step(
             aux["pred_out"],
         )
 
-    return jax.jit(train_step), jax.jit(eval_step)
+    # Donate the state (params/opt-state buffers are reused in place —
+    # halves peak HBM for the largest tensors; callers rebind
+    # ``state, metrics = train_step(state, ...)`` immediately).
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
 # --------------------------------------------------------------------------

@@ -295,7 +295,8 @@ def create_multitrack_acoustic_train_step(
             aux["pred_main"],
         )
 
-    return jax.jit(train_step), jax.jit(eval_step)
+    # state donated: buffers reused in place (see train/loop.py)
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
 def create_multitrack_timing_train_step(
@@ -356,4 +357,5 @@ def create_multitrack_timing_train_step(
         loss = loss_fn(state["params"], batch, jax.random.PRNGKey(0), False)
         return {"Loss": loss}
 
-    return jax.jit(train_step), jax.jit(eval_step)
+    # state donated: buffers reused in place (see train/loop.py)
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)

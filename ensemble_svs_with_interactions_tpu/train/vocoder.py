@@ -277,4 +277,5 @@ def create_vocoder_gan_train_step(
             **auxG, **auxD, "GradNorm_G": gnormG, "GradNorm_D": gnormD,
         }
 
-    return jax.jit(train_step)
+    # state donated: buffers reused in place (see train/loop.py)
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -534,17 +534,22 @@ step = create_vocoder_gan_train_step(
     cheaptrick_layer=layer,
     discriminator_train_start_steps=2,
 )
-d0 = jax.tree_util.tree_leaves(state["paramsD"])
+def snap(tree):
+    # host copies: the train step DONATES its input state, so device
+    # leaves held across a step call are deleted buffers
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+d0 = snap(state["paramsD"])
 state, metrics = step(state, batch)
 assert float(metrics["Loss_Adv"]) == 0.0
-d1 = jax.tree_util.tree_leaves(state["paramsD"])
+d1 = snap(state["paramsD"])
 assert all(np.allclose(a, b) for a, b in zip(d0, d1))
 assert np.isfinite(float(metrics["Loss_Source"]))
 assert float(metrics["Loss_Source"]) > 0.0
 state["step"] = jnp.asarray(5)
 state, metrics = step(state, batch)
 assert float(metrics["Loss_Adv"]) != 0.0
-d2 = jax.tree_util.tree_leaves(state["paramsD"])
+d2 = snap(state["paramsD"])
 assert not all(np.allclose(a, b) for a, b in zip(d1, d2))
 print("USFGAN_LOSS_OK")
 """
