@@ -144,8 +144,14 @@ def train_postfilter(config: Config) -> Dict[str, float]:
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             for k, v in metrics.items():
-                epoch_metrics.setdefault(k, []).append(float(v))
-        means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+                # un-fetched device scalars: float() here would BLOCK
+                # the host every step and stop dispatch running ahead
+                # of the device; one batched device_get at epoch end
+                epoch_metrics.setdefault(k, []).append(v)
+        means = {
+            k: float(np.mean(jax.device_get(v)))
+            for k, v in epoch_metrics.items()
+        }
         writer.log(epoch, means, prefix="train_no_dev/")
 
         # best-checkpoint selection on the DEV split (the reference's

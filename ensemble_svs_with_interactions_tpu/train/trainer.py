@@ -360,8 +360,14 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                                 writer=writer,
                             )
                 for k, v in metrics.items():
-                    epoch_metrics.setdefault(k, []).append(float(v))
-            means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+                    # un-fetched device scalars: float() here would BLOCK
+                    # the host every step and stop dispatch running ahead
+                    # of the device; one batched device_get at epoch end
+                    epoch_metrics.setdefault(k, []).append(v)
+            means = {
+                k: float(np.mean(jax.device_get(v)))
+                for k, v in epoch_metrics.items()
+            }
             writer.log(epoch, means, prefix=f"{split}/")
             logger.info("epoch %d [%s] %s", epoch, split,
                         {k: round(v, 4) for k, v in means.items()})

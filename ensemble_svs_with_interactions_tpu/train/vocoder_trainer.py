@@ -271,8 +271,14 @@ def train_vocoder(config: Config) -> Dict[str, float]:
             batch = crops.batch(rng_np, batch_size)
             state, metrics = step_fn(state, batch)
             for k, v in metrics.items():
-                epoch_metrics.setdefault(k, []).append(float(v))
-        means = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+                # un-fetched device scalars: float() here would BLOCK
+                # the host every step and stop dispatch running ahead
+                # of the device; one batched device_get at epoch end
+                epoch_metrics.setdefault(k, []).append(v)
+        means = {
+            k: float(np.mean(jax.device_get(v)))
+            for k, v in epoch_metrics.items()
+        }
         writer.log(epoch, means, prefix="train_no_dev/")
         logger.info(
             "epoch %d %s", epoch, {k: round(v, 4) for k, v in means.items()}
