@@ -20,6 +20,7 @@ from ensemble_svs_with_interactions_tpu.data.dataset import (
     BucketedBatchIterator,
     FeatsDataset,
 )
+from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train.gan import create_gan_train_step
 from ensemble_svs_with_interactions_tpu.train.loop import (
     MetricsWriter,
@@ -35,6 +36,22 @@ from ensemble_svs_with_interactions_tpu.utils.misc import init_seed
 def train_postfilter(config: Config) -> Dict[str, float]:
     logger = getLogger(verbose=config.get("verbose", 1), name="train_pf")
     init_seed(int(config.get("seed", 1234)))
+
+    # data-parallel mesh, like the non-GAN trainers (the reference wraps
+    # both netG and netD in DDP via setup_gan, train_util.py:1521)
+    dist_cfg = config.get("distributed", {}) or {}
+    from ensemble_svs_with_interactions_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(
+        dist_cfg.get("coordinator"),
+        dist_cfg.get("num_processes"),
+        dist_cfg.get("process_id"),
+    )
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    logger.info("devices: %d (%s)", n_dev, mesh)
 
     netG = instantiate(config.model.netG)
     netD = instantiate(config.model.netD)
@@ -136,13 +153,14 @@ def train_postfilter(config: Config) -> Dict[str, float]:
             datasets["train_no_dev"],
             max_tokens=int(config.data.get("batch_max_frames", 8000)),
             time_multiple=int(config.data.get("time_multiple", 32)),
+            batch_multiple=n_dev,
             shuffle=True,
             seed=epoch,
         )
         epoch_metrics: Dict[str, list] = {}
         for batch in it:
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
+            state, metrics = step_fn(state, shard_batch(batch, mesh), step_rng)
             for k, v in metrics.items():
                 # un-fetched device scalars: float() here would BLOCK
                 # the host every step and stop dispatch running ahead
@@ -157,11 +175,12 @@ def train_postfilter(config: Config) -> Dict[str, float]:
         # best-checkpoint selection on the DEV split (the reference's
         # train_postfilter picks best on dev, not training recon)
         dev_losses = [
-            float(eval_recon(state["paramsG"], batch))
+            float(eval_recon(state["paramsG"], shard_batch(batch, mesh)))
             for batch in BucketedBatchIterator(
                 datasets["dev"],
                 max_tokens=int(config.data.get("batch_max_frames", 8000)),
                 time_multiple=int(config.data.get("time_multiple", 32)),
+                batch_multiple=n_dev,
                 shuffle=False,
                 seed=0,
             )

@@ -25,6 +25,7 @@ from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (
     SignalGenerator,
     dilated_factor,
 )
+from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train.loop import (
     MetricsWriter,
     build_optimizer,
@@ -127,6 +128,22 @@ class _VocoderCrops:
 def train_vocoder(config: Config) -> Dict[str, float]:
     logger = getLogger(verbose=config.get("verbose", 1), name="train_voc")
     init_seed(int(config.get("seed", 1234)))
+
+    # data-parallel mesh, like the non-GAN trainers (the reference trains
+    # vocoders through external DDP-capable trainers, recipe stages 10-13)
+    dist_cfg = config.get("distributed", {}) or {}
+    from ensemble_svs_with_interactions_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(
+        dist_cfg.get("coordinator"),
+        dist_cfg.get("num_processes"),
+        dist_cfg.get("process_id"),
+    )
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    logger.info("devices: %d (%s)", n_dev, mesh)
 
     sr = int(config.data.get("sample_rate", 48000))
     hop = int(sr * float(config.data.get("frame_period", 5)) / 1000.0)
@@ -262,6 +279,12 @@ def train_vocoder(config: Config) -> Dict[str, float]:
     nepochs = int(config.train.get("nepochs", 10))
     steps_per_epoch = int(config.train.get("steps_per_epoch", 100))
     batch_size = int(config.train.get("batch_size", 8))
+    if batch_size % n_dev:
+        batch_size = -(-batch_size // n_dev) * n_dev
+        logger.info(
+            "batch_size rounded up to %d (multiple of %d devices)",
+            batch_size, n_dev,
+        )
     best = float("inf")
     last: Dict[str, float] = {}
 
@@ -269,7 +292,7 @@ def train_vocoder(config: Config) -> Dict[str, float]:
         epoch_metrics: Dict[str, list] = {}
         for _ in range(steps_per_epoch):
             batch = crops.batch(rng_np, batch_size)
-            state, metrics = step_fn(state, batch)
+            state, metrics = step_fn(state, shard_batch(batch, mesh))
             for k, v in metrics.items():
                 # un-fetched device scalars: float() here would BLOCK
                 # the host every step and stop dispatch running ahead
