@@ -172,6 +172,59 @@ def pad_batch(
     return out, lengths
 
 
+def prefetch_batches(iterable, depth: int = 2):
+    """Yield from ``iterable`` while a background thread builds up to
+    ``depth`` items ahead.
+
+    Batch construction (npy loading, padding, host-side transforms, the
+    async H2D enqueue) otherwise serializes with step dispatch on the one
+    host thread; the reference gets the same overlap from torch DataLoader
+    worker processes (train_util.py:1022).  Producer exceptions re-raise
+    at the consumer; closing the generator stops the producer.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    sentinel = object()
+    error: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def _produce():
+        try:
+            for item in iterable:
+                if not _put(item):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            error.append(e)
+        finally:
+            _put(sentinel)
+
+    thread = threading.Thread(
+        target=_produce, daemon=True, name="batch-prefetch"
+    )
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class BucketedBatchIterator:
     """Iterate length-bucketed, padded batches over a FeatsDataset.
 

@@ -18,6 +18,7 @@ from ensemble_svs_with_interactions_tpu.data.multitrack import (
     MultiTrackBatchIterator,
     MultiTrackFeatsDataset,
 )
+from ensemble_svs_with_interactions_tpu.data.dataset import prefetch_batches
 from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train import metrics as M
 from ensemble_svs_with_interactions_tpu.train.loop import (
@@ -215,25 +216,33 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
             )
             epoch_metrics: Dict[str, list] = {}
             rendered_this_epoch = False
-            for batch in it:
-                if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
-                    lf0_denorm = (
-                        batch["in_feats0"][:, :, in_lf0_idx]
-                        * (in_lf0_max - in_lf0_min)
-                        + in_lf0_min
-                    )
-                    T = batch["in_feats0"].shape[1]
-                    valid = np.arange(T)[None, :] < batch["lengths"][:, None]
-                    if in_rest_idx >= 0:
-                        valid = valid & (
-                            batch["in_feats0"][:, :, in_rest_idx] <= 0
+
+            def _host_pipeline(it=it):
+                # batch construction + transforms + the async H2D enqueue,
+                # run on the prefetch thread so they overlap step dispatch
+                for batch in it:
+                    if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
+                        lf0_denorm = (
+                            batch["in_feats0"][:, :, in_lf0_idx]
+                            * (in_lf0_max - in_lf0_min)
+                            + in_lf0_min
                         )
-                    batch["pitch_reg_dyn_ws"] = (
-                        compute_pitch_regularization_weight(
-                            np.where(valid, lf0_denorm, 0.0), decay_size
+                        T = batch["in_feats0"].shape[1]
+                        valid = (
+                            np.arange(T)[None, :] < batch["lengths"][:, None]
                         )
-                    )
-                sharded = shard_batch(batch, mesh)
+                        if in_rest_idx >= 0:
+                            valid = valid & (
+                                batch["in_feats0"][:, :, in_rest_idx] <= 0
+                            )
+                        batch["pitch_reg_dyn_ws"] = (
+                            compute_pitch_regularization_weight(
+                                np.where(valid, lf0_denorm, 0.0), decay_size
+                            )
+                        )
+                    yield batch, shard_batch(batch, mesh)
+
+            for batch, sharded in prefetch_batches(_host_pipeline()):
                 if train:
                     rng, step_rng = jax.random.split(rng)
                     if is_acoustic:

@@ -19,6 +19,7 @@ import numpy as np
 from ensemble_svs_with_interactions_tpu.data.dataset import (
     BucketedBatchIterator,
     FeatsDataset,
+    prefetch_batches,
 )
 from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train.gan import create_gan_train_step
@@ -158,9 +159,10 @@ def train_postfilter(config: Config) -> Dict[str, float]:
             seed=epoch,
         )
         epoch_metrics: Dict[str, list] = {}
-        for batch in it:
+        # batch construction + async H2D enqueue overlap step dispatch
+        for sharded in prefetch_batches(shard_batch(b, mesh) for b in it):
             rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, shard_batch(batch, mesh), step_rng)
+            state, metrics = step_fn(state, sharded, step_rng)
             for k, v in metrics.items():
                 # un-fetched device scalars: float() here would BLOCK
                 # the host every step and stop dispatch running ahead

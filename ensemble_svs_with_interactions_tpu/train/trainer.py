@@ -20,6 +20,7 @@ import numpy as np
 from ensemble_svs_with_interactions_tpu.data.dataset import (
     BucketedBatchIterator,
     FeatsDataset,
+    prefetch_batches,
 )
 from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train import losses as L
@@ -257,29 +258,40 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
             )
             epoch_metrics: Dict[str, list] = {}
             rendered_this_epoch = False
-            for batch in it:
-                if train and use_random_segments:
-                    batch = _random_segments(batch)
-                if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
-                    lf0_denorm = (
-                        batch["in_feats"][:, :, in_lf0_idx]
-                        * (in_lf0_max - in_lf0_min)
-                        + in_lf0_min
-                    )
-                    # zero at padded AND rest frames so note segmentation
-                    # works (reference train_acoustic.py:354-356 multiplies
-                    # by the rest flag — score lf0 is interpolated over
-                    # rests, so they would otherwise count as note frames)
-                    T = batch["in_feats"].shape[1]
-                    valid = np.arange(T)[None, :] < batch["lengths"][:, None]
-                    if in_rest_idx >= 0:
-                        valid = valid & (
-                            batch["in_feats"][:, :, in_rest_idx] <= 0
+
+            def _host_pipeline(it=it, train=train):
+                # batch construction + transforms + the async H2D enqueue,
+                # run on the prefetch thread so they overlap step dispatch
+                for batch in it:
+                    if train and use_random_segments:
+                        batch = _random_segments(batch)
+                    if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
+                        lf0_denorm = (
+                            batch["in_feats"][:, :, in_lf0_idx]
+                            * (in_lf0_max - in_lf0_min)
+                            + in_lf0_min
                         )
-                    batch["pitch_reg_dyn_ws"] = compute_pitch_regularization_weight(
-                        np.where(valid, lf0_denorm, 0.0), decay_size
-                    )
-                sharded = shard_batch(batch, mesh)
+                        # zero at padded AND rest frames so note
+                        # segmentation works (reference
+                        # train_acoustic.py:354-356 multiplies by the rest
+                        # flag — score lf0 is interpolated over rests, so
+                        # they would otherwise count as note frames)
+                        T = batch["in_feats"].shape[1]
+                        valid = (
+                            np.arange(T)[None, :] < batch["lengths"][:, None]
+                        )
+                        if in_rest_idx >= 0:
+                            valid = valid & (
+                                batch["in_feats"][:, :, in_rest_idx] <= 0
+                            )
+                        batch["pitch_reg_dyn_ws"] = (
+                            compute_pitch_regularization_weight(
+                                np.where(valid, lf0_denorm, 0.0), decay_size
+                            )
+                        )
+                    yield batch, shard_batch(batch, mesh)
+
+            for batch, sharded in prefetch_batches(_host_pipeline()):
                 if train:
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, sharded, step_rng)

@@ -25,6 +25,7 @@ from ensemble_svs_with_interactions_tpu.models.vocoders.usfgan import (
     SignalGenerator,
     dilated_factor,
 )
+from ensemble_svs_with_interactions_tpu.data.dataset import prefetch_batches
 from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
 from ensemble_svs_with_interactions_tpu.train.loop import (
     MetricsWriter,
@@ -288,11 +289,16 @@ def train_vocoder(config: Config) -> Dict[str, float]:
     best = float("inf")
     last: Dict[str, float] = {}
 
+    def _crop_batches(n):
+        # crop assembly + excitation synthesis + async H2D enqueue, run on
+        # the prefetch thread so they overlap step dispatch
+        for _ in range(n):
+            yield shard_batch(crops.batch(rng_np, batch_size), mesh)
+
     for epoch in range(1, nepochs + 1):
         epoch_metrics: Dict[str, list] = {}
-        for _ in range(steps_per_epoch):
-            batch = crops.batch(rng_np, batch_size)
-            state, metrics = step_fn(state, shard_batch(batch, mesh))
+        for batch in prefetch_batches(_crop_batches(steps_per_epoch)):
+            state, metrics = step_fn(state, batch)
             for k, v in metrics.items():
                 # un-fetched device scalars: float() here would BLOCK
                 # the host every step and stop dispatch running ahead

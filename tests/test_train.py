@@ -12,6 +12,7 @@ from ensemble_svs_with_interactions_tpu.data.dataset import (
     FeatsDataset,
     batch_by_size,
     pad_batch,
+    prefetch_batches,
 )
 from ensemble_svs_with_interactions_tpu.train import metrics as M
 from ensemble_svs_with_interactions_tpu.train import losses as L
@@ -79,6 +80,27 @@ def test_max_frames_filter(feature_dumps):
     in_dir, out_dir = feature_dumps
     ds = FeatsDataset(in_dir, out_dir, max_frames=40)
     assert 0 < len(ds) < 12
+
+
+def test_prefetch_batches_order_and_errors():
+    # order + content preserved
+    assert list(prefetch_batches(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch_batches(iter([]))) == []
+
+    # producer exceptions re-raise at the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_batches(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
+
+    # early close stops cleanly (no hang, producer unwound)
+    it = prefetch_batches(iter(range(1000)), depth=1)
+    assert next(it) == 0
+    it.close()
 
 
 # ---------------------------------------------------------------- metrics
