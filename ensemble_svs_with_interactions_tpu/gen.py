@@ -73,6 +73,11 @@ class ModelPack:
     variables: dict
     config: Any  # needs stream_sizes, has_dynamic_features, num_windows
     bucket: int = FRAME_BUCKET
+    # Optional jax.sharding.Mesh: ``inference_batch`` then pads the
+    # ensemble batch to the mesh size and shards it over the first mesh
+    # axis (SPMD data parallelism — XLA partitions the whole program, the
+    # batched scans run one track-shard per chip).  None = single-device.
+    mesh: Any = None
 
     def __post_init__(self):
         # On accelerators behind a slow device->host link, ship outputs as
@@ -125,8 +130,28 @@ class ModelPack:
         self._rng = jax.random.PRNGKey(1234)
         # pin weights on device once — deserialized variables are numpy
         # arrays, and passing those to jit re-uploads the full parameter set
-        # on every call (disastrous over a remote-device link)
-        self.variables = jax.device_put(self.variables)
+        # on every call (disastrous over a remote-device link).  Under a
+        # mesh the parameters are replicated on every device so the
+        # batch-sharded program needs no weight collectives.
+        self.variables = jax.device_put(self.variables, self._replicated())
+
+    def _replicated(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec())
+
+    def _batch_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+
+    def set_mesh(self, mesh) -> "ModelPack":
+        """Switch SPMD data-parallel inference on (or off with None)."""
+        self.mesh = mesh
+        self.variables = jax.device_put(self.variables, self._replicated())
+        return self
 
     def prediction_type(self):
         return self.module.prediction_type()
@@ -188,8 +213,30 @@ class ModelPack:
         path).
         """
 
+        B = len(xs)
+        # SPMD: pad the batch to a multiple of the mesh size so the batch
+        # axis shards evenly; padding rows are zeros with length 1 (masked
+        # out everywhere) and are dropped again in _finalize (range(B)).
+        n_shard = int(np.prod(self.mesh.devices.shape)) if self.mesh else 1
+        B_pad = _round_up(B, n_shard)
+
+        def _put(arr):
+            if self.mesh is not None:
+                return jax.device_put(arr, self._batch_sharding())
+            return jnp.asarray(arr)
+
+        def _pad_rows(a):
+            """Pad a leading-B array/tuple-of-arrays to B_pad rows."""
+            if isinstance(a, tuple):
+                return tuple(_pad_rows(x) for x in a)
+            a = np.asarray(a)
+            if a.shape[0] == B_pad:
+                return a
+            pad = np.zeros((B_pad - a.shape[0],) + a.shape[1:], a.dtype)
+            return np.concatenate([a, pad], axis=0)
+
         def _pack(seqs, T_pad):
-            b = np.zeros((len(seqs), T_pad, seqs[0].shape[1]), np.float32)
+            b = np.zeros((B_pad, T_pad, seqs[0].shape[1]), np.float32)
             for i, s in enumerate(seqs):
                 b[i, : len(s)] = s
             if self._half_transfer:
@@ -198,26 +245,34 @@ class ModelPack:
                 # absolute, ~1.5 cents on the lf0 score column, far below
                 # the 10-cent analysis accuracy bar; CPU stays f32 for
                 # bit-exact tests
-                return jnp.asarray(b.astype(np.float16))
-            return jnp.asarray(b)
+                return _put(b.astype(np.float16))
+            return _put(b)
 
-        B = len(xs)
         all_seqs = list(xs) + (list(xs_sub) if xs_sub is not None else [])
         T_pad = _round_up(max(len(x) for x in all_seqs), self.bucket)
         lengths = np.asarray([len(x) for x in xs], np.int32)
         args = [_pack(xs, T_pad)]
         sub_from_index = False
         if sub_index is not None:
-            args.append(jnp.asarray(np.asarray(sub_index, np.int32)))
+            args.append(_put(_pad_rows(np.asarray(sub_index, np.int32))))
             sub_from_index = True
         elif xs_sub is not None:
             args.append(_pack(xs_sub, T_pad))
         if spks is not None:
+            if self.mesh is not None:
+                spks = jax.tree_util.tree_map(
+                    lambda a: _put(_pad_rows(np.asarray(a))), spks
+                )
             args.append(spks)
+        # padding rows get length 1: a zero-length sequence would make
+        # mask-normalized reductions divide by zero inside some models
+        lengths_full = np.where(
+            np.arange(B_pad) < B, _pad_rows(lengths), 1
+        ).astype(np.int32)
         if self._lengths_kwarg_ok(method):
-            len_args, len_kw = (), {"lengths": jnp.asarray(lengths)}
+            len_args, len_kw = (), {"lengths": _put(lengths_full)}
         else:
-            len_args, len_kw = (jnp.asarray(lengths),), {}
+            len_args, len_kw = (_put(lengths_full),), {}
         if device_out:
             out = self._jit_infer_raw(
                 method, False, sub_from_index, self.variables, self._rng,

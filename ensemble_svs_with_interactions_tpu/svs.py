@@ -262,6 +262,28 @@ class SPSVS(BaseSVS):
         self.logger.info("set_device(%s): managed by JAX/XLA; no-op", device)
         return self
 
+    def set_mesh(self, mesh):
+        """Enable SPMD ensemble inference over a ``jax.sharding.Mesh``.
+
+        Batched timing/acoustic/postfilter calls then shard the ensemble
+        (track/pair) batch over the mesh's first axis with parameters
+        replicated — XLA partitions the compiled program so each chip runs
+        its shard of tracks (no reference analogue: torch inference there
+        is single-GPU, nnsvs/svs.py:304).  Pass ``None`` to go back to
+        single-device.  The fused device postprocess path currently stays
+        single-device, so mesh mode uses the host postprocess path.
+        """
+        self._mesh = mesh
+        for pack in (
+            self.timelag_model,
+            self.duration_model,
+            self.acoustic_model,
+            self.postfilter_model,
+        ):
+            if pack is not None:
+                pack.set_mesh(mesh)
+        return self
+
     def _force_clip(self, phase: str) -> bool:
         """Per-phase input-feature clipping flag from the packed config
         (reference svs.py:341,370,439 reads config.{timelag,duration}.
@@ -599,7 +621,15 @@ class SPSVS(BaseSVS):
         )
 
     def _fused_assets(self):
-        if getattr(self, "_fused_cache", None) is None:
+        # keyed on the active mesh: the asset arrays must share the batch's
+        # device set (a device-0-committed constant mixed with mesh-sharded
+        # inputs is a placement error), so they are replicated over the
+        # mesh in SPMD mode and re-put when the mesh changes
+        mesh = getattr(self, "_mesh", None)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is not None and cache[0] is not mesh:
+            cache = self._fused_cache = None
+        if cache is None:
             import jax
 
             from ensemble_svs_with_interactions_tpu.ops import device_post
@@ -619,12 +649,19 @@ class SPSVS(BaseSVS):
                 + [20.0]
             )
             fb, fa, fzi = device_post.filtfilt_coeffs(cutoffs, modfs)
-            arrays = jax.device_put((a, b, gv, fb, fa, fzi))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sharding = NamedSharding(mesh, PartitionSpec())
+                arrays = jax.device_put((a, b, gv, fb, fa, fzi), sharding)
+            else:
+                arrays = jax.device_put((a, b, gv, fb, fa, fzi))
             self._fused_cache = (
+                mesh,
                 arrays,
                 device_post.jit_fused_world_postprocess(),
             )
-        return self._fused_cache
+        return self._fused_cache[1], self._fused_cache[2]
 
     def _fused_postprocess(self, out_dev, lengths, raw_feats, post_filter_type):
         """Device (N, T_pad, D) normalized predictions -> device
@@ -633,8 +670,12 @@ class SPSVS(BaseSVS):
 
         (a, b, gv, fb, fa, fzi), jit_fn = self._fused_assets()
         cfg = self.acoustic_model.config
-        N, T_pad = out_dev.shape[0], out_dev.shape[1]
-        note_mask = np.zeros((N, T_pad), bool)
+        # under a mesh the acoustic batch is padded to the mesh size:
+        # rows beyond len(lengths) are padding (length 1, no note frames)
+        B_rows, T_pad = out_dev.shape[0], out_dev.shape[1]
+        lengths_full = np.ones((B_rows,), np.int32)
+        lengths_full[: len(lengths)] = np.asarray(lengths, np.int32)
+        note_mask = np.zeros((B_rows, T_pad), bool)
         for i, raw in enumerate(raw_feats):
             idx = hts.get_note_frame_indices(
                 self.binary_dict, self.numeric_dict, raw
@@ -643,7 +684,7 @@ class SPSVS(BaseSVS):
             note_mask[i, idx] = True
         return jit_fn(
             out_dev,
-            jnp.asarray(np.asarray(lengths, np.int32)),
+            jnp.asarray(lengths_full),
             jnp.asarray(note_mask),
             a,
             b,
@@ -667,7 +708,12 @@ class SPSVS(BaseSVS):
         :meth:`_vocoder_core`, then per-track trim + dtype finalization."""
         self._t_vocoder_device_done = None
         hop = int(self.sample_rate * self.frame_period / 1000)
-        sample_lengths = np.asarray(lengths, np.int64) * hop
+        # mesh-padded batches carry extra rows beyond the real tracks;
+        # give them 1-frame sample lengths and drop them at the end
+        B_rows = batch[0].shape[0]
+        lengths_full = np.ones((B_rows,), np.int64)
+        lengths_full[: len(lengths)] = np.asarray(lengths, np.int64)
+        sample_lengths = lengths_full * hop
         want_int16 = dtype in (np.int16, "int16")
         wavs = self._vocoder_core(
             batch, sample_lengths, vuv_threshold, want_int16
@@ -738,7 +784,13 @@ class SPSVS(BaseSVS):
         from ensemble_svs_with_interactions_tpu.ops import world
 
         N = batch[0].shape[0]
-        chunks = self._vocoder_chunk_plan(N)
+        # SPMD: one chunk — slicing the sharded batch axis would reshard,
+        # and each device's D2H runs in parallel anyway, so the two-chunk
+        # transfer/compute overlap trick has nothing to hide
+        if getattr(self, "_mesh", None) is not None:
+            chunks = [N]
+        else:
+            chunks = self._vocoder_chunk_plan(N)
         hop = int(self.sample_rate * self.frame_period / 1000)
         futures = []
         starts = np.concatenate([[0], np.cumsum(chunks)])[:-1]

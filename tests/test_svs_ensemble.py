@@ -106,6 +106,111 @@ def test_svs_ensemble_float_dtype(st_engine, short_labels):
     assert all(w.dtype != np.int16 for w in wavs)
 
 
+def test_svs_ensemble_mesh_sharded(mt_engine, short_labels, monkeypatch):
+    """SPMD inference: the pairwise ensemble sharded over a 2-device mesh
+    (batch axis split, parameters replicated) must reproduce the
+    single-device render.  No reference analogue — torch inference there
+    is single-GPU (nnsvs/svs.py:304)."""
+    from ensemble_svs_with_interactions_tpu.parallel import make_mesh
+
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    # compare on the host postprocess path (mesh mode always uses it)
+    monkeypatch.setenv("ESVS_DISABLE_FUSED_POST", "1")
+    wavs_ref, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    try:
+        mt_engine.set_mesh(make_mesh(2))
+        wavs_mesh, sr = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    finally:
+        mt_engine.set_mesh(None)
+    assert sr == SR
+    assert len(wavs_mesh) == 2
+    for wm, wr in zip(wavs_mesh, wavs_ref):
+        assert len(wm) == len(wr)
+        a = wm.astype(np.float64) / 32767.0
+        b = wr.astype(np.float64) / 32767.0
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-4
+        assert np.corrcoef(a, b)[0, 1] > 0.9999
+
+
+def test_svs_ensemble_mesh_fused(mt_engine, short_labels):
+    """Mesh mode runs the FUSED device postprocess+vocoder path too: with
+    2 tracks on 2 devices both runs use a single [2] vocoder chunk (same
+    noise keys), so the sharded render must match the single-device one."""
+    from ensemble_svs_with_interactions_tpu.parallel import make_mesh
+
+    labels_list = [short_labels.copy(), short_labels.copy()]
+    wavs_ref, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    assert mt_engine.last_stage_times  # fused path ran
+    try:
+        mt_engine.set_mesh(make_mesh(2))
+        assert mt_engine._fused_post_ok("world", "gv", [100, 100])
+        wavs_mesh, _ = mt_engine.svs_ensemble(labels_list, spk_ids=[0, 1])
+    finally:
+        mt_engine.set_mesh(None)
+    for wm, wr in zip(wavs_mesh, wavs_ref):
+        assert len(wm) == len(wr)
+        a = wm.astype(np.float64) / 32767.0
+        b = wr.astype(np.float64) / 32767.0
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-4
+        assert np.corrcoef(a, b)[0, 1] > 0.9999
+
+
+def test_fused_postprocess_mesh_padding_streams(tmp_path, short_labels):
+    """3 tracks on a 2-device mesh pad the fused postprocess batch to 4
+    rows; the real rows' (mgc, lf0, vuv, bap) streams must be unchanged
+    (the vocoder's noise draw depends on batch shape, so parity is
+    checked at the deterministic stream level).  Uses a static-stream
+    pack — the fused path's supported configuration."""
+    from ensemble_svs_with_interactions_tpu.parallel import make_mesh
+
+    model_dir = tmp_path / "packed_static"
+    build_tiny_packed_model(model_dir, sr=SR, dynamic_features=False)
+    engine = SPSVS(model_dir, verbose=1)
+
+    mod = engine.predict_timing(short_labels.copy())
+    feats, raw = engine._frame_features([mod.copy() for _ in range(3)])
+
+    def _streams():
+        out_dev, lengths = engine.acoustic_model.inference_batch(
+            feats, device_out=True
+        )
+        if isinstance(out_dev, tuple):
+            out_dev = out_dev[0]
+        streams = engine._fused_postprocess(out_dev, lengths, raw, "gv")
+        return [np.asarray(s) for s in streams]
+
+    ref = _streams()
+    try:
+        engine.set_mesh(make_mesh(2))
+        mesh_streams = _streams()
+    finally:
+        engine.set_mesh(None)
+    assert mesh_streams[0].shape[0] == 4  # padded to the mesh size
+    for sm, sr in zip(mesh_streams, ref):
+        np.testing.assert_allclose(sm[:3], sr, rtol=1e-4, atol=1e-5)
+
+
+def test_svs_ensemble_mesh_padding(st_engine, short_labels, monkeypatch):
+    """3 tracks on a 2-device mesh: the batch pads to 4 rows to shard
+    evenly; padding rows must not leak into the real outputs."""
+    from ensemble_svs_with_interactions_tpu.parallel import make_mesh
+
+    labels_list = [short_labels.copy() for _ in range(3)]
+    monkeypatch.setenv("ESVS_DISABLE_FUSED_POST", "1")
+    wavs_ref, _ = st_engine.svs_ensemble(labels_list)
+    try:
+        st_engine.set_mesh(make_mesh(2))
+        wavs_mesh, _ = st_engine.svs_ensemble(labels_list)
+    finally:
+        st_engine.set_mesh(None)
+    assert len(wavs_mesh) == 3
+    for wm, wr in zip(wavs_mesh, wavs_ref):
+        assert len(wm) == len(wr)
+        a = wm.astype(np.float64) / 32767.0
+        b = wr.astype(np.float64) / 32767.0
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-4
+
+
 def test_segmented_synthesis(st_engine, reference_data_dir):
     """segmented_synthesis splits long songs on rests and concatenates the
     per-segment waveforms (reference svs.py segment_labels path)."""

@@ -185,8 +185,13 @@ def build_tiny_multitrack_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
     return out_dir
 
 
-def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
-    """Pack a tiny random-weight single-track model for CLI/e2e tests."""
+def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3,
+                            dynamic_features=True):
+    """Pack a tiny random-weight single-track model for CLI/e2e tests.
+
+    dynamic_features=False packs static-only WORLD streams
+    ([mgc, 1, 1, bap], num_windows 1) — the fused device-postprocess
+    configuration (the flagship recipe's layout)."""
     import jax
     import jax.numpy as jnp
 
@@ -197,7 +202,12 @@ def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
         StandardScaler,
     )
 
-    ss = [mgc_dim * 3, 3, 1, bap_dim * 3]
+    if dynamic_features:
+        ss = [mgc_dim * 3, 3, 1, bap_dim * 3]
+        hd, num_windows = [True, True, False, True], 3
+    else:
+        ss = [mgc_dim, 1, 1, bap_dim]
+        hd, num_windows = [False, False, False, False], 1
     out_dim = sum(ss)
 
     def init(cfg, in_dim):
@@ -222,12 +232,12 @@ def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
             "lstm_hidden_dim": 4, "out_dim": out_dim,
         },
         "stream_sizes": ss,
-        "has_dynamic_features": [True, True, False, True],
-        "num_windows": 3,
+        "has_dynamic_features": hd,
+        "num_windows": num_windows,
     }
     mean = np.zeros(out_dim)
     scale = np.ones(out_dim) * 0.1
-    mean[mgc_dim * 3] = np.log(220.0)
+    mean[ss[0]] = np.log(220.0)
     pack_model(
         out_dir,
         {"sample_rate": sr, "frame_period": 5, "feature_type": "world",
