@@ -555,6 +555,104 @@ class SPSVS(BaseSVS):
         self.last_rtf = rtf
         return wav, self.sample_rate
 
+    def svs_streaming(
+        self,
+        labels,
+        vocoder_type: str = "world",
+        post_filter_type: str = "gv",
+        trajectory_smoothing: bool = True,
+        trajectory_smoothing_cutoff: float = 50,
+        trajectory_smoothing_cutoff_f0: float = 20,
+        vuv_threshold: float = 0.5,
+        style_shift: float = 0,
+        force_fix_vuv: bool = False,
+        fill_silence_to_rest: bool = False,
+        dtype=np.float32,
+        gain: float = 1.0,
+        pipeline_depth: int = 2,
+    ):
+        """Phrase-streamed synthesis: a generator yielding waveform chunks
+        (one per rest-delimited segment, in order) as soon as each is
+        rendered, so playback can start after the first phrase instead of
+        after the whole song.
+
+        Segments are rendered through the same per-segment chain as
+        ``svs(segmented_synthesis=True)`` (reference nnsvs/svs.py segment
+        path) but pipelined ``pipeline_depth`` deep on worker threads:
+        while segment k's device->host fetch blocks, segment k+1's device
+        compute is already dispatched — on a remote accelerator this hides
+        most of the transfer latency.  Pipelining does not change the
+        numerics: chunks are bit-identical to a serial per-segment render.
+
+        Divergences from ``svs()`` (whole-signal operations that cannot be
+        streamed): the output high-pass runs per segment (segment edges
+        are rests, so the filter transient lands in silence), and there is
+        NO global peak/loudness normalization — chunks are the raw
+        synthesis scale times ``gain``; ``dtype=np.int16`` converts with
+        clipping at full scale.  Use ``svs()`` when mastered whole-song
+        output is wanted.
+
+        No reference analogue: the reference synthesizes a full song per
+        call (nnsvs/svs.py:659-745).
+        """
+        vocoder_type = self._validate_synthesis_args(
+            vocoder_type, post_filter_type
+        )
+        if self.is_multitrack:
+            raise ValueError(
+                "this pack holds a multitrack (cross-conditioned) model; "
+                "streaming is single-track (use svs_ensemble for pairs)"
+            )
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        duration_modified_labels = self.predict_timing(labels)
+        segments = hts.segment_labels(duration_modified_labels)
+        hts_frame_shift = int(self.frame_period * 1e4)
+
+        def _render(seg):
+            seg.frame_shift = hts_frame_shift
+            acoustic = self.predict_acoustic(
+                seg, f0_shift_in_cent=style_shift * 100
+            )
+            streams = self.postprocess_acoustic(
+                acoustic,
+                seg,
+                post_filter_type=post_filter_type,
+                trajectory_smoothing=trajectory_smoothing,
+                trajectory_smoothing_cutoff=trajectory_smoothing_cutoff,
+                trajectory_smoothing_cutoff_f0=trajectory_smoothing_cutoff_f0,
+                force_fix_vuv=force_fix_vuv,
+                fill_silence_to_rest=fill_silence_to_rest,
+                f0_shift_in_cent=-style_shift * 100,
+            )
+            wav = self.predict_waveform(
+                streams, vocoder_type=vocoder_type,
+                vuv_threshold=vuv_threshold,
+            )
+            chunk = np.asarray(
+                gen.bandpass_filter(
+                    np.asarray(wav, np.float64).reshape(-1), self.sample_rate
+                )
+            ) * gain
+            if dtype in (np.int16, "int16"):
+                return (
+                    np.clip(chunk, -1.0, 1.0) * 32767.0
+                ).astype(np.int16)
+            return chunk.astype(dtype) if dtype is not None else chunk
+
+        with ThreadPoolExecutor(max_workers=max(pipeline_depth, 1)) as ex:
+            pending = deque(
+                ex.submit(_render, seg)
+                for seg in segments[: max(pipeline_depth, 1)]
+            )
+            for seg in segments[max(pipeline_depth, 1):]:
+                done = pending.popleft()
+                pending.append(ex.submit(_render, seg))
+                yield done.result()
+            while pending:
+                yield pending.popleft().result()
+
     # --------------------------------------------------- ensemble synthesis
     def _frame_features(self, duration_modified):
         """Per-track frame-level linguistic features (threaded: numpy-heavy

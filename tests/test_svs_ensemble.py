@@ -234,6 +234,62 @@ def test_segmented_synthesis(st_engine, reference_data_dir):
         assert abs(len(wav_seg) - len(wav_full)) < sr
 
 
+def test_svs_streaming(st_engine, reference_data_dir):
+    """svs_streaming yields one chunk per rest-delimited segment, in
+    order, and pipelining must not change the numerics: the chunks are
+    identical to a serial per-segment render via the same stage APIs."""
+    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    n = 0
+    for i, e in enumerate(labels.end_times):
+        if e > 12 * 1e7:
+            n = i
+            break
+    labels = labels[: max(n, 10)]
+
+    chunks = list(st_engine.svs_streaming(labels.copy()))
+    dur_mod = st_engine.predict_timing(labels.copy())
+    segments = hts.segment_labels(dur_mod)
+    assert len(chunks) == len(segments)
+    assert all(c.dtype == np.float32 for c in chunks)
+    assert all(len(c) > 0 for c in chunks)
+    assert all(np.isfinite(c).all() for c in chunks)
+
+    # serial reference render through the same per-segment chain
+    from ensemble_svs_with_interactions_tpu import gen
+
+    hts_frame_shift = int(st_engine.frame_period * 1e4)
+    for seg, chunk in zip(segments, chunks):
+        seg.frame_shift = hts_frame_shift
+        acoustic = st_engine.predict_acoustic(seg)
+        streams = st_engine.postprocess_acoustic(acoustic, seg)
+        wav = st_engine.predict_waveform(streams, vocoder_type="world")
+        ref = np.asarray(
+            gen.bandpass_filter(
+                np.asarray(wav, np.float64).reshape(-1), SR
+            )
+        ).astype(np.float32)
+        np.testing.assert_array_equal(chunk, ref)
+
+
+def test_svs_streaming_int16_and_depth(st_engine, short_labels):
+    """int16 mode converts with clipping; pipeline_depth=1 (no pipelining)
+    yields the same chunks as the default depth."""
+    chunks = list(st_engine.svs_streaming(short_labels.copy(),
+                                          dtype=np.int16))
+    assert all(c.dtype == np.int16 for c in chunks)
+    serial = list(st_engine.svs_streaming(short_labels.copy(),
+                                          dtype=np.int16,
+                                          pipeline_depth=1))
+    assert len(chunks) == len(serial)
+    for a, b in zip(chunks, serial):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_svs_streaming_rejects_multitrack(mt_engine, short_labels):
+    with pytest.raises(ValueError, match="multitrack"):
+        list(mt_engine.svs_streaming(short_labels.copy()))
+
+
 def test_fused_postprocess_parity(mt_engine, short_labels, monkeypatch):
     """The fused device postprocess+vocoder path must reproduce the host
     pipeline (GV postfilter, interp1d, filtfilt trajectory smoothing):
