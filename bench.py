@@ -56,6 +56,69 @@ def _enable_compilation_cache():
         pass  # older jax without these flags: compile as usual
 
 
+def flagship_acoustic_config(n_spk: int = 4):
+    """The paper's acoustic netG at verbatim recipe dims
+    (multitrack_acoustic_nnsvs_world_multi_ar_f0.yaml).  Returns
+    (model_config_dict, stream_sizes) — shared by the inference headline
+    bench below and the training-throughput bench (bench_train.py)."""
+    MGC, BAP = 60, 5
+    SS = [MGC, 1, 1, BAP]  # recipe stream layout, no acoustic deltas
+    OUT = sum(SS)
+
+    lf0_model = {
+        "_target_": f"{PKG}.models.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
+        "in_dim": 86, "out_dim": 1,
+        "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 256,
+        "ff_hidden_dim": 256, "conv_hidden_dim": 128, "lstm_hidden_dim": 64,
+        "num_lstm_layers": 2, "decoder_layers": 1, "decoder_hidden_dim": 256,
+        "prenet_layers": 0, "prenet_hidden_dim": 16, "prenet_dropout": 0.5,
+        "scaled_tanh": True, "zoneout": 0.0,
+        "reduction_factor": 4, "downsample_by_conv": True,
+        "in_lf0_idx": 51, "out_lf0_idx": 0,
+        "in_lf0_min": 4.72, "in_lf0_max": 6.84,
+        "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
+    }
+    encoder = {
+        "_target_": f"{PKG}.models.MultiTrackLSTMEncoder",
+        "in_dim": 86, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
+        "embed_dim": 256, "hidden_dim": 512, "out_dim": 1024,
+        "num_layers": 3, "dropout": 0.0, "bidirectional": True,
+        "init_type": "kaiming_normal",
+    }
+
+    def ffconvlstm(out_dim, ff, conv, lstm, dropout):
+        return {
+            "_target_": f"{PKG}.models.FFConvLSTM",
+            "in_dim": 1026, "ff_hidden_dim": ff, "conv_hidden_dim": conv,
+            "lstm_hidden_dim": lstm, "num_lstm_layers": 2,
+            "bidirectional": True, "out_dim": out_dim, "dropout": dropout,
+        }
+
+    ac = {
+        "netG": {
+            "_target_": f"{PKG}.models.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
+            "in_dim": 86, "out_dim": OUT, "stream_sizes": SS,
+            "reduction_factor": 4,
+            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": MGC,
+            "in_lf0_min": 4.72, "in_lf0_max": 6.84,
+            "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
+            "encoder": encoder,
+            "lf0_model": lf0_model,
+            "mgc_model": ffconvlstm(MGC, 1024, 512, 256, 0.1),
+            "vuv_model": ffconvlstm(1, 256, 128, 64, 0.1),
+            "bap_model": ffconvlstm(BAP, 256, 128, 62, 0.0),
+            "speaker_embedding": {
+                "_target_": f"{PKG}.models.SpeakerEmbedding",
+                "num_embeddings": n_spk, "embedding_dim": 256, "std": 0.01,
+            },
+        },
+        "stream_sizes": SS,
+        "has_dynamic_features": [False, False, False, False],
+        "num_windows": 1,
+    }
+    return ac, SS
+
+
 def build_flagship_engine(tmpdir: str):
     import jax
     import jax.numpy as jnp
@@ -119,57 +182,7 @@ def build_flagship_engine(tmpdir: str):
     }
 
     # acoustic: multitrack_acoustic_nnsvs_world_multi_ar_f0.yaml, verbatim dims
-    lf0_model = {
-        "_target_": f"{PKG}.models.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
-        "in_dim": 86, "out_dim": 1,
-        "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 256,
-        "ff_hidden_dim": 256, "conv_hidden_dim": 128, "lstm_hidden_dim": 64,
-        "num_lstm_layers": 2, "decoder_layers": 1, "decoder_hidden_dim": 256,
-        "prenet_layers": 0, "prenet_hidden_dim": 16, "prenet_dropout": 0.5,
-        "scaled_tanh": True, "zoneout": 0.0,
-        "reduction_factor": 4, "downsample_by_conv": True,
-        "in_lf0_idx": 51, "out_lf0_idx": 0,
-        "in_lf0_min": 4.72, "in_lf0_max": 6.84,
-        "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
-    }
-    encoder = {
-        "_target_": f"{PKG}.models.MultiTrackLSTMEncoder",
-        "in_dim": 86, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
-        "embed_dim": 256, "hidden_dim": 512, "out_dim": 1024,
-        "num_layers": 3, "dropout": 0.0, "bidirectional": True,
-        "init_type": "kaiming_normal",
-    }
-
-    def ffconvlstm(out_dim, ff, conv, lstm, dropout):
-        return {
-            "_target_": f"{PKG}.models.FFConvLSTM",
-            "in_dim": 1026, "ff_hidden_dim": ff, "conv_hidden_dim": conv,
-            "lstm_hidden_dim": lstm, "num_lstm_layers": 2,
-            "bidirectional": True, "out_dim": out_dim, "dropout": dropout,
-        }
-
-    ac = {
-        "netG": {
-            "_target_": f"{PKG}.models.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
-            "in_dim": 86, "out_dim": OUT, "stream_sizes": SS,
-            "reduction_factor": 4,
-            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": MGC,
-            "in_lf0_min": 4.72, "in_lf0_max": 6.84,
-            "out_lf0_mean": float(np.log(260.0)), "out_lf0_scale": 0.24,
-            "encoder": encoder,
-            "lf0_model": lf0_model,
-            "mgc_model": ffconvlstm(MGC, 1024, 512, 256, 0.1),
-            "vuv_model": ffconvlstm(1, 256, 128, 64, 0.1),
-            "bap_model": ffconvlstm(BAP, 256, 128, 62, 0.0),
-            "speaker_embedding": {
-                "_target_": f"{PKG}.models.SpeakerEmbedding",
-                "num_embeddings": N_SPK, "embedding_dim": 256, "std": 0.01,
-            },
-        },
-        "stream_sizes": SS,
-        "has_dynamic_features": [False, False, False, False],
-        "num_windows": 1,
-    }
+    ac, _ = flagship_acoustic_config(N_SPK)
 
     def init_acoustic(cfg):
         module = instantiate(cfg["netG"])

@@ -1,0 +1,52 @@
+"""Smoke tests for the benchmark entry points (CPU; the real numbers run
+on the TPU via the driver)."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO_ROOT = pathlib.Path(__file__).parent.parent
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    return env
+
+
+def test_bench_train_tiny_smoke():
+    """bench_train --tiny runs the full multitrack train step on the
+    8-device CPU mesh and prints one valid JSON line."""
+    out = subprocess.run(
+        [sys.executable, "bench_train.py", "--tiny"],
+        cwd=REPO_ROOT, env=_cpu_env(), capture_output=True, text=True,
+        timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert data["metric"] == "train_frames_per_sec_flagship_multitrack"
+    assert data["value"] > 0
+    assert data["backend"] == "cpu"
+    assert data["n_devices"] == 8
+    assert "final_loss" in data
+
+
+def test_bench_flagship_config_instantiates():
+    """bench.py's shared flagship acoustic config builds the paper's
+    model class with the recipe stream layout."""
+    sys.path.insert(0, str(REPO_ROOT))
+    import bench
+
+    from ensemble_svs_with_interactions_tpu.utils.config import instantiate
+
+    ac, ss = bench.flagship_acoustic_config(4)
+    module = instantiate(ac["netG"])
+    assert type(module).__name__ == (
+        "MultiTrackMultistreamSeparateF0ParametricModel"
+    )
+    assert ss == [60, 1, 1, 5]
+    assert ac["has_dynamic_features"] == [False, False, False, False]
