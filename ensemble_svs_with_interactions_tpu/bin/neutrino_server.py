@@ -13,6 +13,13 @@ built on the stdlib http.server with the same JSON API surface:
         full labels come from the store (or the request); timing_labels
         may be user-edited mono or full timing (base64 float64 output)
   POST /waveform  {model, f0, mgc, bap}  -> {wav} (base64 int16), {sr}
+  POST /stream    {model, name | labels[, vocoder_type, post_filter_type,
+                   style_shift, gain]}
+        -> chunked ``audio/wav`` (16-bit PCM, unknown-length RIFF header):
+        phrase-level chunks are written as soon as ``SPSVS.svs_streaming``
+        renders them, so playback can begin after the first phrase
+        (e.g. ``curl -sN -d @req.json .../stream | aplay``).  No reference
+        analogue: the reference server returns whole songs only.
 
 Usage: python -m ...bin.neutrino_server --model-root models/ [--port 8001]
 """
@@ -92,7 +99,29 @@ def _unb64(s: str, dtype, dim: int) -> np.ndarray:
     return np.frombuffer(base64.b64decode(s), dtype=dtype).reshape(-1, dim).copy()
 
 
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """RIFF/WAVE header for a mono 16-bit PCM stream of unknown length.
+
+    The RIFF and data chunk sizes are 0xFFFFFFFF, the conventional
+    "until end of stream" marker players accept for live streams.
+    """
+    import struct
+
+    byte_rate = sample_rate * 2
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 byte_rate, 2, 16),
+            b"data", struct.pack("<I", 0xFFFFFFFF),
+        ]
+    )
+
+
 class Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 for chunked transfer on /stream; every other response
+    # carries an explicit Content-Length (see _json) as 1.1 requires.
+    protocol_version = "HTTP/1.1"
     def _json(self, obj, status=200):
         body = json.dumps(obj).encode()
         self.send_response(status)
@@ -113,6 +142,30 @@ class Handler(BaseHTTPRequestHandler):
                 self._json({"error": "not found"}, 404)
         except Exception as e:  # same JSON error envelope as do_POST
             self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+    def _full_labels(self, req):
+        """FULL labels from the request or the score store — timing labels
+        alone (possibly user-edited mono, the NEUTRINO round-trip) carry no
+        linguistic contexts.  Returns None after sending a 400 when neither
+        is available."""
+        stored = None
+        if "labels" not in req and req.get("name"):
+            with _LOCK:
+                stored = _SCORES.get(req["name"])
+                if stored is not None:
+                    _SCORES.move_to_end(req["name"])
+        if "labels" in req:
+            return hts.loads(req["labels"])
+        if stored is not None:
+            return hts.loads(stored)
+        self._json(
+            {
+                "error": "post the full labels or a name "
+                "previously registered via /timing"
+            },
+            400,
+        )
+        return None
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
@@ -136,27 +189,8 @@ class Handler(BaseHTTPRequestHandler):
                     }
                 )
             elif self.path == "/acoustic":
-                # FULL labels from the store (or the request) — timing
-                # labels alone (possibly user-edited mono, the NEUTRINO
-                # round-trip) carry no linguistic contexts
-                stored = None
-                if "labels" not in req and req.get("name"):
-                    with _LOCK:
-                        stored = _SCORES.get(req["name"])
-                        if stored is not None:
-                            _SCORES.move_to_end(req["name"])
-                if "labels" in req:
-                    full = hts.loads(req["labels"])
-                elif stored is not None:
-                    full = hts.loads(stored)
-                else:
-                    self._json(
-                        {
-                            "error": "post the full labels or a name "
-                            "previously registered via /timing"
-                        },
-                        400,
-                    )
+                full = self._full_labels(req)
+                if full is None:
                     return
                 timing = (
                     hts.loads(req["timing_labels"])
@@ -178,6 +212,42 @@ class Handler(BaseHTTPRequestHandler):
                         "bap_dim": bap.shape[1],
                     }
                 )
+            elif self.path == "/stream":
+                full = self._full_labels(req)
+                if full is None:
+                    return
+                chunks = engine.svs_streaming(
+                    full,
+                    vocoder_type=req.get("vocoder_type", "world"),
+                    post_filter_type=req.get("post_filter_type", "gv"),
+                    style_shift=float(req.get("style_shift", 0)),
+                    gain=float(req.get("gain", 1.0)),
+                    dtype=np.int16,
+                )
+                # render the FIRST phrase before the headers go out so
+                # model/label errors still surface as a JSON 500
+                first = next(chunks, None)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def _write_chunk(data: bytes):
+                    self.wfile.write(b"%x\r\n" % len(data))
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                try:
+                    _write_chunk(_wav_stream_header(engine.sample_rate))
+                    if first is not None:
+                        _write_chunk(first.tobytes())
+                        for chunk in chunks:
+                            _write_chunk(chunk.tobytes())
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:  # noqa: BLE001 - headers already sent:
+                    # a JSON 500 would corrupt the WAV stream; drop the
+                    # connection so the client sees a truncated stream
+                    self.close_connection = True
             elif self.path == "/waveform":
                 mgc_dim = int(req["mgc_dim"])
                 bap_dim = int(req["bap_dim"])

@@ -161,6 +161,52 @@ def test_neutrino_server(packed, short_lab):
         server.shutdown()
 
 
+def test_neutrino_server_stream(packed, short_lab):
+    """/stream returns a chunked WAV whose PCM equals the concatenated
+    svs_streaming chunks (bit-exact)."""
+    from ensemble_svs_with_interactions_tpu.bin import neutrino_server as srv
+    from ensemble_svs_with_interactions_tpu.neutrino import NEUTRINO
+    from http.server import ThreadingHTTPServer
+
+    srv._MODEL_ROOT = packed.parent
+    server = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        labels_text = short_lab.read_text()
+        req = urllib.request.Request(
+            f"{base}/stream",
+            json.dumps({"model": packed.name, "labels": labels_text}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()  # urllib decodes the chunked framing
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        pcm = np.frombuffer(body[44:], dtype=np.int16)
+        assert len(pcm) > SR // 2
+
+        engine = NEUTRINO(packed)
+        expected = np.concatenate(
+            list(engine.svs_streaming(hts.loads(labels_text), dtype=np.int16))
+        )
+        np.testing.assert_array_equal(pcm, expected)
+
+        # labels nor stored name -> 400 (shared resolution helper)
+        req = urllib.request.Request(
+            f"{base}/stream",
+            json.dumps({"model": packed.name}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_pretrained_registry(packed):
     from ensemble_svs_with_interactions_tpu.pretrained import (
         create_svs_engine,
