@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ensemble_svs_with_interactions_tpu.train.losses import masked_mean
+from ensemble_svs_with_interactions_tpu.train.loop import amp_cast, amp_uncast
 
 
 def nn_relu(x):
@@ -37,6 +38,7 @@ def create_gan_train_step(
     adv_streams=None,
     mask_nth_mgc_for_adv_loss: int = 0,
     vuv_mask: bool = False,
+    use_amp: bool = False,
 ):
     """Build a jitted GAN train step.
 
@@ -53,6 +55,11 @@ def create_gan_train_step(
         D input (energy coefficients);
       * ``vuv_mask``: zero D inputs on frames unvoiced in either the
         target or the degraded input (vuv stream at sum(sizes[:2])).
+      * ``use_amp``: run the GENERATOR forward/backward in bfloat16 with
+        f32 master params (reference setup_gan honors config.train.use_amp,
+        train_util.py:1562).  The discriminator and all losses stay f32 —
+        GAN logits/log terms are precision-sensitive and D is a small conv
+        stack, so the bandwidth win lives in G.
     """
     if gan_type not in ("lsgan", "vanilla-gan", "hinge"):
         raise ValueError(f"Unknown gan type: {gan_type}")
@@ -101,10 +108,13 @@ def create_gan_train_step(
             :, :, None
         ]
         rng_drop, rng_noise = jax.random.split(rng)
+        paramsG_m = amp_cast(paramsG) if use_amp else paramsG
         fake = netG.apply(
-            {"params": paramsG}, x, lengths, train=True,
-            rngs={"dropout": rng_drop, "noise": rng_noise},
+            {"params": paramsG_m}, amp_cast(x) if use_amp else x, lengths,
+            train=True, rngs={"dropout": rng_drop, "noise": rng_noise},
         )
+        if use_amp:
+            fake = amp_uncast(fake)
         loss_recon = masked_mean((fake - y) ** 2, mask)
         vuv = _vuv_weight(x, y)
         d_fake = netD.apply({"params": paramsD}, _adv_input(fake) * vuv * mask)

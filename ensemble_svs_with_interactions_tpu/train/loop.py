@@ -187,6 +187,39 @@ def load_params_shape_filtered(path, template_variables) -> Any:
 # --------------------------------------------------------------------------
 
 
+def amp_cast(tree, dtype=jnp.bfloat16):
+    """Cast every float32 leaf of a pytree to ``dtype``.
+
+    Mixed-precision forward cast (reference ``config.train.use_amp``,
+    train_util.py:1428-1433 + torch.cuda.amp autocast in bin/train.py:86).
+    TPU-idiomatic AMP: the forward/backward runs in bfloat16 (MXU-native,
+    halves HBM traffic for activations and the LSTM scans), while the
+    MASTER params, optimizer state and loss stay float32 — the cast sits
+    inside ``loss_fn`` so ``jax.grad`` transposes it back to f32 gradients
+    automatically.  bfloat16 keeps float32's exponent range, so the
+    reference's GradScaler has no equivalent here (nothing to underflow).
+    """
+
+    def _c(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_c, tree)
+
+
+def amp_uncast(tree):
+    """Cast bfloat16 leaves back to float32 (model outputs before losses,
+    batch-stat updates before they re-enter the f32 train state)."""
+
+    def _c(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16:
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree_util.tree_map(_c, tree)
+
+
 def create_train_step(
     module,
     optimizer,
@@ -197,12 +230,14 @@ def create_train_step(
     stream_wise_loss: bool = False,
     stream_weights=None,
     axis: Optional[str] = None,
+    use_amp: bool = False,
 ):
     """Build a jitted train/eval step for a single-track model.
 
     The returned step takes (state, batch, rng, train) where batch contains
     in_feats (B,T,Din), out_feats (B,T,Dout), lengths (B,), optional spks
     and pitch_reg_dyn_ws (B,T,1); ``train`` is a static python bool.
+    ``use_amp`` runs the forward/backward in bfloat16 (see :func:`amp_cast`).
     """
     prediction_type = module.prediction_type()
     has_res_lf0 = module.has_residual_lf0_prediction()
@@ -214,9 +249,6 @@ def create_train_step(
     )
 
     def loss_fn(params, batch_stats, batch, rng, train: bool):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
         in_feats = batch["in_feats"]
         out_feats = batch["out_feats"]
         lengths = batch["lengths"]
@@ -225,12 +257,26 @@ def create_train_step(
             :, :, None
         ]
 
+        # AMP: the model (params, stats, float features) runs in bf16; the
+        # loss below compares f32-uncast predictions against f32 targets
+        if use_amp:
+            params_m = amp_cast(params)
+            batch_stats_m = amp_cast(batch_stats)
+            in_feats = amp_cast(in_feats)
+            out_feats_m = amp_cast(out_feats)
+        else:
+            params_m, batch_stats_m, out_feats_m = params, batch_stats, out_feats
+        variables = {"params": params_m}
+        if batch_stats_m:
+            variables["batch_stats"] = batch_stats_m
+
         if has_target_filter:
             # filter BEFORE the forward pass: teacher forcing and the loss
             # both see the filtered target, as in the reference
-            out_feats = module.apply(
-                {"params": params}, out_feats, method="preprocess_target"
+            out_feats_m = module.apply(
+                {"params": params_m}, out_feats_m, method="preprocess_target"
             )
+            out_feats = amp_uncast(out_feats_m)
 
         kwargs = dict(train=train)
         args = [in_feats]
@@ -238,7 +284,7 @@ def create_train_step(
             args.append(batch["spks"])
         args.append(lengths)
 
-        mutable = ["batch_stats"] if (train and batch_stats) else False
+        mutable = ["batch_stats"] if (train and batch_stats_m) else False
         # AR decoders draw from "prenet" (active even at eval — prenet
         # dropout stays on at inference) and "zoneout"; thread all streams
         # like the multitrack step (train/multitrack.py)
@@ -251,13 +297,15 @@ def create_train_step(
                 "diffusion": jax.random.PRNGKey(0),
             }
         outs = module.apply(
-            variables, *args, out_feats, rngs=rngs, mutable=mutable, **kwargs
+            variables, *args, out_feats_m, rngs=rngs, mutable=mutable, **kwargs
         )
         if mutable:
             outs, updates = outs
-            new_batch_stats = updates.get("batch_stats", batch_stats)
+            new_batch_stats = amp_uncast(updates.get("batch_stats", batch_stats))
         else:
             new_batch_stats = batch_stats
+        if use_amp:
+            outs = amp_uncast(outs)
 
         if has_res_lf0:
             pred_out, lf0_residual = outs

@@ -23,6 +23,8 @@ from ensemble_svs_with_interactions_tpu.ops.multistream import split_streams
 from ensemble_svs_with_interactions_tpu.train import losses as L
 from ensemble_svs_with_interactions_tpu.train.loop import (
     MetricsWriter,
+    amp_cast,
+    amp_uncast,
     build_optimizer,
     load_params_shape_filtered,
     save_checkpoint,
@@ -156,19 +158,19 @@ def create_multitrack_acoustic_train_step(
     feats_criterion: str = "mse",
     pitch_reg_weight: float = 1.0,
     sub_require_grad: bool = True,
+    use_amp: bool = False,
 ):
     """Jitted train/eval step for the multitrack acoustic model.
 
     Interaction weights are traced scalars (so the exponential schedule
-    does not retrigger compilation every epoch).
+    does not retrigger compilation every epoch).  ``use_amp`` runs the
+    forward/backward in bfloat16 with f32 master params and f32 losses
+    (see train/loop.py amp_cast).
     """
     stream_sizes = list(model_config.get("stream_sizes", [60, 1, 1, 5]))
     prediction_type = module.prediction_type()
 
     def loss_fn(params, batch_stats, batch, weights, rng, train: bool):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
         in0, in1 = batch["in_feats0"], batch["in_feats1"]
         out0, out1 = batch["out_feats0"], batch["out_feats1"]
         lengths = batch["lengths"]
@@ -178,29 +180,44 @@ def create_multitrack_acoustic_train_step(
         ]
         spks = (batch["spks0"], batch["spks1"])
 
+        # AMP: bf16 model inputs/params; f32 loss targets (out0/out1 stay)
+        if use_amp:
+            params_m = amp_cast(params)
+            batch_stats_m = amp_cast(batch_stats)
+            in0_m, in1_m = amp_cast(in0), amp_cast(in1)
+            out0_m, out1_m = amp_cast(out0), amp_cast(out1)
+        else:
+            params_m, batch_stats_m = params, batch_stats
+            in0_m, in1_m, out0_m, out1_m = in0, in1, out0, out1
+        variables = {"params": params_m}
+        if batch_stats_m:
+            variables["batch_stats"] = batch_stats_m
+
         rngs = None
         if train:
             r1, r2, r3 = jax.random.split(rng, 3)
             rngs = {"dropout": r1, "prenet": r2, "zoneout": r3}
         else:
             rngs = {"prenet": jax.random.PRNGKey(0)}
-        mutable = ["batch_stats"] if (train and batch_stats) else False
+        mutable = ["batch_stats"] if (train and batch_stats_m) else False
         outs = module.apply(
             variables,
-            in0,
-            in1,
+            in0_m,
+            in1_m,
             spks,
             lengths,
-            (out0, out1),
+            (out0_m, out1_m),
             train=train,
             rngs=rngs,
             mutable=mutable,
         )
         if mutable:
             outs, updates = outs
-            new_batch_stats = updates.get("batch_stats", batch_stats)
+            new_batch_stats = amp_uncast(updates.get("batch_stats", batch_stats))
         else:
             new_batch_stats = batch_stats
+        if use_amp:
+            outs = amp_uncast(outs)
 
         (pred_main, lf0_res_main), (pred_sub, lf0_res_sub) = outs
 
@@ -303,6 +320,7 @@ def create_multitrack_timing_train_step(
     module,
     optimizer,
     clip_norm: float = 1.0,
+    use_amp: bool = False,
 ):
     """Jitted train/eval step for multitrack timelag/duration models.
 
@@ -320,10 +338,15 @@ def create_multitrack_timing_train_step(
         valid = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
         mask = (valid * batch["mask0"].astype(jnp.float32))[:, :, None]
 
+        params_m = amp_cast(params) if use_amp else params
+        if use_amp:
+            x = amp_cast(x)
         rngs = {"dropout": rng} if train else None
         pred = module.apply(
-            {"params": params}, x, spks, lengths, train=train, rngs=rngs
+            {"params": params_m}, x, spks, lengths, train=train, rngs=rngs
         )
+        if use_amp:
+            pred = amp_uncast(pred)
         if prediction_type == PredictionType.PROBABILISTIC:
             loss = L.mdn_stream_loss(pred, batch["out_feats0"], mask)
         else:

@@ -147,10 +147,12 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
             feats_criterion=config.train.get("feats_criterion", "mse"),
             pitch_reg_weight=float(config.train.get("pitch_reg_weight", 1.0)),
             sub_require_grad=bool(config.train.get("sub_require_grad", True)),
+            use_amp=bool(config.train.get("use_amp", False)),
         )
     else:
         train_step, eval_step = create_multitrack_timing_train_step(
-            module, optimizer, clip_norm=clip_norm
+            module, optimizer, clip_norm=clip_norm,
+            use_amp=bool(config.train.get("use_amp", False)),
         )
 
     out_scaler = None

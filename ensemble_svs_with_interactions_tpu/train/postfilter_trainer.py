@@ -111,6 +111,7 @@ def train_postfilter(config: Config) -> Dict[str, float]:
             config.train.get("mask_nth_mgc_for_adv_loss", 0)
         ),
         vuv_mask=bool(config.train.get("vuv_mask", False)),
+        use_amp=bool(config.train.get("use_amp", False)),
     )
 
     datasets = {}

@@ -188,6 +188,7 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
         pitch_reg_weight=pitch_reg_weight,
         stream_wise_loss=bool(config.train.get("stream_wise_loss", False)),
         stream_weights=config.train.get("stream_weights"),
+        use_amp=bool(config.train.get("use_amp", False)),
     )
 
     out_scaler = None

@@ -199,7 +199,8 @@ def test_sub_stop_gradient():
 
 
 # ---------------------------------------------------------------- training
-def test_multitrack_timing_training(multitrack_dumps, tmp_path):
+@pytest.mark.parametrize("use_amp", [False, True])
+def test_multitrack_timing_training(multitrack_dumps, tmp_path, use_amp):
     from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
         train_multitrack_model,
     )
@@ -240,6 +241,7 @@ def test_multitrack_timing_training(multitrack_dumps, tmp_path):
             "train": {
                 "out_dir": str(tmp_path / "exp_mt_timing"),
                 "nepochs": 3,
+                "use_amp": use_amp,
                 "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.005}}},
             },
         }

@@ -200,6 +200,71 @@ def test_train_model_deterministic_loss_decreases(feature_dumps, tmp_path):
     assert (exp / "metrics.jsonl").exists()
 
 
+def test_train_model_amp_bf16(feature_dumps, tmp_path):
+    """use_amp=True (reference config.train.use_amp, train_util.py:1428):
+    the forward/backward runs in bfloat16 but master params stay f32 and
+    the task must still be learnable to the same loss region."""
+    in_dir, out_dir = feature_dumps
+    exp = tmp_path / "exp_amp"
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_layers": 1,
+    }
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=15, use_amp=True)
+    metrics = train_model(cfg)
+    assert metrics["Loss"] < 0.5  # bf16 must not break learnability
+
+
+def test_amp_step_keeps_master_params_f32(feature_dumps):
+    """Direct step check: with use_amp the MDN (PROBABILISTIC) path yields
+    finite f32 losses, f32 updated params, and a loss close to the f32
+    step's on the same batch."""
+    from ensemble_svs_with_interactions_tpu.models import MDN
+    from ensemble_svs_with_interactions_tpu.train.loop import create_train_step
+
+    module = MDN(in_dim=8, hidden_dim=16, out_dim=3, num_gaussians=2)
+    variables = module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4, 8)),
+        jnp.asarray([4]),
+    )
+    opt = build_optimizer({"name": "Adam", "params": {"lr": 1e-3}})
+
+    def fresh_state():
+        # the step donates its state arg: each run needs its own buffers
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        return {
+            "params": params,
+            "batch_stats": {},
+            "opt_state": opt.init(params),
+            "step": jnp.asarray(0),
+        }
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "in_feats": jnp.asarray(rng.normal(size=(2, 12, 8)), jnp.float32),
+        "out_feats": jnp.asarray(rng.normal(size=(2, 12, 3)), jnp.float32),
+        "lengths": jnp.asarray([12, 9]),
+    }
+    losses = {}
+    for amp in (False, True):
+        ts, _ = create_train_step(
+            module, opt, {"stream_sizes": [3]}, use_amp=amp
+        )
+        new_state, metrics = ts(fresh_state(), batch, jax.random.PRNGKey(7))
+        losses[amp] = float(metrics["Loss"])
+        for leaf in jax.tree_util.tree_leaves(new_state["params"]):
+            assert leaf.dtype == jnp.float32  # master weights stay f32
+    assert np.isfinite(losses[True])
+    # bf16 quantization shifts the NLL a little, not qualitatively
+    assert abs(losses[True] - losses[False]) < 0.05 * max(
+        1.0, abs(losses[False])
+    )
+
+
 def test_train_model_mdn(feature_dumps, tmp_path):
     in_dir, out_dir = feature_dumps
     exp = tmp_path / "exp_mdn"
