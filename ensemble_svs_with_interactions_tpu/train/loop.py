@@ -89,7 +89,17 @@ def build_optimizer(
     optimizer_cfg: Dict,
     scheduler_cfg: Optional[Dict] = None,
     steps_per_epoch: int = 1,
+    accum_steps: int = 1,
 ):
+    """Torch-style optimizer config -> optax transform.
+
+    ``accum_steps > 1`` wraps the optimizer in :class:`optax.MultiSteps`
+    (gradient accumulation): the train step is called per microbatch, but
+    parameters update once every ``accum_steps`` calls with the averaged
+    gradient — the TPU way to reach large effective batch sizes without
+    the HBM for the full batch's activations.  No reference analogue (the
+    reference scales batch size with GPUs via DDP instead).
+    """
     name = optimizer_cfg.get("name", "Adam").lower()
     p = dict(optimizer_cfg.get("params", {}))
     lr = build_lr_schedule(optimizer_cfg, scheduler_cfg, steps_per_epoch)
@@ -97,15 +107,20 @@ def build_optimizer(
     weight_decay = float(p.get("weight_decay", 0.0))
     if name == "adam":
         if weight_decay > 0:
-            return optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
-        return optax.adam(lr, b1=betas[0], b2=betas[1])
-    if name == "adamw":
-        return optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
-    if name == "sgd":
-        return optax.sgd(lr, momentum=float(p.get("momentum", 0.0)))
-    if name == "radam":
-        return optax.radam(lr)
-    raise ValueError(f"unknown optimizer: {name}")
+            opt = optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+        else:
+            opt = optax.adam(lr, b1=betas[0], b2=betas[1])
+    elif name == "adamw":
+        opt = optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    elif name == "sgd":
+        opt = optax.sgd(lr, momentum=float(p.get("momentum", 0.0)))
+    elif name == "radam":
+        opt = optax.radam(lr)
+    else:
+        raise ValueError(f"unknown optimizer: {name}")
+    if int(accum_steps) > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=int(accum_steps))
+    return opt
 
 
 # --------------------------------------------------------------------------

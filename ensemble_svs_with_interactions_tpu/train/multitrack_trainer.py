@@ -129,6 +129,7 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
         dict(config.train.optim.optimizer),
         dict(config.train.optim.get("lr_scheduler", {}) or {}),
         steps_per_epoch=steps_per_epoch,
+        accum_steps=int(config.train.optim.get("accum_steps", 1)),
     )
     state = {
         "params": variables["params"],

@@ -168,6 +168,7 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
         dict(config.train.optim.optimizer),
         dict(config.train.optim.get("lr_scheduler", {}) or {}),
         steps_per_epoch=steps_per_epoch,
+        accum_steps=int(config.train.optim.get("accum_steps", 1)),
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -265,6 +265,27 @@ def test_amp_step_keeps_master_params_f32(feature_dumps):
     )
 
 
+def test_train_model_grad_accumulation(feature_dumps, tmp_path):
+    """optim.accum_steps wraps the optimizer in optax.MultiSteps: params
+    update every k microbatches with the averaged gradient; training still
+    converges (same task as the deterministic test, more epochs to cover
+    the k-fold fewer updates)."""
+    in_dir, out_dir = feature_dumps
+    exp = tmp_path / "exp_accum"
+    netG = {
+        "_target_": "ensemble_svs_with_interactions_tpu.models.FFN",
+        "in_dim": 8,
+        "hidden_dim": 16,
+        "out_dim": 3,
+        "num_layers": 1,
+    }
+    cfg = _train_config(in_dir, out_dir, exp, netG, nepochs=30)
+    cfg["train"]["optim"]["accum_steps"] = 2
+    metrics = train_model(cfg)
+    assert metrics["Loss"] < 0.5
+    assert (exp / "best_loss.ckpt").exists()
+
+
 def test_train_model_mdn(feature_dumps, tmp_path):
     in_dir, out_dir = feature_dumps
     exp = tmp_path / "exp_mdn"
