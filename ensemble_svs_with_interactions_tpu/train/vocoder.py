@@ -9,6 +9,7 @@ feature matching); discriminator = LSGAN real/fake.
 
 from __future__ import annotations
 
+import inspect
 from typing import Dict, Sequence
 
 import jax
@@ -18,6 +19,38 @@ import optax
 from ensemble_svs_with_interactions_tpu.models.vocoders.discriminators import (
     _stft_mag,
 )
+
+
+def generator_input_arity(generator) -> int:
+    """Number of array inputs the generator family consumes.
+
+    3 = source-filter (uSFGAN/SiFiGAN: excitation x, conditioning c,
+    dilation factors d); 2 = noise-driven (PWG: noise x, conditioning c);
+    1 = conditioning-only (HiFiGAN).  Derived from the flax ``__call__``
+    signature so new generator classes train without trainer changes (the
+    reference's parallel_wavegan trainer does the same via its per-model
+    collater registry)."""
+    params = [
+        p
+        for p in inspect.signature(type(generator).__call__).parameters
+        if p not in ("self", "train")
+    ]
+    n = len(params)
+    if n not in (1, 2, 3):
+        raise ValueError(
+            f"unsupported generator signature ({params}); expected "
+            "(x, c, d), (x, c) or (c,)"
+        )
+    return n
+
+
+def generator_inputs(batch: Dict, n_args: int):
+    """Select the generator's positional inputs from a vocoder batch."""
+    if n_args == 3:
+        return (batch["x"], batch["c"], batch["d"])
+    if n_args == 2:
+        return (batch["x"], batch["c"])
+    return (batch["c"],)
 
 
 def stft_loss(
@@ -145,9 +178,11 @@ def create_vocoder_gan_train_step(
     elif stft_loss_type != "multi_resolution":
         raise ValueError(f"unknown stft_loss_type: {stft_loss_type}")
 
+    n_gen_args = generator_input_arity(generator)
+
     def g_loss_fn(paramsG, paramsD, batch, adv_on):
         outs = generator.apply(
-            {"params": paramsG}, batch["x"], batch["c"], batch["d"]
+            {"params": paramsG}, *generator_inputs(batch, n_gen_args)
         )
         # USFGANGenerator returns (wav, src); the hn variants return
         # (wav, src, harmonic_dbg, noise_dbg, gates)

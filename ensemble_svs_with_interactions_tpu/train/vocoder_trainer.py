@@ -35,6 +35,8 @@ from ensemble_svs_with_interactions_tpu.train.loop import (
 )
 from ensemble_svs_with_interactions_tpu.train.vocoder import (
     create_vocoder_gan_train_step,
+    generator_input_arity,
+    generator_inputs,
 )
 from ensemble_svs_with_interactions_tpu.utils.config import Config, instantiate
 from ensemble_svs_with_interactions_tpu.utils.logger import getLogger
@@ -172,6 +174,8 @@ def train_vocoder(config: Config) -> Dict[str, float]:
         lf0_scale=float(config.data.get("lf0_scale", 1.0)),
         signal_types=tuple(config.model.get("signal_types", ["sine", "noise"])),
         dense_factor=int(config.model.get("dense_factor", 4)),
+        sine_amp=float(config.model.get("sine_amp", 0.1)),
+        noise_amp=float(config.model.get("noise_amp", 0.003)),
     )
     logger.info("vocoder corpus: %d utterances", len(crops.items))
 
@@ -179,9 +183,7 @@ def train_vocoder(config: Config) -> Dict[str, float]:
     probe = crops.batch(rng_np, 1)
     vG = generator.init(
         jax.random.PRNGKey(0),
-        probe["x"],
-        probe["c"],
-        probe["d"],
+        *generator_inputs(probe, generator_input_arity(generator)),
     )
     vD = discriminator.init(jax.random.PRNGKey(1), probe["y"])
 

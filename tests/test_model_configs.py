@@ -91,9 +91,78 @@ def _check_postfilter_config(cfg, module, B, T, lengths):
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def _shrink_vocoder(node):
+    """Shrink vocoder network-size knobs for the contract test."""
+    from collections.abc import Mapping
+
+    if isinstance(node, Mapping):
+        for k, v in list(node.items()):
+            if k in ("residual_channels", "gate_channels", "skip_channels",
+                     "channels", "conv_channels", "period_channels",
+                     "max_downsample_channels") and isinstance(v, int) and v > 8:
+                node[k] = 8
+            elif k in ("blockA", "blockF", "cycleA", "cycleF", "layers",
+                       "stacks", "conv_layers") and isinstance(v, int) and v > 2:
+                node[k] = 2
+            elif k == "resblock_kernel_sizes":
+                node[k] = list(v)[:1]
+            elif k == "resblock_dilations":
+                node[k] = [list(d)[:2] for d in list(v)[:1]]
+            elif k in ("periods", "fft_sizes", "hop_sizes", "win_lengths"):
+                node[k] = list(v)[:1]
+            else:
+                _shrink_vocoder(v)
+
+
+def _check_vocoder_config(cfg):
+    """Vocoder configs carry model.generator + model.discriminator for
+    bin/train_vocoder (reference: external parallel_wavegan/usfgan
+    trainer YAMLs at recipe stages 11/13): instantiate both, run the
+    generator with its signature-derived inputs, and run the
+    discriminator on the generated waveform."""
+    from ensemble_svs_with_interactions_tpu.train.vocoder import (
+        generator_input_arity,
+        generator_inputs,
+    )
+
+    gen_cfg = dict(cfg.model["generator"])
+    disc_cfg = dict(cfg.model["discriminator"])
+    _shrink_vocoder(gen_cfg)
+    _shrink_vocoder(disc_cfg)
+    gen = instantiate(gen_cfg)
+    disc = instantiate(disc_cfg)
+
+    hop = int(np.prod(gen_cfg["upsample_params"]["upsample_scales"])
+              if "upsample_params" in gen_cfg
+              else np.prod(gen_cfg["upsample_scales"]))
+    Tf = 4
+    aux = int(gen_cfg["aux_channels"])
+    n_sig = len(cfg.model.get("signal_types", ["sine", "noise"]))
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(1, Tf * hop, n_sig)), jnp.float32),
+        "c": jnp.asarray(rng.normal(size=(1, Tf, aux)), jnp.float32),
+        "d": jnp.ones((1, Tf * hop)),
+    }
+    inputs = generator_inputs(batch, generator_input_arity(gen))
+    v = gen.init(jax.random.PRNGKey(0), *inputs)
+    outs = gen.apply(v, *inputs)
+    wav = outs[0] if isinstance(outs, tuple) else outs
+    assert wav.shape == (1, Tf * hop, 1)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    dv = disc.init(jax.random.PRNGKey(1), wav)
+    d_outs = disc.apply(dv, wav)
+    leaves = jax.tree_util.tree_leaves(d_outs)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: str(p.relative_to(CONF_ROOT)))
 def test_shipped_config_contract(path):
     cfg = load_config(path)
+    if "model" in cfg and "generator" in (cfg.get("model") or {}):
+        _check_vocoder_config(cfg)
+        return
     _fill_lf0_stats(cfg)
     _shrink(cfg)
     # adjust encoder-dependent decoder in_dims after shrinking

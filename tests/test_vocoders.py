@@ -381,6 +381,148 @@ def test_hifigan_generator():
     assert inf.shape == (120,)
 
 
+def test_generator_input_arity():
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        HiFiGANGenerator,
+        PWGGenerator,
+        SiFiGANGenerator,
+    )
+    from ensemble_svs_with_interactions_tpu.train.vocoder import (
+        generator_input_arity,
+        generator_inputs,
+    )
+
+    assert generator_input_arity(_tiny_generator()) == 3
+    assert generator_input_arity(SiFiGANGenerator()) == 3
+    assert generator_input_arity(PWGGenerator()) == 2
+    assert generator_input_arity(HiFiGANGenerator()) == 1
+    batch = {"x": "X", "c": "C", "d": "D"}
+    assert generator_inputs(batch, 3) == ("X", "C", "D")
+    assert generator_inputs(batch, 2) == ("X", "C")
+    assert generator_inputs(batch, 1) == ("C",)
+
+
+@pytest.mark.parametrize("family", ["hifigan", "pwg"])
+def test_vocoder_gan_step_wav_only_generators(family):
+    """The GAN train step adapts to conditioning-only (HiFiGAN) and
+    noise-driven (PWG) generators that return a bare waveform — the
+    reference trains these through parallel_wavegan's per-model collater
+    registry; here the step derives the input arity from the signature."""
+    from ensemble_svs_with_interactions_tpu.models.vocoders import (
+        HiFiGANGenerator,
+        PWGGenerator,
+    )
+
+    Tf, up = 6, 20
+    if family == "hifigan":
+        gen = HiFiGANGenerator(
+            channels=16, aux_channels=AUX, upsample_scales=(4, 5),
+            resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+        )
+    else:
+        gen = PWGGenerator(
+            layers=4, stacks=2, residual_channels=4, gate_channels=8,
+            skip_channels=4, aux_channels=AUX, aux_context_window=0,
+            upsample_scales=(4, 5),
+        )
+    disc = PWGDiscriminator(layers=3, conv_channels=8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(2, Tf * up, 1)), jnp.float32),
+        "c": jnp.asarray(rng.normal(size=(2, Tf, AUX)), jnp.float32),
+        "d": jnp.ones((2, Tf * up)),
+        "y": jnp.asarray(rng.normal(size=(2, Tf * up, 1)) * 0.1, jnp.float32),
+    }
+    from ensemble_svs_with_interactions_tpu.train.vocoder import (
+        generator_input_arity,
+        generator_inputs,
+    )
+
+    n = generator_input_arity(gen)
+    vG = gen.init(jax.random.PRNGKey(0), *generator_inputs(batch, n))
+    vD = disc.init(jax.random.PRNGKey(1), batch["y"])
+    optG, optD = optax.adam(1e-4), optax.adam(1e-4)
+    state = {
+        "paramsG": vG["params"], "paramsD": vD["params"],
+        "optG_state": optG.init(vG["params"]),
+        "optD_state": optD.init(vD["params"]), "step": 0,
+    }
+    step = create_vocoder_gan_train_step(
+        gen, disc, optG, optD, fm_weight=2.0,
+        fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,),
+    )
+    state, metrics = step(state, batch)
+    for k in ("Loss_G", "Loss_STFT_SC", "Loss_Adv", "Loss_D"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_train_vocoder_cli_hifigan(tmp_path):
+    """End-to-end HiFiGAN GAN training from the CLI (conditioning-only
+    generator; recipe stage 11's parallel_wavegan-delegated training)."""
+    import yaml
+
+    from ensemble_svs_with_interactions_tpu.bin.train_vocoder import main
+
+    rng = np.random.default_rng(0)
+    sr, hop = 16000, 80
+    D = 8 + 1 + 1 + 3
+    (tmp_path / "in").mkdir()
+    for i in range(2):
+        Tf = 60
+        feats = (rng.normal(size=(Tf, D)) * 0.1).astype(np.float32)
+        feats[:, 8] = np.log(200.0)
+        feats[:, 9] = 1.0
+        np.save(tmp_path / "in" / f"u{i}-feats.npy", feats)
+        np.save(
+            tmp_path / "in" / f"u{i}-wave.npy",
+            (0.2 * rng.normal(size=Tf * hop)).astype(np.float32),
+        )
+    cfg = {
+        "seed": 1,
+        "verbose": 0,
+        "data": {
+            "train_no_dev": {"in_dir": str(tmp_path / "in")},
+            "sample_rate": sr,
+            "frame_period": 5,
+            "stream_sizes": [8, 1, 1, 3],
+            "crop_frames": 32,
+        },
+        "model": {
+            "generator": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.HiFiGANGenerator",
+                "channels": 8,
+                "aux_channels": 11,
+                "upsample_scales": [4, 4, 5],
+                "resblock_kernel_sizes": [3],
+                "resblock_dilations": [[1, 3]],
+            },
+            "discriminator": {
+                "_target_": "ensemble_svs_with_interactions_tpu.models.vocoders.PWGDiscriminator",
+                "layers": 3,
+                "conv_channels": 8,
+            },
+            "noise_amp": 1.0,
+        },
+        "train": {
+            "out_dir": str(tmp_path / "exp"),
+            "nepochs": 1,
+            "steps_per_epoch": 2,
+            "batch_size": 2,
+            "fft_sizes": [256],
+            "hop_sizes": [64],
+            "win_lengths": [128],
+            "optim": {
+                "netG": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+                "netD": {"optimizer": {"name": "Adam", "params": {"lr": 0.0005}}},
+            },
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    assert main([str(cfg_path)]) == 0
+    assert (tmp_path / "exp" / "best_loss.ckpt").exists()
+
+
 @pytest.mark.parametrize(
     "conf_name",
     ["nnsvs_hifigan.yaml", "nnsvs_univnet.yaml"],
