@@ -39,6 +39,9 @@ def main(argv=None):
     if str(args.input_file).lower().endswith((".xml", ".musicxml")):
         # score input (reference accepts MusicXML via sinsy, svs.py:783-788)
         full_labels = engine.musicxml_to_labels(args.input_file)
+    elif str(args.input_file).lower().endswith(".ust"):
+        # UTAU score (reference compat server: utaupy ust2hts)
+        full_labels = engine.ust_to_labels(args.input_file)
     else:
         full_labels = hts.load(args.input_file)
     timing_labels = engine.predict_timing(full_labels.copy())

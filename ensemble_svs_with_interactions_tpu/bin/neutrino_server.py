@@ -173,8 +173,26 @@ class Handler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(length))
             engine = _engine(req["model"])
             if self.path == "/timing":
-                text = req["labels"]
-                labels = hts.loads(text)
+                # score input: full labels, MusicXML text, or UST text
+                # (reference compat server: /score/musicxml/upload +
+                # /score/ust/upload endpoints, server.py:134-171)
+                if req.get("musicxml"):
+                    import io as _io
+
+                    from ensemble_svs_with_interactions_tpu.frontend import (
+                        musicxml as _mxl,
+                    )
+
+                    labels = _mxl.score_to_labels(
+                        _mxl.parse_musicxml(_io.StringIO(req["musicxml"]))
+                    )
+                    text = str(labels)
+                elif req.get("ust"):
+                    labels = engine.ust_to_labels(req["ust"])
+                    text = str(labels)
+                else:
+                    text = req["labels"]
+                    labels = hts.loads(text)
                 name = req.get("name") or hashlib.sha1(
                     text.encode()
                 ).hexdigest()[:16]

@@ -189,7 +189,7 @@ def parse_musicxml(path) -> List[ScoreNote]:
     note) and rests.  Times are in 100 ns units, snapped to the 5 ms HTS
     frame grid.
     """
-    root = ET.parse(str(path)).getroot()
+    root = ET.parse(path if hasattr(path, "read") else str(path)).getroot()
     part = root.find("part")
     if part is None:
         raise ValueError("no <part> in MusicXML")
@@ -330,7 +330,9 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
         if n.midi is None:
             n.phonemes = ["pau"]
         else:
-            phs = g2p_ja(n.lyric, prev_vowel)
+            # a frontend may pre-phonemize (e.g. frontend.ust through an
+            # ENUNU kana2phonemes.table); only fill what is empty
+            phs = n.phonemes or g2p_ja(n.lyric, prev_vowel)
             if not phs:
                 phs = [prev_vowel or "a"]  # melisma continues the vowel
             n.phonemes = phs
@@ -533,9 +535,13 @@ def notes_to_labels(notes: List[ScoreNote]) -> hts.HTSLabels:
 def musicxml_to_labels(path) -> hts.HTSLabels:
     """Parse a MusicXML score into full-context labels, with 0.5 s of
     leading/trailing silence (pysinsy-style padding)."""
-    notes = parse_musicxml(path)
+    return score_to_labels(parse_musicxml(path), origin=path)
+
+
+def score_to_labels(notes: List[ScoreNote], origin="score") -> hts.HTSLabels:
+    """Timed notes (any score frontend) -> padded full-context labels."""
     if not notes:
-        raise ValueError(f"no notes parsed from {path}")
+        raise ValueError(f"no notes parsed from {origin}")
     pad = int(0.5e7 // HTS_FRAME) * HTS_FRAME
     if notes[0].midi is not None or notes[0].start > 0:
         # the pad rest must also absorb any leading score offset (e.g. a

@@ -37,6 +37,22 @@ class NEUTRINO(SPSVS):
 
         return musicxml_to_labels(musicxml_path)
 
+    def ust_to_labels(self, ust_path_or_text, table=None):
+        """UST (UTAU) score -> full-context labels (replaces the
+        reference compat server's utaupy ust2hts call,
+        neutrino_compat/server.py:156-171).  Uses the pack's ENUNU
+        ``kana2phonemes.table`` when one ships with the model and no
+        explicit table is given."""
+        from ensemble_svs_with_interactions_tpu.frontend.ust import (
+            ust_to_labels,
+        )
+
+        if table is None:
+            packed = Path(self.model_dir) / "kana2phonemes.table"
+            if packed.exists():
+                table = packed
+        return ust_to_labels(ust_path_or_text, table=table)
+
     def predict_timing(self, labels):
         """Full labels -> duration-modified (timing) labels."""
         return super().predict_timing(labels)
