@@ -1,9 +1,9 @@
 """Browser demo: upload an HTS label file, synthesize, play the audio.
 
 Equivalent of the reference's Streamlit demo (streamlit_demo/app.py:10-37,
-which uploads MusicXML, runs pysinsy and `svs()`).  This framework treats
-HTS labels as the canonical input (MusicXML/UST conversion happens
-upstream), so the demo takes a ``.lab`` upload.
+which uploads MusicXML, runs pysinsy and `svs()`).  Accepts ``.lab``
+(canonical input), ``.xml/.musicxml`` (first-party pysinsy replacement)
+and ``.ust`` (UTAU) uploads via ``frontend.load_score``.
 
 Runs under Streamlit when available; in environments without it, use the
 NEUTRINO-compatible HTTP server instead:
@@ -28,7 +28,7 @@ def main(model_dir: str):
     import streamlit as st
     from scipy.io import wavfile
 
-    from ensemble_svs_with_interactions_tpu.io import hts
+    from ensemble_svs_with_interactions_tpu.frontend import load_score
     from ensemble_svs_with_interactions_tpu.svs import SPSVS
 
     st.title("Ensemble SVS (TPU) demo")
@@ -38,9 +38,11 @@ def main(model_dir: str):
         return SPSVS(path)
 
     engine = load_engine(model_dir)
-    uploaded = st.file_uploader("HTS full-context label file (.lab)")
+    uploaded = st.file_uploader(
+        "Score: HTS labels (.lab), MusicXML (.xml/.musicxml) or UST (.ust)"
+    )
     if uploaded is not None:
-        labels = hts.loads(uploaded.read().decode("utf-8"))
+        labels = load_score(uploaded.name, uploaded.read())
         with st.spinner("Synthesizing..."):
             wav, sr = engine.svs(labels)
         buf = io.BytesIO()

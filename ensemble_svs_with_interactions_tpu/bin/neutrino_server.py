@@ -177,17 +177,14 @@ class Handler(BaseHTTPRequestHandler):
                 # (reference compat server: /score/musicxml/upload +
                 # /score/ust/upload endpoints, server.py:134-171)
                 if req.get("musicxml"):
-                    import io as _io
-
                     from ensemble_svs_with_interactions_tpu.frontend import (
-                        musicxml as _mxl,
+                        load_score,
                     )
 
-                    labels = _mxl.score_to_labels(
-                        _mxl.parse_musicxml(_io.StringIO(req["musicxml"]))
-                    )
+                    labels = load_score("score.xml", req["musicxml"])
                     text = str(labels)
                 elif req.get("ust"):
+                    # engine path: picks up the pack's kana2phonemes.table
                     labels = engine.ust_to_labels(req["ust"])
                     text = str(labels)
                 else:

@@ -1,8 +1,9 @@
 """Streamlit demo: upload labels, synthesize, play.
 
 Equivalent of /root/reference/streamlit_demo/app.py:10-37 (there: MusicXML
-via the native sinsy frontend; here: HTS full-context labels directly, the
-BaseSVS contract).  Requires streamlit (not bundled in this environment):
+via the native sinsy frontend; here: HTS labels, MusicXML via the
+first-party frontend, or UST).  Requires streamlit (not bundled in this
+environment):
 
     streamlit run ensemble_svs_with_interactions_tpu/demo/streamlit_app.py
 """
@@ -20,7 +21,7 @@ except ImportError as e:  # pragma: no cover - demo-only dependency
         "streamlit is required for the demo: pip install streamlit"
     ) from e
 
-from ensemble_svs_with_interactions_tpu.io import hts
+from ensemble_svs_with_interactions_tpu.frontend import load_score
 from ensemble_svs_with_interactions_tpu.pretrained import (
     create_svs_engine,
     model_registry,
@@ -37,10 +38,12 @@ def main():
     model_name = st.selectbox(
         "Model", sorted(model_registry) or ["<register models first>"]
     )
-    uploaded = st.file_uploader("HTS full-context label file", type=["lab"])
+    uploaded = st.file_uploader(
+        "Score file", type=["lab", "xml", "musicxml", "ust"]
+    )
     vocoder = st.selectbox("Vocoder", ["world", "usfgan"])
     if uploaded is not None and model_name in model_registry:
-        labels = hts.loads(uploaded.read().decode())
+        labels = load_score(uploaded.name, uploaded.read())
         engine = _engine(model_name)
         with st.spinner("Synthesizing..."):
             wav, sr = engine.svs(labels, vocoder_type=vocoder)
