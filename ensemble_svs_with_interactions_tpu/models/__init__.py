@@ -29,6 +29,10 @@ from ensemble_svs_with_interactions_tpu.models.tacotron import (  # noqa: F401
     Prenet,
 )
 from ensemble_svs_with_interactions_tpu.models import acoustic  # noqa: F401
+from ensemble_svs_with_interactions_tpu.models.flow_matching import (  # noqa: F401
+    FlowMatching,
+    MultiSpeakerFlowMatching,
+)
 from ensemble_svs_with_interactions_tpu.models.postfilters import (  # noqa: F401
     Conv2dPostFilter,
     MultistreamPostFilter,
