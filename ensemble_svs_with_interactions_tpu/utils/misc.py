@@ -117,3 +117,13 @@ def example_xml_file() -> str:
         / "_example_data"
         / "example_song.musicxml"
     )
+
+
+def example_ust_file() -> str:
+    """Path to the packaged first-party example UST score (the same
+    six-note phrase as :func:`example_xml_file`, in UTAU format)."""
+    from pathlib import Path
+
+    return str(
+        Path(__file__).parent.parent / "_example_data" / "example_song.ust"
+    )
