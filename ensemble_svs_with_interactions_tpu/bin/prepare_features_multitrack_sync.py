@@ -1,13 +1,27 @@
 """Note-synchronized multitrack feature extraction CLI (surface parity
 with the reference's prepare_features_multitrack_sync.py:91-309).
 
-In this framework the note-onset ``-times.npy`` arrays required for the
-cross-track note merge are produced by the same extraction path, so this
-is the same tool as ``bin.prepare_features_multitrack``; the name is kept
-so recipes written against the reference keep working.
+Identical to ``bin.prepare_features_multitrack`` plus per-utterance
+``-times.npy`` note-onset dumps next to every feature file — the arrays
+the cross-track two-pointer note merge (``data.multitrack`` sync="notes")
+aligns on.  In the reference the _sync app re-extracts features with a
+``MultiTrackMusicalLinguisticSource`` that also returns absolute note
+times; here the shared extraction path already computes them, so this
+tool just switches the dump on.
 """
 
-from ensemble_svs_with_interactions_tpu.bin.prepare_features_multitrack import main
+from __future__ import annotations
+
+import sys
+
+from ensemble_svs_with_interactions_tpu.bin.prepare_features_multitrack import (
+    main as _main,
+)
+
+
+def main(argv=None):
+    return _main(argv, force_note_times=True)
+
 
 if __name__ == "__main__":
     raise SystemExit(main())

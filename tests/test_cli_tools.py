@@ -162,3 +162,31 @@ def test_plot_metrics_cli(tmp_path):
     rc = main([str(exp), "--metric", "Loss", "--out", str(out_png)])
     assert rc == 0
     assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_prepare_features_multitrack_vs_sync(tmp_path, monkeypatch):
+    """The _sync CLI (and only it) forces note-time dumps — the reference
+    split between prepare_features_multitrack.py and
+    prepare_features_multitrack_sync.py:91-309."""
+    from ensemble_svs_with_interactions_tpu.bin import (
+        prepare_features_multitrack as mt,
+    )
+    from ensemble_svs_with_interactions_tpu.bin import (
+        prepare_features_multitrack_sync as mt_sync,
+    )
+
+    captured = []
+    monkeypatch.setattr(mt, "run", lambda config: captured.append(config))
+
+    cfg = tmp_path / "prep.yaml"
+    cfg.write_text("out_dir: %s\n" % tmp_path)
+
+    assert mt.main([str(cfg)]) == 0
+    assert not captured[-1].get("save_note_times", False)
+
+    assert mt_sync.main([str(cfg)]) == 0
+    assert captured[-1].get("save_note_times") is True
+
+    # explicit override still reaches the shared runner
+    assert mt.main([str(cfg), "save_note_times=true"]) == 0
+    assert captured[-1].get("save_note_times") in (True, "true")
