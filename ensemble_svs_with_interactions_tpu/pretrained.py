@@ -58,6 +58,25 @@ def get_available_model_ids():
     return sorted(model_registry)
 
 
+def is_pretrained_model_ready(name: str) -> bool:
+    """True when a registry entry resolves without any download — i.e. a
+    registered local path exists or the converted pack is already cached
+    (reference pretrained/__init__.py:73-77, adapted to the flax-pack
+    cache layout: readiness = a config.yaml inside the resolved dir)."""
+    entry = model_registry.get(name)
+    if entry and entry.get("path"):
+        p = Path(entry["path"])
+        if (p / "config.yaml").exists():
+            return True
+    for cached in (
+        DEFAULT_CACHE_DIR / name.replace("/", "_"),
+        DEFAULT_CACHE_DIR / name,
+    ):
+        if (cached / "config.yaml").exists():
+            return True
+    return False
+
+
 def _download_and_port(name: str, entry: dict) -> Path:
     """Download a reference torch pack and convert it to a flax pack.
 

@@ -214,12 +214,20 @@ def test_pretrained_registry(packed):
         retrieve_pretrained_model,
     )
 
+    from ensemble_svs_with_interactions_tpu.pretrained import (
+        is_pretrained_model_ready,
+    )
+
     register_model("tiny_test", packed)
     assert retrieve_pretrained_model("tiny_test") == packed
+    assert is_pretrained_model_ready("tiny_test")
     engine = create_svs_engine("tiny_test")
     assert engine.sample_rate == SR
     with pytest.raises(ValueError):
         retrieve_pretrained_model("no/such/model")
+    assert not is_pretrained_model_ready("no/such/model")
+    # named remote entries are not ready until downloaded + ported
+    assert not is_pretrained_model_ready("r9y9/yoko_latest")
 
 
 def test_pitch_augmentation(tmp_path):
