@@ -1,0 +1,101 @@
+"""Time-sharded WORLD synthesis: one long utterance over a device mesh.
+
+The fused vocoder kernel (``synthesis._synthesize_impl``) is per-frame
+parallel almost everywhere — the min-phase envelope FFTs and the chunked
+FFT convolution (the dominant cost) touch one frame at a time; only the
+excitation phase cumsum and the overlap-add couple neighbouring frames.
+That makes it a textbook GSPMD program: jit the SAME kernel body with the
+frame/sample axes sharded over the mesh and let XLA partition the
+per-frame FFTs and insert the (cheap, 1-D) collectives for the cumsum
+and the OLA boundary exchange.
+
+This complements the batch-parallel ensemble path (``parallel.mesh`` /
+``svs.py`` SPMD inference, which shards TRACKS): here a single long track
+is split across chips, the long-form scaling axis the reference's
+pyworld synthesis (single-threaded C++, gen.py:1606-1612) has no answer
+to.  Numerics are identical to the single-device kernel — GSPMD
+partitions the same XLA program — so there is no halo/phase-offset
+approximation to validate, only the partitioning.
+
+The single-device bench path is untouched: this module wraps the
+undecorated kernel body in its own jit with explicit in_shardings.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ensemble_svs_with_interactions_tpu.ops.world import synthesis as _syn
+
+
+@lru_cache(maxsize=None)
+def _sharded_impl(mesh: Mesh, axis: str, fs: int, hop: int, fft_size: int):
+    shard = NamedSharding(mesh, P(axis))
+    shard2d = NamedSharding(mesh, P(axis, None))
+    body = _syn._synthesize_impl.__wrapped__  # the undecorated kernel body
+
+    def run(f0, sp, ap, noise):
+        return body(f0, sp, ap, noise, fs, hop, fft_size)
+
+    return jax.jit(
+        run,
+        in_shardings=(shard, shard2d, shard2d, shard),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
+def synthesize_time_sharded(
+    f0,
+    spectrogram,
+    aperiodicity,
+    fs: int,
+    frame_period: float = 5.0,
+    key=None,
+    mesh: Mesh | None = None,
+    axis: str | None = None,
+):
+    """Synthesize one waveform with frames sharded over a device mesh.
+
+    Same contract as :func:`synthesis.synthesize` — f0 (T,) Hz,
+    spectrogram (T, fft//2+1) power envelope, aperiodicity (T, fft//2+1)
+    in [0, 1] — plus a ``mesh`` (default: a 1-D mesh over all devices).
+    Frames are padded to a multiple of the mesh size with silent frames
+    (f0 0, envelope 1, aperiodicity 1, noise 0 → zero output) and the
+    result is trimmed back to T * hop samples, so the padded program
+    produces the exact single-device waveform.
+    """
+    if mesh is None:
+        from ensemble_svs_with_interactions_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+
+    hop = int(fs * frame_period / 1000.0)
+    fft_size = (spectrogram.shape[-1] - 1) * 2
+    T = int(f0.shape[0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (T * hop,), dtype=jnp.float32)
+
+    pad = (-T) % n
+    f0 = jnp.pad(jnp.asarray(f0, jnp.float32), (0, pad))
+    sp = jnp.pad(
+        jnp.asarray(spectrogram, jnp.float32),
+        ((0, pad), (0, 0)),
+        constant_values=1.0,
+    )
+    ap = jnp.pad(
+        jnp.asarray(aperiodicity, jnp.float32),
+        ((0, pad), (0, 0)),
+        constant_values=1.0,
+    )
+    noise = jnp.pad(noise, (0, pad * hop))
+
+    wav = _sharded_impl(mesh, axis, fs, hop, fft_size)(f0, sp, ap, noise)
+    return wav[: T * hop]
