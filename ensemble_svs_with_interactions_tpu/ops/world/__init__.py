@@ -18,3 +18,6 @@ from ensemble_svs_with_interactions_tpu.ops.world.analysis import (  # noqa: F40
     harvest,
     stonemask,
 )
+from ensemble_svs_with_interactions_tpu.ops.world.synthesis_sharded import (  # noqa: F401
+    synthesize_time_sharded,
+)
