@@ -12,20 +12,43 @@ over frequency.  Everything is expressed as gathers/matmuls/FFT-free ops
 that work identically on NumPy arrays (host, data prep) and jnp arrays
 (jitted inference path).
 
-KNOWN DIVERGENCE (documented, see PARITY.md): the spectral codec is
-self-consistent (code/decode roundtrip-tested) but not bit-compatible
-with pyworld's CodeSpectralEnvelope — WORLD spans its mel axis over
-[40 Hz, min(fs/2, 20 kHz)] with endpoint-exclusive spacing and uses an
-FFT-based DCT with its own normalization, while this codec spans
-[one bin, fs/2] with an orthonormal DCT.  Models trained with THIS
-framework's codec are unaffected; porting a torch checkpoint that was
-trained on pyworld-coded mgc decodes through a slightly different basis.
-A faithful port needs golden pyworld fixtures to validate against, which
-this environment cannot produce (no pyworld, no egress).
+Spectral-codec bases
+--------------------
+``basis="world"`` (the default) reproduces pyworld's
+``CodeSpectralEnvelope``/``DecodeSpectralEnvelope`` algorithm
+(WORLD src/codec.cpp):
+
+* the log envelope is resampled by linear interpolation **in the mel
+  domain** onto a grid of ``fft_size//2`` points
+  ``mel_i = floor_mel + (ceil_mel - floor_mel) * i / (fft_size//2)``
+  spanning [40 Hz, min(fs/2, 20 kHz)) (``kFloorFrequency`` /
+  ``kCeilFrequency``; ceiling endpoint-exclusive);
+* a length-``N = fft_size//2`` DCT-II computed in WORLD via the Makhoul
+  even/odd-permutation real FFT with weights
+  ``2*cos/sin(k*pi/fft_size)/sqrt(fft_size)`` (``weight[0] /= sqrt(2)``)
+  and a ``1/sqrt(N)`` FFT normalization — algebraically identical to an
+  **orthonormal DCT-II scaled by 1/sqrt(N)**:
+  ``coded[0] = mean(melsp)``,
+  ``coded[k] = sqrt(2)/N * sum_n melsp[n] cos(pi k (2n+1) / (2N))``;
+* decode is the exact inverse (``melsp = coded[0] + sqrt(2) *
+  sum_{k>=1} coded[k] cos(...)``) followed by mel-domain linear
+  interpolation back to the FFT bins with boundary anchors at 0 mel and
+  ``mel(fs/2)`` carrying duplicated edge values (WORLD's
+  ``GetParametersForDecoding`` axis extension), then ``exp``.
+
+The normalization is pinned by the self-consistency of WORLD's own
+code/decode pair (the scales above are the unique ones under which
+WORLD's forward weights invert exactly); tests/test_world.py carries a
+literal loop-based transcription of the codec.cpp algorithm as an
+oracle.  ``basis="orthonormal"`` keeps round-1/2's self-consistent
+legacy basis ([one FFT bin, fs/2] span, bin-domain interpolation,
+orthonormal DCT) for packs trained with it; set
+``ESVS_SPECTRAL_CODEC_BASIS=orthonormal`` to flip the default.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax.numpy as jnp
@@ -34,6 +57,8 @@ import numpy as np
 # WORLD constants (world/constantnumbers.h)
 FREQUENCY_INTERVAL = 3000.0
 UPPER_LIMIT = 15000.0
+FLOOR_FREQUENCY = 40.0  # kFloorFrequency (spectral codec mel-axis floor)
+CEIL_FREQUENCY = 20000.0  # kCeilFrequency (spectral codec mel-axis ceiling)
 FLOOR_F0 = 71.0
 DEFAULT_F0_FLOOR = FLOOR_F0
 SAFE_GUARD_MINIMUM = 1e-12
@@ -68,12 +93,69 @@ def _mel_to_freq(m):
 
 
 @lru_cache(maxsize=8)
-def _mel_axis_weights(fs: int, fft_size: int):
-    """Linear-interpolation gather (indices, weights) for linear->mel and
-    mel->linear resampling of the log envelope, plus DCT matrices.
+def _world_codec_tables(fs: int, fft_size: int):
+    """Gather indices/weights + scaled DCT matrices for the pyworld-exact
+    ``basis="world"`` codec (WORLD src/codec.cpp; see module docstring).
 
-    The mel axis has fft_size//2 points spanning [mel(f_low), mel(f_high)]
-    with half-bin guards, mirroring WORLD's codec design.
+    Returns ``(code_gather, decode_gather, code_dct, decode_dct)`` where
+    ``code_gather = (i0, w1)`` resamples the log envelope from FFT bins
+    onto the mel grid (linear interp in mel), ``decode_gather =
+    (a0, a1, v1)`` resamples the reconstructed mel envelope back onto
+    FFT bins through WORLD's endpoint-extended anchor axis, and the DCT
+    matrices carry WORLD's normalization (orthonormal / sqrt(N) forward,
+    orthonormal * sqrt(N) inverse).
+    """
+    half = fft_size // 2  # N: DCT length == mel grid size
+    n_bins = half + 1
+    bin_mels = _freq_to_mel(np.arange(n_bins) * fs / fft_size)
+    floor_mel = _freq_to_mel(FLOOR_FREQUENCY)
+    ceil_mel = _freq_to_mel(min(fs / 2.0, CEIL_FREQUENCY))
+    mel_axis = floor_mel + (ceil_mel - floor_mel) * np.arange(half) / half
+
+    # code: sample log|S| (given at bin mels) on the mel grid.
+    # bin_mels is strictly increasing and mel_axis lies inside its span,
+    # so this is plain linear interpolation (WORLD interp1).
+    pos = np.interp(mel_axis, bin_mels, np.arange(n_bins, dtype=np.float64))
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_bins - 2)
+    w1 = pos - i0
+
+    # decode: WORLD extends the anchor axis with 0 mel and mel(fs/2),
+    # both carrying duplicated edge values of the mel envelope.
+    anchors = np.concatenate([[0.0], mel_axis, [_freq_to_mel(fs / 2.0)]])
+    pos_inv = np.interp(bin_mels, anchors, np.arange(half + 2, dtype=np.float64))
+    j0 = np.clip(np.floor(pos_inv).astype(np.int64), 0, half)
+    v1 = pos_inv - j0
+    # anchor k holds melsp[clip(k - 1, 0, half - 1)]
+    a0 = np.clip(j0 - 1, 0, half - 1)
+    a1 = np.clip(j0, 0, half - 1)
+
+    dct = _ortho_dct_matrix(half)
+    code_dct = dct / np.sqrt(half)
+    decode_dct = dct * np.sqrt(half)
+    return (i0, w1.astype(np.float64)), (a0, a1, v1.astype(np.float64)), code_dct, decode_dct
+
+
+def _ortho_dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    dct = np.cos(np.pi * (k[:, None]) * (2 * k[None, :] + 1) / (2 * n))
+    dct *= np.sqrt(2.0 / n)
+    dct[0] *= np.sqrt(0.5)
+    return dct
+
+
+def default_spectral_codec_basis() -> str:
+    """Default basis for code/decode_spectral_envelope ("world" unless
+    overridden via ESVS_SPECTRAL_CODEC_BASIS)."""
+    return os.environ.get("ESVS_SPECTRAL_CODEC_BASIS", "world")
+
+
+@lru_cache(maxsize=8)
+def _mel_axis_weights(fs: int, fft_size: int):
+    """Legacy ``basis="orthonormal"`` tables (rounds 1-2): linear-
+    interpolation gathers for linear->mel and mel->linear resampling of
+    the log envelope over [one FFT bin, fs/2], plus orthonormal DCT
+    matrices.  Self-consistent but NOT pyworld-compatible; kept for
+    packs trained with it.
     """
     half = fft_size // 2
     linear_freqs = np.arange(half + 1) * fs / fft_size
@@ -94,37 +176,61 @@ def _mel_axis_weights(fs: int, fft_size: int):
     v1 = pos_inv - j0
 
     # orthonormal DCT-II / DCT-III matrices over mel axis
-    n = half
-    k = np.arange(n)
-    dct = np.cos(np.pi * (k[:, None]) * (2 * k[None, :] + 1) / (2 * n))
-    dct *= np.sqrt(2.0 / n)
-    dct[0] *= np.sqrt(0.5)
+    dct = _ortho_dct_matrix(half)
     return (i0, i1, w1.astype(np.float64)), (j0, j1, v1.astype(np.float64)), dct
 
 
-def code_spectral_envelope(spectrogram, fs: int, number_of_dimensions: int):
-    """(T, fft//2+1) power envelope -> (T, D) mel-cepstral-like code."""
+def code_spectral_envelope(
+    spectrogram, fs: int, number_of_dimensions: int, basis: str | None = None
+):
+    """(T, fft//2+1) power envelope -> (T, D) mel-cepstral-like code.
+
+    ``basis="world"`` (default) is pyworld's CodeSpectralEnvelope
+    (reference call sites /root/reference/nnsvs/gen.py:1453,2050,
+    nnsvs/data/data_source.py:464); ``basis="orthonormal"`` is the
+    legacy round-1/2 self-consistent codec.
+    """
+    basis = basis or default_spectral_codec_basis()
     fft_size = (spectrogram.shape[-1] - 1) * 2
-    (i0, i1, w1), _, dct = _mel_axis_weights(fs, fft_size)
     xp = _xp(spectrogram)
+    log_sp = xp.log(spectrogram)
+    if basis == "world":
+        (i0, w1), _, code_dct, _ = _world_codec_tables(fs, fft_size)
+        if xp is jnp:
+            i0, w1 = jnp.asarray(i0), jnp.asarray(w1)
+            code_dct = jnp.asarray(code_dct)
+        mel_sp = log_sp[..., i0] * (1.0 - w1) + log_sp[..., i0 + 1] * w1
+        return mel_sp @ code_dct[:number_of_dimensions].T
+    if basis != "orthonormal":
+        raise ValueError(f"unknown spectral codec basis: {basis!r}")
+    (i0, i1, w1), _, dct = _mel_axis_weights(fs, fft_size)
     if xp is jnp:
         i0, i1, w1 = jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(w1)
         dct = jnp.asarray(dct)
-    log_sp = xp.log(spectrogram)
     mel_sp = log_sp[..., i0] * (1.0 - w1) + log_sp[..., i1] * w1
     coded = mel_sp @ dct.T
     return coded[..., :number_of_dimensions]
 
 
-def decode_spectral_envelope(coded, fs: int, fft_size: int):
-    """(T, D) code -> (T, fft//2+1) power envelope."""
-    _, (j0, j1, v1), dct = _mel_axis_weights(fs, fft_size)
+def decode_spectral_envelope(coded, fs: int, fft_size: int, basis: str | None = None):
+    """(T, D) code -> (T, fft//2+1) power envelope (see code_spectral_envelope)."""
+    basis = basis or default_spectral_codec_basis()
     xp = _xp(coded)
-    half = fft_size // 2
+    D = coded.shape[-1]
+    if basis == "world":
+        _, (a0, a1, v1), _, decode_dct = _world_codec_tables(fs, fft_size)
+        if xp is jnp:
+            a0, a1, v1 = jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(v1)
+            decode_dct = jnp.asarray(decode_dct)
+        mel_sp = coded @ decode_dct[:D, :]
+        log_sp = mel_sp[..., a0] * (1.0 - v1) + mel_sp[..., a1] * v1
+        return xp.exp(log_sp)
+    if basis != "orthonormal":
+        raise ValueError(f"unknown spectral codec basis: {basis!r}")
+    _, (j0, j1, v1), dct = _mel_axis_weights(fs, fft_size)
     if xp is jnp:
         j0, j1, v1 = jnp.asarray(j0), jnp.asarray(j1), jnp.asarray(v1)
         dct = jnp.asarray(dct)
-    D = coded.shape[-1]
     # inverse DCT with zero-padded high-order coefficients
     mel_sp = coded @ dct[:D, :]
     log_sp = mel_sp[..., j0] * (1.0 - v1) + mel_sp[..., j1] * v1
@@ -181,7 +287,8 @@ def decode_aperiodicity(coded_aperiodicity, fs: int, fft_size: int):
         seg, w = jnp.asarray(seg), jnp.asarray(w)
     T = coded_aperiodicity.shape[0]
     lo_db = xp.full((T, 1), MIN_DB, dtype=coded_aperiodicity.dtype)
-    hi_db = xp.full((T, 1), -1e-7, dtype=coded_aperiodicity.dtype)
+    # WORLD anchors the nyquist end at -kMySafeGuardMinimum dB (~0 dB)
+    hi_db = xp.full((T, 1), -SAFE_GUARD_MINIMUM, dtype=coded_aperiodicity.dtype)
     anchors_db = xp.concatenate([lo_db, coded_aperiodicity, hi_db], axis=-1)
     a0 = anchors_db[..., seg]
     a1 = anchors_db[..., seg + 1]

@@ -95,6 +95,186 @@ def test_spectral_codec_roundtrip():
     assert err.mean() < 0.1  # smooth envelopes survive the codec
 
 
+def _interp1_literal(x, y, xi):
+    """Loop transcription of WORLD matlabfunctions interp1 (linear;
+    queries are in-range at every codec call site)."""
+    out = np.zeros(len(xi))
+    for q, xq in enumerate(xi):
+        k = 0
+        while k < len(x) - 2 and x[k + 1] <= xq:
+            k += 1
+        s = (xq - x[k]) / (x[k + 1] - x[k])
+        out[q] = y[k] + s * (y[k + 1] - y[k])
+    return out
+
+
+def _world_codec_axes(fs, fft_size):
+    mel = lambda f: 1127.01048 * np.log(f / 700.0 + 1.0)
+    n = fft_size // 2
+    floor_mel = mel(40.0)
+    ceil_mel = mel(min(fs / 2.0, 20000.0))
+    mel_axis = np.array(
+        [(ceil_mel - floor_mel) * i / n + floor_mel for i in range(n)]
+    )
+    bin_mels = np.array([mel(i * fs / fft_size) for i in range(n + 1)])
+    return mel_axis, bin_mels
+
+
+def _code_spectral_envelope_oracle(sp, fs, number_of_dimensions):
+    """Literal transcription of WORLD codec.cpp CodeSpectralEnvelope:
+    mel-domain interp1 onto the [40 Hz, min(fs/2, 20 kHz)) grid, then the
+    Makhoul even/odd-permutation FFT DCT with WORLD's weights
+    2*cos/sin(k*pi/fft_size)/sqrt(fft_size) (weight[0] /= sqrt(2)) and a
+    1/sqrt(N) normalization.  numpy's FFT sign convention is opposite to
+    WORLD's bundled FFT, so the imaginary weight enters with + here where
+    codec.cpp subtracts.
+    """
+    fft_size = (sp.shape[-1] - 1) * 2
+    n = fft_size // 2
+    mel_axis, bin_mels = _world_codec_axes(fs, fft_size)
+    out = np.zeros((len(sp), number_of_dimensions))
+    theta = np.arange(n) * np.pi / fft_size
+    w_re = 2.0 * np.cos(theta) / np.sqrt(fft_size)
+    w_im = 2.0 * np.sin(theta) / np.sqrt(fft_size)
+    w_re[0] /= np.sqrt(2.0)
+    for t in range(len(sp)):
+        melsp = _interp1_literal(bin_mels, np.log(sp[t]), mel_axis)
+        # DCTForCodec: even/odd permutation + real FFT
+        waveform = np.zeros(n)
+        for i in range(n // 2):
+            waveform[i] = melsp[2 * i]
+            waveform[i + n // 2] = melsp[n - 2 * i - 1]
+        spec = np.fft.fft(waveform)
+        for k in range(number_of_dimensions):
+            out[t, k] = (
+                spec[k].real * w_re[k] + spec[k].imag * w_im[k]
+            ) / np.sqrt(n)
+    return out
+
+
+def _decode_spectral_envelope_oracle(coded, fs, fft_size):
+    """Literal transcription of WORLD codec.cpp DecodeSpectralEnvelope:
+    IDCTForCodec (complex inverse FFT of the weighted coefficients,
+    un-permuted) then mel-domain interp1 back to the FFT bins through the
+    endpoint-extended anchor axis (0 mel / mel(fs/2), duplicated edge
+    values).  Same FFT sign-convention flip as the forward oracle.
+    """
+    n = fft_size // 2
+    D = coded.shape[-1]
+    mel_axis, bin_mels = _world_codec_axes(fs, fft_size)
+    anchors = np.concatenate([[0.0], mel_axis, [bin_mels[-1]]])
+    theta = np.arange(D) * np.pi / fft_size
+    w_re = np.cos(theta) * np.sqrt(fft_size)
+    w_im = np.sin(theta) * np.sqrt(fft_size)
+    w_re[0] /= np.sqrt(2.0)
+    out = np.zeros((len(coded), n + 1))
+    for t in range(len(coded)):
+        buf = np.zeros(n, dtype=complex)
+        for k in range(D):
+            buf[k] = coded[t, k] * (w_re[k] + 1j * w_im[k]) * np.sqrt(n)
+        y = np.fft.ifft(buf)
+        melsp = np.zeros(n)
+        for i in range(n // 2):
+            melsp[2 * i] = y[i].real
+            melsp[2 * i + 1] = y[n - i - 1].real
+        padded = np.concatenate([[melsp[0]], melsp, [melsp[-1]]])
+        out[t] = np.exp(_interp1_literal(anchors, padded, bin_mels))
+    return out
+
+
+@pytest.mark.parametrize("fs", [24000, 48000])
+def test_world_spectral_codec_matches_literal_transcription(fs):
+    rng = np.random.default_rng(0)
+    fft_size = world.get_cheaptrick_fft_size(fs)
+    half = fft_size // 2 + 1
+    from scipy.ndimage import gaussian_filter1d
+
+    log_sp = gaussian_filter1d(rng.normal(size=(3, half)), sigma=30, axis=1)
+    sp = np.exp(log_sp)
+    coded = np.asarray(world.code_spectral_envelope(sp, fs, 60, basis="world"))
+    oracle = _code_spectral_envelope_oracle(sp, fs, 60)
+    np.testing.assert_allclose(coded, oracle, rtol=0, atol=1e-10)
+
+    dec = np.asarray(world.decode_spectral_envelope(coded, fs, fft_size, basis="world"))
+    dec_oracle = _decode_spectral_envelope_oracle(coded, fs, fft_size)
+    np.testing.assert_allclose(dec, dec_oracle, rtol=1e-9, atol=1e-12)
+
+
+def test_world_spectral_codec_scale_pins():
+    """coded[0] is the mel-grid mean of the log envelope and the k>=1
+    scale is sqrt(2)/N — the normalization WORLD's own decode inverts."""
+    fs = 48000
+    fft_size = world.get_cheaptrick_fft_size(fs)
+    n = fft_size // 2
+    sp = np.full((1, n + 1), np.e)  # log sp == 1 everywhere
+    coded = np.asarray(world.code_spectral_envelope(sp, fs, 4, basis="world"))
+    assert abs(coded[0, 0] - 1.0) < 1e-9  # mean of ones
+    assert np.abs(coded[0, 1:]).max() < 1e-9  # flat envelope: no AC terms
+
+    # a pure cosine on the mel grid isolates one coefficient at sqrt(2)/N scale
+    mel_axis, bin_mels = _world_codec_axes(fs, fft_size)
+    k = 7
+    melsp_target = np.cos(np.pi * k * (2 * np.arange(n) + 1) / (2 * n))
+    # build a bin-domain log envelope that interpolates to the cosine:
+    # values given exactly at the mel grid, linear in-between is fine since
+    # coding only samples AT the grid.
+    log_sp_bins = np.interp(bin_mels, mel_axis, melsp_target)
+    coded = np.asarray(
+        world.code_spectral_envelope(np.exp(log_sp_bins)[None], fs, 16, basis="world")
+    )
+    # coefficient k: sqrt(2)/N * sum(cos^2) = sqrt(2)/N * N/2 = sqrt(2)/2
+    assert abs(coded[0, k] - np.sqrt(2.0) / 2.0) < 1e-3
+
+
+def test_world_codec_dct_pair_is_exact_inverse():
+    """WORLD's forward (ortho/sqrt(N)) and inverse (ortho*sqrt(N)) DCT
+    normalizations invert exactly — the property that pins the scales."""
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import _world_codec_tables
+
+    fs = 24000
+    fft_size = world.get_cheaptrick_fft_size(fs)
+    n = fft_size // 2
+    _, _, code_dct, decode_dct = _world_codec_tables(fs, fft_size)
+    # coded = melsp @ code_dct.T ; melsp' = coded @ decode_dct
+    np.testing.assert_allclose(code_dct.T @ decode_dct, np.eye(n), atol=1e-9)
+
+
+def test_world_codec_basis_on_cheaptrick_envelope():
+    """End-to-end anasyn bound: CheapTrick envelope -> 60-dim world-basis
+    mgc -> decode stays within a tight log-spectral-distortion budget in
+    the band the codec models."""
+    x = make_harmonic_signal(FS, f0_hz=220.0)
+    f0, t = world.dio(x, FS, f0_floor=100, f0_ceil=500)
+    f0 = world.stonemask(x, f0, t, FS)
+    sp = world.cheaptrick(x, f0, t, FS)
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    coded = np.asarray(world.code_spectral_envelope(sp, FS, 60, basis="world"))
+    dec = np.asarray(world.decode_spectral_envelope(coded, FS, fft_size, basis="world"))
+    freqs = np.arange(fft_size // 2 + 1) * FS / fft_size
+    band = (freqs >= 40.0) & (freqs <= FS / 2 - 500)
+    lsd = np.sqrt(
+        np.mean((10 / np.log(10) * (np.log(dec) - np.log(sp))[:, band]) ** 2)
+    )
+    assert lsd < 1.5  # dB
+
+
+def test_orthonormal_basis_still_available():
+    rng = np.random.default_rng(0)
+    fft_size = world.get_cheaptrick_fft_size(FS)
+    half = fft_size // 2 + 1
+    from scipy.ndimage import gaussian_filter1d
+
+    sp = np.exp(gaussian_filter1d(rng.normal(size=(4, half)), sigma=30, axis=1))
+    c_w = np.asarray(world.code_spectral_envelope(sp, FS, 60, basis="world"))
+    c_o = np.asarray(world.code_spectral_envelope(sp, FS, 60, basis="orthonormal"))
+    # distinct bases (different scale entirely)
+    assert not np.allclose(c_w, c_o, atol=1e-3)
+    dec = np.asarray(
+        world.decode_spectral_envelope(c_o, FS, fft_size, basis="orthonormal")
+    )
+    assert np.abs(np.log(dec) - np.log(sp)).mean() < 0.1
+
+
 def test_aperiodicity_codec_roundtrip():
     fft_size = world.get_cheaptrick_fft_size(FS)
     half = fft_size // 2 + 1
