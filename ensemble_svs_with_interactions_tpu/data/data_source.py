@@ -289,18 +289,25 @@ class WORLDAcousticSource(FileDataSource):
             )
             f0 = world.stonemask(x, f0, timeaxis, fs)
         elif self.f0_extractor == "parselmouth":
-            # praat-style autocorrelation estimator with the score-informed
-            # search range (reference data_source.py:313-338 requires an
-            # explicit floor/ceil and praat's 0.6 voicing threshold; our
-            # NCCF+Viterbi front end plays the same role first-party)
+            # Boersma-1993 windowed-ACF estimator (ops/praat.py), the
+            # algorithm behind parselmouth's to_pitch_ac as the reference
+            # uses it (data_source.py:313-338: explicit floor/ceil from
+            # the score, praat's 0.6 voicing threshold, no stonemask)
             assert (
                 self.f0_floor is not None and self.f0_ceil is not None
             ), "parselmouth mode requires explicit f0_floor/f0_ceil"
-            f0, timeaxis = world.dio(
-                x, fs, frame_period=self.frame_period,
-                f0_floor=min_f0, f0_ceil=max_f0, voicing_threshold=0.6,
+            from ensemble_svs_with_interactions_tpu.ops.praat import (
+                sound_to_pitch_ac,
             )
-            f0 = world.stonemask(x, f0, timeaxis, fs)
+
+            f0, timeaxis = sound_to_pitch_ac(
+                x,
+                fs,
+                time_step=self.frame_period * 0.001,
+                pitch_floor=min_f0,
+                pitch_ceiling=max_f0,
+                voicing_threshold=0.6,
+            )
         else:
             raise ValueError(f"unknown f0 extractor: {self.f0_extractor}")
         f0 = np.maximum(f0, 0)

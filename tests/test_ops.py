@@ -282,3 +282,120 @@ def test_freqt_matrix_matches_scalar_recursion():
         c = rng.normal(size=in_len)
         np.testing.assert_allclose(c @ A.T, _freqt_single(c, order, alpha),
                                    rtol=1e-10, atol=1e-12)
+
+
+# ------------------------------------------------------------------ praat
+class TestPraatPitch:
+    """Boersma-1993 windowed-ACF extractor (ops/praat.py) — the algorithm
+    behind the reference's parselmouth f0_extractor."""
+
+    FS = 24000
+
+    def _harmonic(self, f0=220.0, dur=1.0, n_harm=8):
+        t = np.arange(int(self.FS * dur)) / self.FS
+        x = np.zeros_like(t)
+        for k in range(1, n_harm + 1):
+            x += np.sin(2 * np.pi * k * f0 * t) / k
+        return 0.3 * x / np.abs(x).max()
+
+    def test_pure_tone_accuracy(self):
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        x = self._harmonic(220.0)
+        f0, ta = sound_to_pitch_ac(x, self.FS, 0.005, 100.0, 500.0,
+                                   voicing_threshold=0.6)
+        v = f0 > 0
+        assert v[5:-5].all()
+        err = np.abs(f0[v] - 220.0) / 220.0
+        assert np.median(err) < 1e-3  # sub-0.1% (parabolic interpolation)
+
+    def test_silence_and_noise_unvoiced(self):
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        f0s, _ = sound_to_pitch_ac(np.zeros(self.FS), self.FS, 0.005, 100, 500)
+        assert (f0s == 0).all()
+        rng = np.random.default_rng(0)
+        f0n, _ = sound_to_pitch_ac(0.1 * rng.normal(size=self.FS), self.FS,
+                                   0.005, 100, 500, voicing_threshold=0.6)
+        assert (f0n > 0).mean() < 0.05
+
+    def test_chirp_tracking(self):
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        t = np.arange(self.FS) / self.FS
+        f_inst = 150.0 * 2 ** t  # one octave per second
+        phase = np.cumsum(2 * np.pi * f_inst / self.FS)
+        x = np.sin(phase) + 0.3 * np.sin(2 * phase)
+        f0, ta = sound_to_pitch_ac(x, self.FS, 0.005, 100.0, 500.0)
+        v = f0 > 0
+        expect = 150.0 * 2 ** ta
+        assert v[5:-5].all()
+        assert np.median(np.abs(f0[v] - expect[v]) / expect[v]) < 5e-3
+
+    def test_frame_count_matches_world_convention(self):
+        from ensemble_svs_with_interactions_tpu.ops import world
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        x = self._harmonic(dur=0.73)
+        f0p, _ = sound_to_pitch_ac(x, self.FS, 0.005, 100, 500)
+        f0d, _ = world.dio(x, self.FS, frame_period=5.0, f0_floor=100, f0_ceil=500)
+        assert len(f0p) == len(f0d)
+
+    def test_noise_modulated_frames_disagree_with_dio(self):
+        """Under heavy amplitude-modulated additive noise the window-ACF
+        normalization keeps praat's track accurate; dio's NCCF front end
+        must diverge from it on some frames (the estimators are really
+        different algorithms, not aliases)."""
+        from ensemble_svs_with_interactions_tpu.ops import world
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        rng = np.random.default_rng(1)
+        x = self._harmonic(180.0, dur=1.5)
+        t = np.arange(len(x)) / self.FS
+        # noise bursts modulated at 7 Hz, ~0 dB SNR at the peaks
+        burst = 0.5 * (1 + np.sin(2 * np.pi * 7 * t))
+        noisy = x + 0.3 * burst * rng.normal(size=len(x))
+        f0p, _ = sound_to_pitch_ac(noisy, self.FS, 0.005, 100.0, 500.0,
+                                   voicing_threshold=0.6)
+        f0d, ta = world.dio(noisy, self.FS, frame_period=5.0,
+                            f0_floor=100.0, f0_ceil=500.0,
+                            voicing_threshold=0.6)
+        f0d = world.stonemask(noisy, f0d, ta, self.FS)
+        vp = f0p > 0
+        # praat stays accurate through the bursts
+        assert np.median(np.abs(f0p[vp] - 180.0) / 180.0) < 0.02
+        # and the two trackers genuinely disagree somewhere (voicing or
+        # value) — this fixture failed when parselmouth was a dio alias
+        n = min(len(f0p), len(f0d))
+        diff = np.abs(f0p[:n] - f0d[:n]) > 1.0
+        assert diff.mean() > 0.02
+
+    def test_octave_cost_prefers_upper_octave(self):
+        """Alternating-amplitude pulse train: energy at both 110 Hz and
+        220 Hz periodicity; praat's octave cost picks the upper octave
+        when the subharmonic correlation advantage is marginal."""
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        t = np.arange(self.FS) / self.FS
+        x = np.zeros_like(t)
+        for k in range(1, 10):
+            amp = 1.0 / k
+            x += amp * np.sin(2 * np.pi * k * 220.0 * t)
+        # a faint 110 Hz subharmonic component
+        x += 0.05 * np.sin(2 * np.pi * 110.0 * t)
+        x *= 0.3 / np.abs(x).max()
+        f0, _ = sound_to_pitch_ac(x, self.FS, 0.005, 80.0, 500.0)
+        v = f0 > 0
+        assert np.median(f0[v]) > 200.0  # not dragged to 110
+
+    def test_voicing_threshold_monotone(self):
+        from ensemble_svs_with_interactions_tpu.ops.praat import sound_to_pitch_ac
+
+        rng = np.random.default_rng(2)
+        x = self._harmonic(200.0) * 0.02 + 0.02 * rng.normal(size=self.FS)
+        voiced = []
+        for vt in (0.3, 0.6, 0.9):
+            f0, _ = sound_to_pitch_ac(x, self.FS, 0.005, 100, 500,
+                                      voicing_threshold=vt)
+            voiced.append((f0 > 0).mean())
+        assert voiced[0] >= voiced[1] >= voiced[2]
