@@ -112,8 +112,9 @@ def _wrapped_phase(inc):
     return jnp.mod(offsets[:, None] + inner, 1.0).reshape(-1)[: inc.shape[0]]
 
 
-@partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))
-def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
+def _synthesize_body(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
+    """Undecorated kernel body — synthesis_sharded re-jits it with explicit
+    shardings; the single-device path uses the jitted ``_synthesize_impl``."""
     T = f0.shape[0]
     N = T * hop
     half = fft_size // 2
@@ -182,6 +183,11 @@ def _synthesize_impl(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     Y = (X[0] * w_per + X[1] * w_apr) * H
     y = jnp.fft.irfft(Y, n=fft_size, axis=-1)
     return _overlap_add(y, hop, N)
+
+
+_synthesize_impl = partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))(
+    _synthesize_body
+)
 
 
 def quantize_peak_norm_int16(wav, lengths=None):

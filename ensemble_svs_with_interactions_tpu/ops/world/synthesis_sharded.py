@@ -13,9 +13,11 @@ This complements the batch-parallel ensemble path (``parallel.mesh`` /
 ``svs.py`` SPMD inference, which shards TRACKS): here a single long track
 is split across chips, the long-form scaling axis the reference's
 pyworld synthesis (single-threaded C++, gen.py:1606-1612) has no answer
-to.  Numerics are identical to the single-device kernel — GSPMD
-partitions the same XLA program — so there is no halo/phase-offset
-approximation to validate, only the partitioning.
+to.  Numerics are bit-near the single-device kernel (>40 dB SNR,
+tests/test_world.py): GSPMD partitions the same XLA program, but the
+partitioned cumsum/OLA collectives may reduce in a different order, so
+float results are not bit-identical — there is still no halo or
+phase-offset approximation, only reduction-order noise.
 
 The single-device bench path is untouched: this module wraps the
 undecorated kernel body in its own jit with explicit in_shardings.
@@ -36,10 +38,8 @@ from ensemble_svs_with_interactions_tpu.ops.world import synthesis as _syn
 def _sharded_impl(mesh: Mesh, axis: str, fs: int, hop: int, fft_size: int):
     shard = NamedSharding(mesh, P(axis))
     shard2d = NamedSharding(mesh, P(axis, None))
-    body = _syn._synthesize_impl.__wrapped__  # the undecorated kernel body
-
     def run(f0, sp, ap, noise):
-        return body(f0, sp, ap, noise, fs, hop, fft_size)
+        return _syn._synthesize_body(f0, sp, ap, noise, fs, hop, fft_size)
 
     return jax.jit(
         run,

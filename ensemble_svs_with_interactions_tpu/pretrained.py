@@ -58,23 +58,34 @@ def get_available_model_ids():
     return sorted(model_registry)
 
 
+def _candidate_paths(name: str):
+    """Local paths a name may resolve to, in resolution order (shared by
+    ``is_pretrained_model_ready`` and ``retrieve_pretrained_model`` so the
+    two can never disagree about what "resolves without a download" means).
+    """
+    entry = model_registry.get(name)
+    cands = []
+    if entry and entry.get("path"):
+        cands.append(Path(entry["path"]))
+    cands.append(DEFAULT_CACHE_DIR / name.replace("/", "_"))
+    cands.append(DEFAULT_CACHE_DIR / name)
+    cands.append(Path(name))
+    return entry, cands
+
+
+def _is_complete_pack(p: Path) -> bool:
+    """A resolved dir counts only when the pack is complete (config.yaml
+    present) — a torn cache dir must not satisfy either resolver."""
+    return (p / "config.yaml").exists()
+
+
 def is_pretrained_model_ready(name: str) -> bool:
     """True when a registry entry resolves without any download — i.e. a
-    registered local path exists or the converted pack is already cached
+    registered local path / cache dir / direct path holds a complete pack
     (reference pretrained/__init__.py:73-77, adapted to the flax-pack
     cache layout: readiness = a config.yaml inside the resolved dir)."""
-    entry = model_registry.get(name)
-    if entry and entry.get("path"):
-        p = Path(entry["path"])
-        if (p / "config.yaml").exists():
-            return True
-    for cached in (
-        DEFAULT_CACHE_DIR / name.replace("/", "_"),
-        DEFAULT_CACHE_DIR / name,
-    ):
-        if (cached / "config.yaml").exists():
-            return True
-    return False
+    _, cands = _candidate_paths(name)
+    return any(_is_complete_pack(p) for p in cands)
 
 
 def _download_and_port(name: str, entry: dict) -> Path:
@@ -125,6 +136,8 @@ def _download_and_port(name: str, entry: dict) -> Path:
     shutil.rmtree(out_staging, ignore_errors=True)
     try:
         convert_nnsvs_pack(src, out_staging)
+        if out_dir.exists():  # replace a torn dir left by an old failure
+            shutil.rmtree(out_dir)
         out_staging.rename(out_dir)
     except BaseException:
         shutil.rmtree(out_staging, ignore_errors=True)
@@ -135,22 +148,17 @@ def _download_and_port(name: str, entry: dict) -> Path:
 def retrieve_pretrained_model(name: str) -> Path:
     """Resolve a model name to a packed-model directory (downloading and
     porting a registry entry when it is not cached yet)."""
-    entry = model_registry.get(name)
-    if entry and entry.get("path"):
-        p = Path(entry["path"])
-        if p.exists():
+    entry, cands = _candidate_paths(name)
+    for p in cands:
+        if _is_complete_pack(p):
             return p
-    cached = DEFAULT_CACHE_DIR / name.replace("/", "_")
-    if cached.exists():
-        return cached
-    legacy_cached = DEFAULT_CACHE_DIR / name
-    if legacy_cached.exists():
-        return legacy_cached
     if entry and entry.get("url"):
         return _download_and_port(name, entry)
-    direct = Path(name)
-    if direct.exists():
-        return direct
+    # bare-existing dirs (no config.yaml) resolve last so an incomplete
+    # pack surfaces a clear load error instead of masking a registry entry
+    for p in cands:
+        if p.exists():
+            return p
     raise ValueError(
         f"unknown pretrained model: {name}. Registered: "
         f"{get_available_model_ids()}; cache dir: {DEFAULT_CACHE_DIR}"

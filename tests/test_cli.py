@@ -207,16 +207,18 @@ def test_neutrino_server_stream(packed, short_lab):
         server.shutdown()
 
 
-def test_pretrained_registry(packed):
+def test_pretrained_registry(packed, tmp_path, monkeypatch):
+    from ensemble_svs_with_interactions_tpu import pretrained
     from ensemble_svs_with_interactions_tpu.pretrained import (
         create_svs_engine,
+        is_pretrained_model_ready,
         register_model,
         retrieve_pretrained_model,
     )
 
-    from ensemble_svs_with_interactions_tpu.pretrained import (
-        is_pretrained_model_ready,
-    )
+    # point the cache at tmp so the real user cache (which may hold a
+    # previously downloaded model) can't flip the readiness asserts below
+    monkeypatch.setattr(pretrained, "DEFAULT_CACHE_DIR", tmp_path / "cache")
 
     register_model("tiny_test", packed)
     assert retrieve_pretrained_model("tiny_test") == packed

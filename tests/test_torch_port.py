@@ -1049,3 +1049,164 @@ def test_port_conv2d_postfilter(ref_models):
     f_out = fm.apply(pv, jnp.asarray(x),
                      rngs={"noise": jax.random.PRNGKey(2)})
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
+
+
+# ------------------------------------------------------------------
+# pretrained-registry download path (VERDICT r2 #6): a local HTTP server
+# serves a real torch pack tarball; _download_and_port must fetch it,
+# extract, port to flax, atomically install, and the result must
+# synthesize. Interrupted/corrupt downloads must leave no torn cache
+# state (pretrained.py:80-133).
+# ------------------------------------------------------------------
+def _build_torch_pack_tarball(ref_models, tmp_path):
+    """A tiny published-style NNSVS pack (config.yaml + {phase}_model.yaml
+    /.pth + npy scalers + qst.hed), tar.gz'd with the usual one nested
+    directory, mirroring the reference's pretrained tarballs
+    (reference svs.py:122-241 layout)."""
+    import shutil
+    import tarfile
+
+    import torch
+    import yaml
+
+    src = tmp_path / "tiny_pack"
+    src.mkdir()
+    shutil.copyfile(
+        "/root/reference/recipes/_common/hed/jp_dev_latest.hed", src / "qst.hed"
+    )
+    (src / "config.yaml").write_text(
+        yaml.safe_dump(
+            {
+                "sample_rate": 24000,
+                "frame_period": 5,
+                "feature_type": "world",
+                "use_world_codec": True,
+                "relative_f0": False,
+            }
+        )
+    )
+    ss = [8, 1, 1, 3]
+    torch.manual_seed(0)
+    for phase, mean0 in (("timelag", 0.0), ("duration", 10.0)):
+        netg = {
+            "_target_": "nnsvs.model.MDN",
+            "in_dim": 82, "hidden_dim": 8, "out_dim": 1,
+            "num_layers": 1, "num_gaussians": 2,
+        }
+        (src / f"{phase}_model.yaml").write_text(
+            yaml.safe_dump(
+                {"netG": netg, "stream_sizes": [1],
+                 "has_dynamic_features": [False], "num_windows": 1}
+            )
+        )
+        tm = ref_models.MDN(
+            in_dim=82, hidden_dim=8, out_dim=1, num_layers=1, num_gaussians=2
+        )
+        torch.save(tm.state_dict(), src / f"{phase}_model.pth")
+        np.save(src / f"in_{phase}_scaler_min.npy", np.zeros(82))
+        np.save(src / f"in_{phase}_scaler_scale.npy", np.ones(82))
+        np.save(src / f"out_{phase}_scaler_mean.npy", np.full(1, mean0))
+        np.save(src / f"out_{phase}_scaler_var.npy", np.full(1, 4.0))
+        np.save(src / f"out_{phase}_scaler_scale.npy", np.full(1, 2.0))
+    netg = {
+        "_target_": "nnsvs.model.FFConvLSTM",
+        "in_dim": 86, "ff_hidden_dim": 8, "conv_hidden_dim": 8,
+        "lstm_hidden_dim": 4, "out_dim": sum(ss), "num_lstm_layers": 1,
+    }
+    (src / "acoustic_model.yaml").write_text(
+        yaml.safe_dump(
+            {"netG": netg, "stream_sizes": ss,
+             "has_dynamic_features": [False] * 4, "num_windows": 1}
+        )
+    )
+    tm = ref_models.FFConvLSTM(
+        in_dim=86, ff_hidden_dim=8, conv_hidden_dim=8,
+        lstm_hidden_dim=4, out_dim=sum(ss), num_lstm_layers=1,
+    )
+    torch.save(tm.state_dict(), src / "acoustic_model.pth")
+    np.save(src / "in_acoustic_scaler_min.npy", np.zeros(86))
+    np.save(src / "in_acoustic_scaler_scale.npy", np.ones(86))
+    mean = np.zeros(sum(ss))
+    mean[ss[0]] = np.log(220.0)
+    np.save(src / "out_acoustic_scaler_mean.npy", mean)
+    np.save(src / "out_acoustic_scaler_var.npy", np.full(sum(ss), 0.01))
+    np.save(src / "out_acoustic_scaler_scale.npy", np.full(sum(ss), 0.1))
+
+    tar_path = tmp_path / "tiny_pack.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(src, arcname="tiny_pack")
+    return tar_path
+
+
+def test_download_and_port_end_to_end(ref_models, tmp_path, monkeypatch):
+    import threading
+    from functools import partial
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    import tarfile
+
+    from ensemble_svs_with_interactions_tpu import pretrained
+
+    tarball = _build_torch_pack_tarball(ref_models, tmp_path)
+    (tmp_path / "bad.tar.gz").write_bytes(b"this is not a gzip stream")
+
+    handler = partial(SimpleHTTPRequestHandler, directory=str(tmp_path))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    cache = tmp_path / "cache"
+    monkeypatch.setattr(pretrained, "DEFAULT_CACHE_DIR", cache)
+    name = "testorg/tiny_dl"
+    try:
+        # corrupt tarball: the failure must clean every staging artifact
+        monkeypatch.setitem(
+            pretrained.model_registry, name,
+            {"url": f"{base}/bad.tar.gz", "_target_": None, "format": "torch"},
+        )
+        with pytest.raises(tarfile.ReadError):
+            pretrained.retrieve_pretrained_model(name)
+        leftovers = sorted(p.name for p in cache.iterdir())
+        assert leftovers == [], leftovers
+        assert not pretrained.is_pretrained_model_ready(name)
+
+        # missing file: urlretrieve's HTTPError must clean up too
+        monkeypatch.setitem(
+            pretrained.model_registry, name,
+            {"url": f"{base}/nope.tar.gz", "_target_": None, "format": "torch"},
+        )
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            pretrained.retrieve_pretrained_model(name)
+        assert sorted(p.name for p in cache.iterdir()) == []
+
+        # the real pack: download -> extract -> torch->flax port -> install
+        monkeypatch.setitem(
+            pretrained.model_registry, name,
+            {"url": f"{base}/tiny_pack.tar.gz", "_target_": None,
+             "format": "torch"},
+        )
+        out = pretrained.retrieve_pretrained_model(name)
+        assert out == cache / "testorg_tiny_dl"
+        assert (out / "config.yaml").exists()
+        assert (out / "acoustic_model.params").exists()
+        assert not list(cache.glob("*.partial"))
+        assert pretrained.is_pretrained_model_ready(name)
+        # second retrieve resolves from cache (kill the server to prove it)
+        server.shutdown()
+        assert pretrained.retrieve_pretrained_model(name) == out
+
+        # and the ported pack actually sings
+        from ensemble_svs_with_interactions_tpu.io import hts
+        from ensemble_svs_with_interactions_tpu.svs import SPSVS
+
+        labels = hts.load(
+            "/root/reference/tests/data/nitech_jp_song070_f001_004.lab"
+        )
+        n = next(i for i, e in enumerate(labels.end_times) if e > 4e7)
+        engine = SPSVS(out)
+        wav, sr = engine.svs(labels[: max(n, 10)], vocoder_type="world")
+        assert sr == 24000
+        assert np.abs(wav.astype(np.int64)).max() > 0
+    finally:
+        server.shutdown()
