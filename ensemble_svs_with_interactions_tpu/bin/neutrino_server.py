@@ -5,7 +5,14 @@ app with model registry, label upload, timing / acoustic / waveform
 endpoints).  fastapi is not available in this environment, so the server is
 built on the stdlib http.server with the same JSON API surface:
 
+  GET  /healthcheck                 liveness probe -> {healthcheck: "OK"}
   GET  /models                      list packed models under --model-root
+  GET  /models/{id}                 model info -> {config, repr}
+  POST /models/create {model_id, pack}      install an uploaded pack
+        (base64 tar.gz of a packed-model dir, nested dir flattened —
+        the reference server's UploadFile endpoint, server.py:97-115)
+  POST /phrases   {model, name | labels[, timing_labels]}
+        -> {phraselist, num_phrases}  (reference /run/phrases)
   POST /timing    {model, labels[, name]}   -> {timing_labels, name}
         stores the FULL labels server-side under ``name`` (default: a
         content hash), like the reference's score upload + /run/timing
@@ -132,16 +139,75 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         try:
-            if self.path == "/models":
+            if self.path == "/healthcheck":
+                # reference server.py:68-70
+                self._json({"healthcheck": "OK"})
+            elif self.path == "/models":
                 models = sorted(
                     p.name for p in _MODEL_ROOT.iterdir()
                     if (p / "config.yaml").exists()
                 )
                 self._json({"models": models})
+            elif self.path.startswith("/models/"):
+                # model info (reference server.py:84-95): the packed
+                # config plus the engine repr (loads + caches the engine)
+                name = self.path[len("/models/"):]
+                engine = _engine(name)
+                import yaml
+
+                config = yaml.safe_load(
+                    (_MODEL_ROOT / name / "config.yaml").read_text()
+                )
+                self._json({"config": config, "repr": repr(engine)})
             else:
                 self._json({"error": "not found"}, 404)
+        except FileNotFoundError as e:
+            self._json({"error": str(e)}, 404)
         except Exception as e:  # same JSON error envelope as do_POST
             self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+    def _create_model(self, req):
+        """Install an uploaded packed-model tarball under the model root
+        (reference server.py:97-115, UploadFile -> JSON base64 here).
+        A single nested directory is flattened, so ``tar czf pack.tar.gz
+        mymodel/`` round-trips to ``model_root/<model_id>/config.yaml``."""
+        import io
+        import shutil
+        import tarfile
+
+        model_id = req["model_id"]
+        if "/" in model_id or "\\" in model_id or model_id in ("", ".", ".."):
+            raise ValueError(f"invalid model_id: {model_id!r}")
+        data = base64.b64decode(req["pack"])
+        model_dir = _MODEL_ROOT / model_id
+        staging = _MODEL_ROOT / f"{model_id}.partial"
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            staging.mkdir(parents=True)
+            with tarfile.open(fileobj=io.BytesIO(data), mode="r:gz") as tf:
+                # filter="data" rejects path-traversal members
+                tf.extractall(staging, filter="data")
+            entries = list(staging.iterdir())
+            if len(entries) == 1 and entries[0].is_dir():
+                src = entries[0]
+            else:
+                src = staging
+            if not (src / "config.yaml").exists():
+                raise ValueError("pack has no config.yaml")
+            if model_dir.exists():
+                shutil.rmtree(model_dir)
+            if src is staging:
+                staging.rename(model_dir)
+            else:
+                src.rename(model_dir)
+                shutil.rmtree(staging, ignore_errors=True)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        # a re-upload must evict any previously cached engine for the id
+        with _LOCK:
+            _ENGINES.pop(model_id, None)
+        self._json({"model_id": model_id})
 
     def _full_labels(self, req):
         """FULL labels from the request or the score store — timing labels
@@ -171,8 +237,27 @@ class Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         try:
             req = json.loads(self.rfile.read(length))
+            if self.path == "/models/create":
+                return self._create_model(req)
             engine = _engine(req["model"])
-            if self.path == "/timing":
+            if self.path == "/phrases":
+                # reference /run/phrases (server.py:195-223): enumerate
+                # the phraselist + phrase count for per-phrase synthesis
+                full = self._full_labels(req)
+                if full is None:
+                    return
+                timing = (
+                    hts.loads(req["timing_labels"])
+                    if req.get("timing_labels")
+                    else engine.predict_timing(full)
+                )
+                self._json(
+                    {
+                        "phraselist": engine.get_phraselist(full, timing),
+                        "num_phrases": engine.get_num_phrases(full),
+                    }
+                )
+            elif self.path == "/timing":
                 # score input: full labels, MusicXML text, or UST text
                 # (reference compat server: /score/musicxml/upload +
                 # /score/ust/upload endpoints, server.py:134-171)

@@ -440,3 +440,77 @@ def test_neutrino_server_concurrent_engine_load(monkeypatch, packed):
     assert not errs
     assert len(calls) == 1  # built exactly once
     assert all(e is out[0] for e in out)
+
+
+def test_neutrino_server_mgmt_endpoints(packed, short_lab, tmp_path):
+    """Endpoint parity with the reference server (server.py:68-223):
+    /healthcheck, /models/{id} info, /models/create upload, /phrases."""
+    import base64
+    import tarfile
+    from http.server import ThreadingHTTPServer
+
+    from ensemble_svs_with_interactions_tpu.bin import neutrino_server as srv
+
+    root = tmp_path / "models"
+    root.mkdir()
+    srv._MODEL_ROOT = root
+    server = ThreadingHTTPServer(("127.0.0.1", 0), srv.Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(path, obj, expect_error=None):
+        req = urllib.request.Request(
+            f"{base}{path}", json.dumps(obj).encode(),
+            {"Content-Type": "application/json"},
+        )
+        if expect_error is not None:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == expect_error
+            return None
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(f"{base}/healthcheck") as r:
+            assert json.loads(r.read()) == {"healthcheck": "OK"}
+
+        # empty root: nothing listed, info is a 404
+        with urllib.request.urlopen(f"{base}/models") as r:
+            assert json.loads(r.read())["models"] == []
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/models/ghost")
+        assert exc.value.code == 404
+
+        # upload the packed model as a nested tar.gz
+        tarball = tmp_path / "pack.tar.gz"
+        with tarfile.open(tarball, "w:gz") as tf:
+            tf.add(packed, arcname="uploaded_voice")
+        pack_b64 = base64.b64encode(tarball.read_bytes()).decode()
+        out = post("/models/create", {"model_id": "voice1", "pack": pack_b64})
+        assert out == {"model_id": "voice1"}
+        assert (root / "voice1" / "config.yaml").exists()
+        assert not list(root.glob("*.partial"))
+        with urllib.request.urlopen(f"{base}/models") as r:
+            assert json.loads(r.read())["models"] == ["voice1"]
+
+        # path-traversal and junk ids are rejected without touching disk
+        post("/models/create", {"model_id": "../evil", "pack": pack_b64},
+             expect_error=500)
+        post("/models/create", {"model_id": "bad", "pack": base64.b64encode(
+            b"not a tarball").decode()}, expect_error=500)
+        assert sorted(p.name for p in root.iterdir()) == ["voice1"]
+
+        # model info returns the packed config
+        with urllib.request.urlopen(f"{base}/models/voice1") as r:
+            info = json.loads(r.read())
+        assert info["config"]["sample_rate"] == SR
+        assert "repr" in info
+
+        # /phrases enumerates the phraselist for the uploaded model
+        out = post("/phrases", {"model": "voice1",
+                                "labels": short_lab.read_text()})
+        assert out["num_phrases"] >= 1
+        assert isinstance(out["phraselist"], str) and out["phraselist"]
+    finally:
+        server.shutdown()
