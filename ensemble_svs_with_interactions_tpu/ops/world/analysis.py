@@ -209,6 +209,92 @@ def dio(
     return f0, t
 
 
+def _interval_candidates(
+    x: np.ndarray,
+    fs: int,
+    centers: np.ndarray,
+    f0_floor: float,
+    f0_ceil: float,
+    channels_per_octave: float = 2.0,
+):
+    """Harvest-style candidate-interval F0 estimates (WORLD harvest.cpp's
+    GetRawF0Candidates redesigned vectorized).
+
+    For each log-spaced boundary frequency the signal is band-limited by a
+    smooth FFT low-pass (DC blocked); four event-interval tracks — rising
+    and falling zero crossings, peaks and dips (zero crossings of the
+    derivative) — each yield an instantaneous-F0 track.  Where the four
+    agree the channel contributes a candidate whose score falls with the
+    relative deviation between the four estimates.  Unlike the NCCF front
+    end, this keeps recall on irregular glottal excitation (creak /
+    diplophonia, strong amplitude jitter): the band-limited fundamental
+    still crosses zero regularly when fine-structure correlation at one
+    period has collapsed.
+
+    Returns (cand (T, C), score (T, C)); empty channels score 0.
+    """
+    T = len(centers)
+    t_frames = centers / fs
+    n_oct = np.log2(f0_ceil / f0_floor)
+    n_ch = max(1, int(np.ceil(n_oct * channels_per_octave)) + 1)
+    bfs = f0_floor * 2.0 ** (np.arange(1, n_ch + 1) / channels_per_octave)
+
+    nfft = 1 << int(np.ceil(np.log2(max(len(x), 2))))
+    X = np.fft.rfft(x, nfft)
+    freqs = np.arange(len(X)) * fs / nfft
+    global_peak = max(np.abs(x).max(), _EPS)
+
+    cands = np.zeros((T, n_ch))
+    scores = np.zeros((T, n_ch))
+    from scipy.ndimage import maximum_filter1d
+
+    for ci, bf in enumerate(bfs):
+        # raised-cosine low-pass: unity below 0.7*bf, zero above 1.6*bf,
+        # with a DC-blocking ramp below half the floor
+        tr = np.clip((freqs - 0.7 * bf) / (0.9 * bf), 0.0, 1.0)
+        H = 0.5 + 0.5 * np.cos(np.pi * tr)
+        H *= np.clip(freqs / (0.5 * f0_floor), 0.0, 1.0)
+        y = np.fft.irfft(X * H, nfft)[: len(x)]
+        dy = np.diff(y, append=y[-1])
+
+        ests = np.full((T, 4), np.nan)
+        t_lo, t_hi = np.inf, -np.inf
+        for ei, sig in enumerate((y, -y, dy, -dy)):
+            rises = np.where((sig[:-1] < 0) & (sig[1:] >= 0))[0]
+            if len(rises) < 3:
+                continue
+            denom = sig[rises + 1] - sig[rises]
+            frac = np.where(np.abs(denom) > _EPS, -sig[rises] / denom, 0.5)
+            tz = (rises + frac) / fs
+            f = 1.0 / np.maximum(np.diff(tz), _EPS)
+            tm = 0.5 * (tz[1:] + tz[:-1])
+            ests[:, ei] = np.interp(t_frames, tm, f)
+            t_lo, t_hi = min(t_lo, tm[0]), max(t_hi, tm[-1])
+
+        if np.isnan(ests).any():
+            continue
+        mean = ests.mean(axis=1)
+        dev = np.sqrt(((ests - mean[:, None]) ** 2).mean(axis=1)) / np.maximum(
+            mean, _EPS
+        )
+        score = np.clip(1.0 - 12.0 * dev, 0.0, 1.0)
+        # a channel only sees its own fundamental: estimates far from the
+        # band edge are aliases of harmonics / subharmonic mixtures
+        ok = (
+            (mean >= max(f0_floor, bf / 3.0))
+            & (mean <= min(f0_ceil, 1.2 * bf))
+            & (t_frames >= t_lo)
+            & (t_frames <= t_hi)
+        )
+        # amplitude gate: the band-limited component must carry real energy
+        env = maximum_filter1d(np.abs(y), size=max(3, int(fs / bf)))
+        amp = env[np.clip(centers, 0, len(y) - 1)]
+        ok &= amp > 5e-3 * global_peak
+        cands[:, ci] = np.where(ok, mean, f0_floor)
+        scores[:, ci] = np.where(ok, score, 0.0)
+    return cands, scores
+
+
 def harvest(
     x, fs, frame_period: float = 5.0, f0_floor: float = 71.0, f0_ceil: float = 800.0
 ):
@@ -216,11 +302,13 @@ def harvest(
     refined contours.
 
     Mirrors the structure of WORLD's Harvest (pyworld call site:
-    /root/reference/nnsvs/data/data_source.py:339-349) on top of the shared
-    NCCF candidate front end:
-      1. candidate generation + DP tracking with a LAX voicing gate
-         (Harvest favors recall; unvoiced detection is left to
-         aperiodicity downstream);
+    /root/reference/nnsvs/data/data_source.py:339-349):
+      1. TWO candidate sources feed one DP tracker with a LAX voicing
+         gate (Harvest favors recall): the NCCF front end shared with
+         :func:`dio`, plus Harvest's candidate-interval estimates
+         (:func:`_interval_candidates` — per-channel zero-crossing/peak/
+         dip interval consistency, the machinery that keeps recall on
+         creak/diplophonia where one-period correlation collapses);
       2. per-frame instantaneous-frequency refinement of the selected
          contour (Harvest's GetRefinedF0);
       3. contour fixing: short unvoiced gaps (< 50 ms) between voiced
@@ -228,10 +316,24 @@ def harvest(
          log-linear interpolation (Harvest's FixF0Contour connection step).
     """
     x = np.asarray(x, dtype=np.float64)
-    f0, t = dio(
-        x, fs, frame_period, f0_floor, f0_ceil, voicing_threshold=0.45
-    )
+    t = _frame_positions(len(x), fs, frame_period)
     centers = np.rint(t * fs).astype(np.int64)
+
+    f0_cand, score, energy = _nccf_candidates(
+        x, fs, centers, f0_floor, f0_ceil, 5
+    )
+    icand, iscore = _interval_candidates(x, fs, centers, f0_floor, f0_ceil)
+    f0_cand = np.concatenate([f0_cand, icand], axis=1)
+    score = np.concatenate([score, iscore], axis=1)
+    score = np.where(energy[:, None] > 1e-8, score, 0.0)
+    f0 = _viterbi_track(f0_cand, score, voicing_threshold=0.45)
+
+    # residual octave-error suppression (same post-pass as dio)
+    lf0 = np.where(f0 > 0, np.log(np.maximum(f0, _EPS)), 0.0)
+    med = median_filter(lf0, size=5, mode="nearest")
+    bad = (f0 > 0) & (np.abs(lf0 - med) > np.log(1.8)) & (med > 0)
+    f0 = np.where(bad, np.exp(med), f0)
+    f0 = np.where((f0 >= f0_floor) & (f0 <= f0_ceil), f0, 0.0)
     voiced = f0 > 0
     if voiced.any():
         est = _refine_f0_if(x, np.where(voiced, f0, DEFAULT_F0), centers, fs)

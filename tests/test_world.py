@@ -599,3 +599,114 @@ def test_synthesize_time_sharded_matches_single_device():
     )
     assert snr > 40.0, snr
     assert np.abs(ref - out).max() < 1e-2 * peak
+
+
+def test_harvest_creaky_period_doubling():
+    """Diplophonic creak: a ~70 Hz pulse train with period doubling
+    (alternate periods ±15%), 30% amplitude jitter and 3% timing jitter.
+    Fine-structure correlation at one period collapses, so the NCCF front
+    end alone drops to <10% recall here — harvest's candidate-interval
+    channels (zero-crossing/peak/dip consistency on the band-limited
+    fundamental) must keep recall high and the track must stay at a
+    defensible periodicity: the nominal rate, its half (the true pair
+    period), or the short-period rate."""
+    fs = FS
+    rng = np.random.default_rng(3)
+    rate = 70.0
+    tpos = []
+    t = 0.1
+    k = 0
+    while t < 1.2:
+        p = (1 / rate) * (1.15 if k % 2 == 0 else 0.85)
+        p *= 1 + 0.03 * rng.standard_normal()
+        tpos.append(t)
+        t += p
+        k += 1
+    x = np.zeros(int(1.4 * fs))
+    for tp in tpos:
+        i = int(tp * fs)
+        amp = 0.5 * (1 + 0.3 * rng.standard_normal())
+        n = np.arange(min(400, len(x) - i))
+        x[i : i + len(n)] += (
+            amp * np.exp(-n / (0.004 * fs)) * np.sin(2 * np.pi * 500 * n / fs)
+        )
+    x += 0.005 * rng.standard_normal(len(x))
+
+    f0, tt = world.harvest(x, fs, f0_floor=40, f0_ceil=400)
+    creak = (tt > 0.15) & (tt < 1.1)
+    v = f0[creak] > 0
+    assert v.mean() > 0.8  # high recall despite the irregular excitation
+    vals = f0[creak][v]
+    plausible = np.stack(
+        [1200 * np.abs(np.log2(vals / f)) for f in (rate / 2, rate, rate / 0.85)]
+    ).min(axis=0)
+    assert np.median(plausible) < 100
+    assert (plausible < 350).mean() > 0.9  # no formant/wild locks
+    # surrounding silence stays unvoiced
+    assert (f0[tt < 0.08] == 0).all()
+    assert (f0[tt > 1.3] == 0).mean() > 0.9
+
+
+def test_harvest_rapid_note_transitions():
+    """A fast run of 100 ms notes stepping 1-5 semitones: each note's
+    interior must be pinned within a few cents and the tracker must not
+    smear pitch across note boundaries."""
+    fs = FS
+    notes = [220.0]
+    for step in (2, 3, -1, 4, -2, 5, -3, 2, -4, 1):
+        notes.append(notes[-1] * 2 ** (step / 12))
+    dur = 0.10
+    t = np.arange(int(len(notes) * dur * fs)) / fs
+    f_inst = np.zeros(len(t))
+    for i, f in enumerate(notes):
+        f_inst[(t >= i * dur) & (t < (i + 1) * dur)] = f
+    phase = 2 * np.pi * np.cumsum(f_inst) / fs
+    x = 0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase) + 0.1 * np.sin(3 * phase)
+
+    f0, tf = world.harvest(x, fs, f0_floor=100, f0_ceil=700)
+    for i, f in enumerate(notes):
+        inner = (tf >= i * dur + 0.03) & (tf < (i + 1) * dur - 0.03)
+        v = (f0 > 0) & inner
+        assert v.sum() > 0, f"note {i} fully unvoiced"
+        cents = 1200 * np.abs(np.log2(f0[v] / f))
+        assert np.median(cents) < 20, f"note {i}: {np.median(cents):.1f} cents"
+        assert (cents > 150).mean() == 0.0, f"note {i} smeared across boundary"
+
+
+def test_harvest_consonant_transient():
+    """Vowel at 220 Hz, a stop consonant (5 ms broadband click + 55 ms
+    aspiration noise), vowel at 330 Hz: the transient must stay mostly
+    unvoiced with no wild F0, the 7-semitone step must NOT be bridged
+    (endpoints disagree by more than a semitone), and both vowels must be
+    pinned tight."""
+    fs = FS
+    rng = np.random.default_rng(4)
+
+    def vowel(f0v, dur):
+        tt = np.arange(int(dur * fs)) / fs
+        ph = 2 * np.pi * f0v * tt
+        return 0.4 * np.sin(ph) + 0.2 * np.sin(2 * ph) + 0.1 * np.sin(3 * ph)
+
+    click = int(0.005 * fs)
+    burst = np.concatenate(
+        [
+            0.8 * rng.standard_normal(click),
+            0.12 * rng.standard_normal(int(0.06 * fs) - click),
+        ]
+    )
+    x = np.concatenate([vowel(220.0, 0.4), burst, vowel(330.0, 0.4)])
+    x += 0.003 * rng.standard_normal(len(x))
+
+    f0, tc = world.harvest(x, fs, f0_floor=100, f0_ceil=700)
+    mid = (tc >= 0.40) & (tc < 0.46)
+    voiced_mid = f0[mid] > 0
+    assert voiced_mid.mean() < 0.35  # edge frames may straddle the vowels
+    if voiced_mid.any():
+        # any voiced frame inside the transient must sit between the two
+        # vowel pitches (window overlap), never at a burst artifact
+        assert ((f0[mid][voiced_mid] > 200) & (f0[mid][voiced_mid] < 350)).all()
+    v1 = (tc > 0.05) & (tc < 0.35) & (f0 > 0)
+    v2 = (tc > 0.51) & (tc < 0.81) & (f0 > 0)
+    assert v1.mean() > 0.2 and v2.mean() > 0.2
+    assert np.median(1200 * np.abs(np.log2(f0[v1] / 220.0))) < 10
+    assert np.median(1200 * np.abs(np.log2(f0[v2] / 330.0))) < 10
