@@ -302,6 +302,17 @@ def main():
         audio_seconds = len(wavs[0]) / engine.sample_rate
         rtf = elapsed / audio_seconds
 
+        # one extra instrumented run: block after each device stage so the
+        # JSON carries honest per-stage device attribution next to the
+        # dispatch-labelled production numbers (overlap destroyed, so this
+        # run is excluded from the RTF median)
+        engine.svs_ensemble(
+            [labels.copy() for _ in range(n_tracks)],
+            spk_ids=spk_ids,
+            blocked_stage_times=True,
+        )
+        stages_blocked = dict(engine.last_stage_times)
+
     result = {
         "metric": "rtf_4part_flagship_multitrack_48k",
         "value": round(rtf, 5),
@@ -312,6 +323,9 @@ def main():
         "all_runs_sec": [round(t, 3) for t in times],
         "stages_sec": {
             k: round(v, 3) for k, v in stage_times[order].items()
+        },
+        "stages_blocked_sec": {
+            k: round(v, 3) for k, v in stages_blocked.items()
         },
     }
     print(json.dumps(result))
