@@ -534,6 +534,10 @@ def stage9_train_postfilter(cfg, work):
 
     pf = cfg.get("postfilter", None)
     pf = dict(pf) if pf else {}
+    if pf.get("model_config") and not pf.get("model"):
+        raise FileNotFoundError(
+            f"postfilter.model_config not found: {pf['model_config']}"
+        )
     model_cfg = pf.get("model") or {
         "netG": {
             "_target_": (
@@ -620,6 +624,10 @@ def stage10_train_vocoder(cfg, work):
         logger.info("stage 10: no cfg.vocoder section, skipping")
         return
     voc = dict(voc)
+    if voc.get("model_config") and not voc.get("model"):
+        raise FileNotFoundError(
+            f"vocoder.model_config not found: {voc['model_config']}"
+        )
 
     ac_params = dict(cfg.features.acoustic.params)
     acoustic_cfg = _train_cfg(cfg, work, "acoustic")
@@ -730,6 +738,52 @@ STAGES = {
 }
 
 
+def _materialize_packaged_configs(cfg, recipe_dir: Path):
+    """Resolve recipe-relative model-config references.
+
+    Packaged recipes (``ensemble_svs_with_interactions_tpu/recipes/*/
+    config.yaml``) point at the package's model YAMLs with paths relative
+    to the recipe file — the same conf/ indirection the reference
+    recipes use (reference config.yaml ``timelag_model``/``acoustic_model``
+    names resolved under the recipe dir).  ``postfilter.model_config`` /
+    ``vocoder.model_config`` paths are loaded here and expanded into the
+    inline sections the stages consume (the recipe's own ``train``/``data``
+    keys override the loaded defaults)."""
+
+    def resolve(p):
+        path = Path(p)
+        if not path.is_absolute() and not path.exists():
+            cand = recipe_dir / path
+            if cand.exists():
+                return str(cand)
+        return str(path)
+
+    for section in ("timelag", "duration", "acoustic", "postfilter", "vocoder"):
+        sec = cfg.get(section, None)
+        if sec and sec.get("model_config"):
+            sec["model_config"] = resolve(sec["model_config"])
+    # postfilter/vocoder stages are opt-in (--stop-stage >= 8): expand
+    # their model_config references lazily so a recipe that stops at
+    # stage 7 never needs those files present
+    pf = cfg.get("postfilter", None)
+    if pf and pf.get("model_config") and not pf.get("model"):
+        if Path(pf["model_config"]).exists():
+            loaded = load_config(pf["model_config"])
+            pf["model"] = Config(
+                {k: loaded[k] for k in ("netG", "netD") if k in loaded}
+            )
+    voc = cfg.get("vocoder", None)
+    if voc and voc.get("model_config"):
+        if Path(voc["model_config"]).exists():
+            loaded = load_config(voc["model_config"])
+            # packaged vocoder YAMLs are full train_vocoder configs: lift
+            # their model/train/data as section defaults
+            for key in ("model", "train", "data"):
+                if key in loaded:
+                    voc[key] = merge(loaded[key], voc.get(key, {}) or {})
+    return cfg
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config")
@@ -741,6 +795,9 @@ def main(argv=None):
     cfg = load_config(args.config)
     if args.overrides:
         cfg = merge(cfg, parse_overrides(args.overrides))
+    cfg = _materialize_packaged_configs(
+        cfg, Path(args.config).parent.resolve()
+    )
     work = Path(cfg.work_dir)
     work.mkdir(parents=True, exist_ok=True)
 

@@ -205,6 +205,10 @@ class WORLDAcousticSource(FileDataSource):
         # accepted for reference-config compatibility: resampling here is
         # always scipy polyphase (reference librosa res_type knob)
         res_type: str = "scipy",
+        # accepted for reference-config compatibility (prepare_features
+        # acoustic params carry it); this source IS the world extractor —
+        # mel-F0 features go through MelF0AcousticSource
+        feature_type: str = "world",
         # accepted so acoustic.params can carry the mode (consumed by the
         # frame-level linguistic featurization in bin/prepare_features and
         # packed into the engine config by run_recipe; the internal
@@ -212,6 +216,11 @@ class WORLDAcousticSource(FileDataSource):
         subphone_features: Optional[str] = "coarse_coding",
         mcep_aperiodicity_order: int = 24,
     ):
+        if feature_type != "world":
+            raise ValueError(
+                f"WORLDAcousticSource extracts WORLD features; got "
+                f"feature_type={feature_type!r} (use the MelF0 source)"
+            )
         self.utt_list = utt_list
         self.wav_root = wav_root
         self.label_root = label_root

@@ -41,3 +41,63 @@ def reference_data_dir():
     if not REFERENCE_DATA_DIR.exists():
         pytest.skip("reference fixture data not available")
     return REFERENCE_DATA_DIR
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound accumulated XLA-CPU compiler state.
+
+    A single long pytest process accumulates hundreds of compiled
+    executables; around ~275 tests in, the XLA CPU compiler can segfault
+    inside backend_compile_and_load (known long-process failure, see
+    CLAUDE.md). Dropping the in-memory executable caches after every test
+    module keeps the process well inside the stable regime; modules
+    recompile what they need (cross-module jit sharing was minimal)."""
+    yield
+    jax.clear_caches()
+
+
+def pytest_collection_modifyitems(config, items):
+    """`@pytest.mark.isolate`: run the test in a fresh subprocess.
+
+    For tests whose differentiated-graph compiles are big enough to
+    destabilize a long-lived XLA CPU process (the proven
+    _USFGAN_LOSS_DRIVE pattern, generalized). The in-process body is
+    replaced by a `pytest <nodeid>` child invocation; failures propagate
+    with the child's output."""
+    if os.environ.get("ESVS_IN_ISOLATION") == "1":
+        return
+    for item in items:
+        if item.get_closest_marker("isolate"):
+            item.obj = _make_isolated_runner(item.nodeid)
+
+
+def _make_isolated_runner(nodeid: str):
+    def run_isolated(**_fixtures):
+        import subprocess
+        import sys
+
+        env = dict(os.environ, ESVS_IN_ISOLATION="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "--no-header", nodeid],
+            cwd=str(pathlib.Path(__file__).parent.parent),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        if r.returncode != 0:
+            raise AssertionError(
+                f"isolated subprocess for {nodeid} failed "
+                f"(exit {r.returncode}):\n{r.stdout}\n{r.stderr}"
+            )
+
+    return run_isolated
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "isolate: run this test in a fresh pytest subprocess "
+        "(big XLA CPU compiles destabilize long processes)",
+    )

@@ -898,6 +898,7 @@ def test_port_transformer_encoder(ref_models):
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-5)
 
 
+@pytest.mark.isolate  # big attention compile; crashed the long process at ~275 tests
 @pytest.mark.parametrize("reduction_factor", [1, 4])
 def test_port_fftblocks_encoder(ref_models, reduction_factor):
     """fs2 FFT-block encoder parity: reversed positional encoding with
