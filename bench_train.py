@@ -39,7 +39,14 @@ from bench import _enable_compilation_cache, _probe_accelerator, flagship_acoust
 IN_DIM = 86
 
 
-def run(batch: int, frames: int, steps: int, netg_override=None):
+# v5e (v5 lite) MXU peak: 197 TFLOP/s bf16 (f32 matmuls also execute on
+# the bf16 MXU via multi-pass, so one bf16-peak denominator keeps the two
+# A/B arms comparable; the JSON labels the convention).
+V5E_PEAK_FLOPS = 197e12
+
+
+def run(batch: int, frames: int, steps: int, netg_override=None,
+        use_amp: bool = False, donate: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -79,6 +86,8 @@ def run(batch: int, frames: int, steps: int, netg_override=None):
         {"stream_sizes": list(ss)},
         pitch_reg_weight=1.0,
         sub_require_grad=True,
+        use_amp=use_amp,
+        donate=donate,
     )
     state = {
         "params": variables["params"],
@@ -101,6 +110,20 @@ def run(batch: int, frames: int, steps: int, netg_override=None):
     weights = {"logf0_diff": jnp.asarray(1.0), "mgc_diff": jnp.asarray(1.0)}
     key = jax.random.PRNGKey(0)
 
+    # per-step XLA FLOPs from the compiled executable's cost analysis.
+    # Lower/compile BEFORE warmup: with donation enabled a donated `state`
+    # cannot be reused, and the persistent compilation cache makes the
+    # warmup call below a cache hit for the same HLO.
+    flops_per_step = None
+    try:
+        cost = train_step.lower(state, sharded, weights, key).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            flops_per_step = float(ca["flops"])
+    except Exception:
+        pass  # cost analysis is best-effort (older jax / backend quirks)
+
     # warmup: compile + one real step
     for i in range(2):
         key, sk = jax.random.split(key)
@@ -108,21 +131,35 @@ def run(batch: int, frames: int, steps: int, netg_override=None):
     loss0 = float(metrics["Loss"])
     assert np.isfinite(loss0), f"non-finite warmup loss: {loss0}"
 
-    t0 = time.time()
+    # per-step wall times (blocked): median separates tunnel outliers
+    step_times = []
     for _ in range(steps):
         key, sk = jax.random.split(key)
+        t0 = time.time()
         state, metrics = train_step(state, sharded, weights, sk)
-    jax.block_until_ready(state["params"])
-    elapsed = time.time() - t0
+        jax.block_until_ready(metrics["Loss"])
+        step_times.append(time.time() - t0)
+    median_step = float(np.median(step_times))
 
-    return {
-        "steps_per_sec": steps / elapsed,
-        "frames_per_sec": steps * B * T / elapsed,
+    out = {
+        "steps_per_sec": 1.0 / median_step,
+        "frames_per_sec": B * T / median_step,
+        "median_step_sec": median_step,
+        "all_step_sec": [round(t, 4) for t in step_times],
         "batch_pairs": B,
         "frames_per_batch": B * T,
         "n_devices": n_dev,
+        "use_amp": use_amp,
+        "donate": donate,
         "final_loss": float(metrics["Loss"]),
     }
+    if flops_per_step is not None:
+        out["flops_per_step"] = flops_per_step
+        out["tflops_per_sec"] = flops_per_step / median_step / 1e12
+        out["mfu_vs_v5e_bf16_peak"] = (
+            flops_per_step / median_step / V5E_PEAK_FLOPS
+        )
+    return out
 
 
 def main(argv=None):
@@ -130,6 +167,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=2048)
+    p.add_argument("--amp", action="store_true", help="bf16 fwd/bwd (use_amp)")
+    p.add_argument("--no-donate", action="store_true",
+                   help="disable state donation (A/B)")
+    p.add_argument("--ab", action="store_true",
+                   help="run the f32/amp and donate/no-donate A/B matrix")
+    p.add_argument("--out", default=None,
+                   help="also write the JSON to this path (BENCH_TRAIN.json)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU-sized smoke run (tiny dims, 2 steps)")
     args = p.parse_args(argv)
@@ -152,19 +196,42 @@ def main(argv=None):
             {"netG": ge._flagship_netg(), "stream_sizes": ge.STREAM_SIZES},
             ge.STREAM_SIZES,
         )
-        stats = run(batch=2, frames=64, steps=2, netg_override=netg)
+        stats = run(batch=2, frames=64, steps=2, netg_override=netg,
+                    use_amp=args.amp, donate=not args.no_donate)
+    elif args.ab:
+        # A/B matrix at recipe dims: measure what use_amp and donation buy
+        arms = {}
+        for name, amp, donate in (
+            ("f32_donate", False, True),
+            ("amp_donate", True, True),
+            ("amp_no_donate", True, False),
+        ):
+            arms[name] = run(args.batch, args.frames, args.steps,
+                             use_amp=amp, donate=donate)
+        stats = dict(arms["amp_donate"])
+        stats["ab"] = {
+            name: {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in arm.items() if k != "all_step_sec"}
+            for name, arm in arms.items()
+        }
     else:
-        stats = run(args.batch, args.frames, args.steps)
+        stats = run(args.batch, args.frames, args.steps,
+                    use_amp=args.amp, donate=not args.no_donate)
 
     result = {
         "metric": "train_frames_per_sec_flagship_multitrack",
         "value": round(stats["frames_per_sec"], 1),
         "unit": "frames/s",
         "backend": backend,
+        "peak_convention": "v5e bf16 MXU peak 197 TFLOP/s",
         **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in stats.items() if k != "frames_per_sec"},
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
     return 0
 
 

@@ -31,6 +31,7 @@ fft_size, hop).  Callers should pad frame counts to buckets.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -267,8 +268,17 @@ def synthesize_from_streams(
     vuv_threshold: float = 0.5,
     key=None,
     highpass_cutoff: float = 0.0,
+    fft_size: int | None = None,
 ):
-    """Batched coded-stream synthesis.  Accepts (T, D) or (B, T, D)."""
+    """Batched coded-stream synthesis.  Accepts (T, D) or (B, T, D).
+
+    ``fft_size`` sets the synthesis working resolution (min-phase IR
+    length == convolution FFT length == decoded-envelope bins).  Default
+    is CheapTrick's analysis size (2048 at 48 kHz); the coded streams are
+    resolution-independent, so decoding onto a smaller axis trades
+    envelope detail for FFT work.  ``ESVS_VOCODER_FFT_SIZE`` overrides
+    (A/B'd against an SNR bound — see tests/test_world.py and
+    docs/performance.md)."""
     single = jnp.ndim(mgc) == 2
     arrs = [jnp.asarray(a, jnp.float32) for a in (mgc, lf0, vuv, bap)]
     if single:
@@ -279,7 +289,14 @@ def synthesize_from_streams(
         get_cheaptrick_fft_size,
     )
 
-    fft_size = get_cheaptrick_fft_size(fs)
+    if fft_size is None:
+        env = os.environ.get("ESVS_VOCODER_FFT_SIZE")
+        fft_size = int(env) if env else get_cheaptrick_fft_size(fs)
+    if fft_size < 4 * hop:
+        raise ValueError(
+            f"fft_size {fft_size} too small for hop {hop}: the circular "
+            "convolution tail would wrap audibly (need >= 4*hop)"
+        )
     B, T = lf0.shape[0], lf0.shape[1]
     if key is None:
         key = jax.random.PRNGKey(0)

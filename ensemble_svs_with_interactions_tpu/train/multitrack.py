@@ -159,6 +159,7 @@ def create_multitrack_acoustic_train_step(
     pitch_reg_weight: float = 1.0,
     sub_require_grad: bool = True,
     use_amp: bool = False,
+    donate: bool = True,
 ):
     """Jitted train/eval step for the multitrack acoustic model.
 
@@ -312,8 +313,12 @@ def create_multitrack_acoustic_train_step(
             aux["pred_main"],
         )
 
-    # state donated: buffers reused in place (see train/loop.py)
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+    # state donated: buffers reused in place (see train/loop.py);
+    # donate=False exists for the training benchmark's donation A/B
+    return (
+        jax.jit(train_step, donate_argnums=(0,) if donate else ()),
+        jax.jit(eval_step),
+    )
 
 
 def create_multitrack_timing_train_step(

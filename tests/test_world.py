@@ -710,3 +710,53 @@ def test_harvest_consonant_transient():
     assert v1.mean() > 0.2 and v2.mean() > 0.2
     assert np.median(1200 * np.abs(np.log2(f0[v1] / 220.0))) < 10
     assert np.median(1200 * np.abs(np.log2(f0[v2] / 330.0))) < 10
+
+
+def test_vocoder_fft_size_override_snr():
+    """Synthesis working resolution (min-phase IR length == conv FFT ==
+    decoded-envelope bins) is overridable; the coded streams are
+    resolution-independent. SNR vs the default 2048-bin output on an
+    analyzed sung vowel: 1536 stays transparent (>40 dB); 1024's
+    circular-wrap tail costs too much (~32 dB — documented non-default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.ops.world import synthesis as S
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        code_aperiodicity,
+        code_spectral_envelope,
+    )
+
+    fs = 48000
+    t = np.arange(int(1.0 * fs)) / fs
+    f0t = 220 * 2 ** (0.5 * np.sin(2 * np.pi * 0.7 * t) / 12)
+    ph = 2 * np.pi * np.cumsum(f0t) / fs
+    x = sum(np.sin(k * ph) / k for k in range(1, 15))
+    x = (0.4 * x / np.abs(x).max()).astype(np.float64)
+    f0, ta = world.harvest(x, fs, f0_floor=100, f0_ceil=500)
+    sp = world.cheaptrick(x, f0, ta, fs)
+    ap = world.d4c(x, f0, ta, fs)
+    mgc = np.asarray(code_spectral_envelope(jnp.asarray(sp), fs, 60))
+    bap = np.asarray(code_aperiodicity(jnp.asarray(ap), fs))
+    lf0 = np.where(f0 > 0, np.log(np.maximum(f0, 1e-6)), 0)[:, None]
+    vuv = (f0 > 0).astype(np.float32)[:, None]
+
+    key = jax.random.PRNGKey(7)
+    ref = np.asarray(
+        S.synthesize_from_streams(mgc, lf0, vuv, bap, fs, key=key)
+    )
+
+    def snr(fft):
+        w = np.asarray(
+            S.synthesize_from_streams(
+                mgc, lf0, vuv, bap, fs, key=key, fft_size=fft
+            )
+        )
+        n = min(len(ref), len(w))
+        err = ref[:n] - w[:n]
+        return 10 * np.log10(np.sum(ref[:n] ** 2) / np.sum(err**2))
+
+    assert snr(1536) > 40.0
+    assert 25.0 < snr(1024) < 40.0  # real but non-transparent
+    with pytest.raises(ValueError):
+        S.synthesize_from_streams(mgc, lf0, vuv, bap, fs, fft_size=512)
