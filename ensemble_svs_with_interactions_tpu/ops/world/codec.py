@@ -212,6 +212,42 @@ def code_spectral_envelope(
     return coded[..., :number_of_dimensions]
 
 
+@lru_cache(maxsize=8)
+def spectral_decode_cepstrum_basis(
+    fs: int, fft_size: int, dim: int, basis: str | None = None
+):
+    """(dim, fft_size) f32 matrix taking coded mgc straight to the FOLDED
+    min-phase cepstrum: ``exp(rfft(coded @ M))`` is the min-phase transfer
+    function of the decoded envelope.
+
+    The whole chain decode -> 0.5*log -> irfft -> min-phase fold is
+    linear in the coded vector (the codec decodes in the LOG amplitude
+    domain), so the synthesis kernel can replace four elementwise/FFT
+    passes over (T, fft//2+1) with one MXU matmul.  Built by pushing the
+    identity through :func:`decode_spectral_envelope` itself, so it is
+    exact for whichever codec basis is active."""
+    basis = basis or default_spectral_codec_basis()
+    eye = np.eye(dim)
+    logw = np.log(
+        np.asarray(
+            decode_spectral_envelope(eye, fs, fft_size, basis=basis),
+            np.float64,
+        )
+    )
+    c = np.fft.irfft(0.5 * logw, n=fft_size, axis=-1)
+    half = fft_size // 2
+    folded = np.concatenate(
+        [
+            c[:, :1],
+            2.0 * c[:, 1:half],
+            c[:, half : half + 1],
+            np.zeros((dim, fft_size - half - 1)),
+        ],
+        axis=1,
+    )
+    return folded.astype(np.float32)
+
+
 def decode_spectral_envelope(coded, fs: int, fft_size: int, basis: str | None = None):
     """(T, D) code -> (T, fft//2+1) power envelope (see code_spectral_envelope)."""
     basis = basis or default_spectral_codec_basis()

@@ -32,7 +32,7 @@ fft_size, hop).  Callers should pad frame counts to buckets.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -115,10 +115,29 @@ def _wrapped_phase(inc):
 
 def _synthesize_body(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     """Undecorated kernel body — synthesis_sharded re-jits it with explicit
-    shardings; the single-device path uses the jitted ``_synthesize_impl``."""
+    shardings; the single-device path uses the jitted ``_synthesize_impl``.
+
+    The coded-stream path (:func:`synthesize_from_streams`) skips the
+    ``sp`` -> transfer-function step: its min-phase cepstrum comes
+    straight from the mgc matmul (codec.spectral_decode_cepstrum_basis)
+    and enters at :func:`_synthesize_from_transfer`."""
+    # ONE min-phase pass on the total envelope, kept in the FREQUENCY
+    # domain (no irfft->rfft round trip: the conv FFT length below equals
+    # fft_size, so the cepstrum rfft IS the convolution transfer
+    # function).  The periodic/aperiodic power split becomes frequency-
+    # domain excitation weights (magnitude-identical to per-path
+    # min-phase responses).
+    H = minimum_phase_spectrum(sp, fft_size)
+    return _synthesize_from_transfer(f0, H, ap, noise, fs, hop, fft_size)
+
+
+def _synthesize_from_transfer(
+    f0, H, ap, noise, fs: int, hop: int, fft_size: int
+):
+    """Excitation + time-varying filtering given the complex min-phase
+    transfer function H (T, fft//2+1) of the spectral envelope."""
     T = f0.shape[0]
     N = T * hop
-    half = fft_size // 2
 
     voiced = f0 > 0.0
     f0_safe = jnp.where(voiced, f0, 1.0)
@@ -162,13 +181,6 @@ def _synthesize_body(f0, sp, ap, noise, fs: int, hop: int, fft_size: int):
     ap2 = jnp.clip(ap, 0.0, 1.0) ** 2
     # unvoiced frames: everything is noise
     ap2 = jnp.where(voiced[:, None], ap2, jnp.ones_like(ap2))
-    # ONE min-phase pass on the total envelope, kept in the FREQUENCY
-    # domain (no irfft->rfft round trip: the conv FFT length below equals
-    # fft_size, so the cepstrum rfft IS the convolution transfer
-    # function).  The periodic/aperiodic power split becomes frequency-
-    # domain excitation weights (magnitude-identical to per-path
-    # min-phase responses).
-    H = minimum_phase_spectrum(sp, fft_size)
 
     # ---- time-varying filtering (chunked FFT convolution + OLA) ----------
     # Circular convolution of each hop-sized excitation chunk with the
@@ -217,6 +229,20 @@ def _highpass_mask(fs: int, fft_size: int, cutoff: float):
     return (0.5 - 0.5 * np.cos(np.pi * t)).astype(np.float32)
 
 
+@lru_cache(maxsize=8)
+def _highpass_cepstrum(fs: int, fft_size: int, cutoff: float):
+    """Folded min-phase cepstrum of the high-pass amplitude mask — an
+    additive constant on the mgc-derived cepstrum (log-domain product)."""
+    hp = _highpass_mask(fs, fft_size, cutoff).astype(np.float64)
+    logamp = np.log(np.maximum(hp, 1e-7))  # stopband floor -140 dB
+    c = np.fft.irfft(logamp, n=fft_size)
+    half = fft_size // 2
+    return np.concatenate(
+        [c[:1], 2.0 * c[1:half], c[half : half + 1],
+         np.zeros(fft_size - half - 1)]
+    ).astype(np.float32)
+
+
 @partial(
     jax.jit,
     static_argnames=("fs", "hop", "fft_size", "vuv_threshold", "highpass_cutoff"),
@@ -232,18 +258,35 @@ def _synthesize_from_streams_impl(
     gating and the synthesis kernel into one XLA program — the reference's
     equivalent path crosses host/native boundaries three times
     (gen.py:2022-2080 + pyworld.synthesize).
+
+    The spectral side never materializes the envelope: mgc goes straight
+    to the folded min-phase cepstrum through ONE precomputed matmul
+    (codec.spectral_decode_cepstrum_basis — decode, 0.5*log, irfft and
+    the min-phase fold are all linear in the coded vector), and the
+    output high-pass is a constant cepstrum offset.  Numerically this
+    also beats the decode->exp->log chain: 0.5*log(exp(x)) == 0.5*x with
+    no f32 exp under/overflow.
     """
     from ensemble_svs_with_interactions_tpu.ops.world.codec import (
         decode_aperiodicity,
-        decode_spectral_envelope,
+        spectral_decode_cepstrum_basis,
     )
 
     B, T = lf0.shape[0], lf0.shape[1]
-    sp = decode_spectral_envelope(mgc, fs, fft_size)  # (B, T, half+1)
+    Mc = jnp.asarray(
+        spectral_decode_cepstrum_basis(fs, fft_size, int(mgc.shape[-1]))
+    )
+    # HIGHEST: the cepstrum feeds an exp — bf16 matmul error here would
+    # tint the envelope by ~0.1 dB-scale wobbles
+    c = jnp.einsum(
+        "btd,df->btf", mgc, Mc, precision=jax.lax.Precision.HIGHEST
+    )
     if highpass_cutoff > 0:
-        # fold the output high-pass into the spectral envelope (power domain)
-        hp = jnp.asarray(_highpass_mask(fs, fft_size, highpass_cutoff))
-        sp = sp * (hp * hp)[None, None, :]
+        c = c + jnp.asarray(
+            _highpass_cepstrum(fs, fft_size, highpass_cutoff)
+        )[None, None, :]
+    H = jnp.exp(jnp.fft.rfft(c, n=fft_size, axis=-1))  # (B, T, half+1)
+
     ap = decode_aperiodicity(
         bap.reshape(B * T, -1), fs, fft_size
     ).reshape(B, T, -1)
@@ -252,10 +295,12 @@ def _synthesize_from_streams_impl(
     ap = jnp.clip(ap, 0.0, 1.0)
     f0 = jnp.where(voiced, jnp.exp(lf0[..., 0]), 0.0)
 
-    def one(f0_b, sp_b, ap_b, noise_b):
-        return _synthesize_impl(f0_b, sp_b, ap_b, noise_b, fs, hop, fft_size)
+    def one(f0_b, H_b, ap_b, noise_b):
+        return _synthesize_from_transfer(
+            f0_b, H_b, ap_b, noise_b, fs, hop, fft_size
+        )
 
-    return jax.vmap(one)(f0, sp, ap, noise)
+    return jax.vmap(one)(f0, H, ap, noise)
 
 
 def synthesize_from_streams(

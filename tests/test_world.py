@@ -760,3 +760,75 @@ def test_vocoder_fft_size_override_snr():
     assert 25.0 < snr(1024) < 40.0  # real but non-transparent
     with pytest.raises(ValueError):
         S.synthesize_from_streams(mgc, lf0, vuv, bap, fs, fft_size=512)
+
+
+def test_fused_cepstrum_decode_matches_composition():
+    """synthesize_from_streams' mgc->min-phase-cepstrum matmul
+    (codec.spectral_decode_cepstrum_basis) must equal the explicit
+    decode -> minimum_phase composition: >60 dB waveform SNR without
+    the output high-pass (the chain is linear, so the only error is f32
+    matmul noise). With the high-pass the stopband floors legitimately
+    differ (constant clamp vs per-bin clamp — both approximations of
+    the host Butterworth), which min-phase turns into a fixed low-band
+    phase tilt; the passband log-MAGNITUDE must still agree tightly and
+    the sub-cutoff band must be strongly suppressed."""
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.ops.world import synthesis as S
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        decode_aperiodicity,
+        decode_spectral_envelope,
+        get_cheaptrick_fft_size,
+        spectral_decode_cepstrum_basis,
+    )
+
+    fs = 48000
+    fft = get_cheaptrick_fft_size(fs)
+    hop = 240
+    rng = np.random.default_rng(3)
+    T = 40
+    mgc = (rng.normal(size=(T, 60)) * np.exp(-np.arange(60) / 8)).astype(
+        np.float32
+    )
+    mgc[:, 0] -= 4.0
+    bap = np.full((T, 5), -40.0, np.float32)
+    lf0 = np.full((T, 1), np.log(220.0), np.float32)
+    vuv = np.ones((T, 1), np.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, T * hop))
+
+    w_fused = np.asarray(
+        S._synthesize_from_streams_impl(
+            jnp.asarray(mgc)[None], jnp.asarray(lf0)[None],
+            jnp.asarray(vuv)[None], jnp.asarray(bap)[None],
+            noise, fs, hop, fft, 0.5, 0.0,
+        )
+    )[0]
+    sp = decode_spectral_envelope(jnp.asarray(mgc), fs, fft)
+    ap = jnp.clip(decode_aperiodicity(jnp.asarray(bap), fs, fft), 0, 1)
+    f0 = jnp.exp(jnp.asarray(lf0[:, 0]))
+    w_ref = np.asarray(
+        S._synthesize_impl(f0, sp, ap, noise[0], fs, hop, fft)
+    )
+    snr = 10 * np.log10(
+        np.sum(w_ref**2) / max(np.sum((w_fused - w_ref) ** 2), 1e-30)
+    )
+    assert snr > 60.0, snr
+
+    # high-pass arm: passband log-magnitude parity + stopband suppression
+    Mc = jnp.asarray(spectral_decode_cepstrum_basis(fs, fft, 60))
+    c = jnp.einsum("td,df->tf", jnp.asarray(mgc), Mc,
+                   precision=jax.lax.Precision.HIGHEST)
+    c = c + jnp.asarray(S._highpass_cepstrum(fs, fft, 70.0))[None, :]
+    H_new = np.asarray(jnp.exp(jnp.fft.rfft(c, n=fft, axis=-1)))
+    hp = jnp.asarray(S._highpass_mask(fs, fft, 70.0))
+    H_old = np.asarray(S.minimum_phase_spectrum(sp * (hp * hp)[None, :], fft))
+    freqs = np.arange(fft // 2 + 1) * fs / fft
+    passband = freqs > 120.0
+    mag_err = np.abs(
+        np.log(np.abs(H_new[:, passband])) - np.log(np.abs(H_old[:, passband]))
+    )
+    assert mag_err.max() < 1e-2, mag_err.max()
+    stop = freqs < 30.0
+    atten = np.abs(H_new[:, stop]).max() / np.abs(H_new[:, passband]).max()
+    assert atten < 1e-4  # > 80 dB down
