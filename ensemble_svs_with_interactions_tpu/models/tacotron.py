@@ -169,6 +169,10 @@ class _ARDecoderCore(nn.Module):
     def __call__(self, carry, xs):
         states, prev_out = carry
         enc_t, tgt_t, lf0_den_t = xs
+        # teacher-forcing targets keep f32 under AMP (they also feed the
+        # loss); the fed-back frame must match the carry dtype or the
+        # scan carry type flips f32<->bf16 across steps
+        tgt_t = tgt_t.astype(prev_out.dtype)
         B = enc_t.shape[0]
         r = self.reduction_factor
 
