@@ -46,7 +46,8 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def run(batch: int, frames: int, steps: int, netg_override=None,
-        use_amp: bool = False, donate: bool = True):
+        use_amp: bool = False, donate: bool = True,
+        cost_analysis: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +117,8 @@ def run(batch: int, frames: int, steps: int, netg_override=None,
     # warmup call below a cache hit for the same HLO.
     flops_per_step = None
     try:
+        if not cost_analysis:
+            raise RuntimeError("cost analysis disabled")
         cost = train_step.lower(state, sharded, weights, key).compile()
         ca = cost.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -196,8 +199,11 @@ def main(argv=None):
             {"netG": ge._flagship_netg(), "stream_sizes": ge.STREAM_SIZES},
             ge.STREAM_SIZES,
         )
+        # cost_analysis off: the extra lower+compile would double the
+        # tiny smoke's (CPU, uncached) compile time for no signal
         stats = run(batch=2, frames=64, steps=2, netg_override=netg,
-                    use_amp=args.amp, donate=not args.no_donate)
+                    use_amp=args.amp, donate=not args.no_donate,
+                    cost_analysis=False)
     elif args.ab:
         # A/B matrix at recipe dims: measure what use_amp and donation buy
         arms = {}

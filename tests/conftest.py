@@ -21,6 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Per-RUN persistent compilation cache, shared across test modules and the
+# subprocess-isolated tests (children inherit the env var): identical tiny
+# engines are compiled once per run instead of once per module/process.
+# A fresh dir per top-level run — never the TPU bench cache — so entries
+# compiled for another machine's CPU features can't poison the run.
+if "ESVS_TEST_JAXCACHE" not in os.environ:
+    import tempfile
+
+    os.environ["ESVS_TEST_JAXCACHE"] = tempfile.mkdtemp(
+        prefix="esvs-test-jaxcache-"
+    )
+jax.config.update("jax_compilation_cache_dir", os.environ["ESVS_TEST_JAXCACHE"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pathlib  # noqa: E402
 
 import numpy as np  # noqa: E402
