@@ -777,10 +777,17 @@ def _materialize_packaged_configs(cfg, recipe_dir: Path):
         if Path(voc["model_config"]).exists():
             loaded = load_config(voc["model_config"])
             # packaged vocoder YAMLs are full train_vocoder configs: lift
-            # their model/train/data as section defaults
+            # their model/train/data as section defaults. Stage 10 owns
+            # the split dirs (it computes them under the work dir), so a
+            # standalone config's placeholder train_no_dev must not
+            # clobber them.
             for key in ("model", "train", "data"):
                 if key in loaded:
-                    voc[key] = merge(loaded[key], voc.get(key, {}) or {})
+                    defaults = Config(dict(loaded[key]))
+                    if key == "data":
+                        defaults.pop("train_no_dev", None)
+                        defaults.pop("dev", None)
+                    voc[key] = merge(defaults, voc.get(key, {}) or {})
     return cfg
 
 

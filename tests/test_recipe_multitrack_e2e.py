@@ -339,3 +339,34 @@ def test_packaged_recipe_config_resolves():
                     "num_lstm_layers", "decoder_hidden_dim"):
             if key in b[sub] and key in p[sub]:
                 assert b[sub][key] == p[sub][key], (sub, key)
+
+
+def test_materialize_vocoder_section_keeps_stage_dirs(tmp_path):
+    """A packaged vocoder model_config is a standalone train_vocoder
+    config whose data block carries placeholder split dirs; lifting it
+    into the recipe's vocoder section must NOT clobber the dirs stage 10
+    computes under the work dir (they lift as absent, and the recipe's
+    own keys still override the rest)."""
+    from ensemble_svs_with_interactions_tpu.bin.run_recipe import (
+        _materialize_packaged_configs,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.config import _wrap
+
+    voc_yaml = tmp_path / "voc.yaml"
+    voc_yaml.write_text(yaml.safe_dump({
+        "model": {"generator": {"_target_": "x.Y"}, "signal_types": ["sine"]},
+        "train": {"nepochs": 50, "lambda_stft": 45.0},
+        "data": {"train_no_dev": {"in_dir": None}, "dev": {"in_dir": None},
+                 "sample_rate": 48000, "crop_frames": 64},
+    }))
+    cfg = _wrap({
+        "vocoder": {"model_config": "voc.yaml",
+                    "train": {"nepochs": 2}},
+    })
+    cfg = _materialize_packaged_configs(cfg, tmp_path)
+    voc = cfg["vocoder"]
+    assert voc["model"]["generator"]["_target_"] == "x.Y"
+    assert voc["train"]["nepochs"] == 2          # recipe overrides default
+    assert voc["train"]["lambda_stft"] == 45.0   # default survives
+    assert "train_no_dev" not in voc["data"]     # stage 10 owns split dirs
+    assert voc["data"]["crop_frames"] == 64
