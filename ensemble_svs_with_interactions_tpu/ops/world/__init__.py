@@ -19,5 +19,6 @@ from ensemble_svs_with_interactions_tpu.ops.world.analysis import (  # noqa: F40
     stonemask,
 )
 from ensemble_svs_with_interactions_tpu.ops.world.synthesis_sharded import (  # noqa: F401
+    synthesize_from_streams_time_sharded,
     synthesize_time_sharded,
 )

@@ -267,40 +267,48 @@ def _synthesize_from_streams_impl(
     also beats the decode->exp->log chain: 0.5*log(exp(x)) == 0.5*x with
     no f32 exp under/overflow.
     """
+    def one(mgc_b, lf0_b, vuv_b, bap_b, noise_b):
+        return _from_streams_single_body(
+            mgc_b, lf0_b, vuv_b, bap_b, noise_b,
+            fs, hop, fft_size, vuv_threshold, highpass_cutoff,
+        )
+
+    return jax.vmap(one)(mgc, lf0, vuv, bap, noise)
+
+
+def _from_streams_single_body(
+    mgc, lf0, vuv, bap, noise, fs: int, hop: int, fft_size: int,
+    vuv_threshold: float, highpass_cutoff: float,
+):
+    """One track of the fused coded-stream vocoder: (T, D) streams +
+    (T*hop,) noise -> (T*hop,) waveform.  The batched path vmaps this;
+    the time-sharded path (synthesis_sharded) jits it with the frame
+    axis sharded over a mesh."""
     from ensemble_svs_with_interactions_tpu.ops.world.codec import (
         decode_aperiodicity,
         spectral_decode_cepstrum_basis,
     )
 
-    B, T = lf0.shape[0], lf0.shape[1]
     Mc = jnp.asarray(
         spectral_decode_cepstrum_basis(fs, fft_size, int(mgc.shape[-1]))
     )
     # HIGHEST: the cepstrum feeds an exp — bf16 matmul error here would
     # tint the envelope by ~0.1 dB-scale wobbles
     c = jnp.einsum(
-        "btd,df->btf", mgc, Mc, precision=jax.lax.Precision.HIGHEST
+        "td,df->tf", mgc, Mc, precision=jax.lax.Precision.HIGHEST
     )
     if highpass_cutoff > 0:
         c = c + jnp.asarray(
             _highpass_cepstrum(fs, fft_size, highpass_cutoff)
-        )[None, None, :]
-    H = jnp.exp(jnp.fft.rfft(c, n=fft_size, axis=-1))  # (B, T, half+1)
+        )[None, :]
+    H = jnp.exp(jnp.fft.rfft(c, n=fft_size, axis=-1))  # (T, half+1)
 
-    ap = decode_aperiodicity(
-        bap.reshape(B * T, -1), fs, fft_size
-    ).reshape(B, T, -1)
+    ap = decode_aperiodicity(bap, fs, fft_size)
     voiced = vuv[..., 0] > vuv_threshold
     ap = jnp.where(voiced[..., None], ap, jnp.maximum(ap, 1.0 - 1e-7))
     ap = jnp.clip(ap, 0.0, 1.0)
     f0 = jnp.where(voiced, jnp.exp(lf0[..., 0]), 0.0)
-
-    def one(f0_b, H_b, ap_b, noise_b):
-        return _synthesize_from_transfer(
-            f0_b, H_b, ap_b, noise_b, fs, hop, fft_size
-        )
-
-    return jax.vmap(one)(f0, H, ap, noise)
+    return _synthesize_from_transfer(f0, H, ap, noise, fs, hop, fft_size)
 
 
 def synthesize_from_streams(

@@ -99,3 +99,79 @@ def synthesize_time_sharded(
 
     wav = _sharded_impl(mesh, axis, fs, hop, fft_size)(f0, sp, ap, noise)
     return wav[: T * hop]
+
+
+@lru_cache(maxsize=None)
+def _sharded_streams_impl(
+    mesh: Mesh, axis: str, fs: int, hop: int, fft_size: int,
+    vuv_threshold: float, highpass_cutoff: float,
+):
+    shard = NamedSharding(mesh, P(axis))
+    shard2d = NamedSharding(mesh, P(axis, None))
+
+    def run(mgc, lf0, vuv, bap, noise):
+        return _syn._from_streams_single_body(
+            mgc, lf0, vuv, bap, noise,
+            fs, hop, fft_size, vuv_threshold, highpass_cutoff,
+        )
+
+    return jax.jit(
+        run,
+        in_shardings=(shard2d, shard2d, shard2d, shard2d, shard),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
+def synthesize_from_streams_time_sharded(
+    mgc,
+    lf0,
+    vuv,
+    bap,
+    fs: int,
+    frame_period: float = 5.0,
+    vuv_threshold: float = 0.5,
+    key=None,
+    highpass_cutoff: float = 0.0,
+    mesh: Mesh | None = None,
+    axis: str | None = None,
+):
+    """One long CODED-stream track with frames sharded over a device mesh.
+
+    Same contract as :func:`synthesis.synthesize_from_streams` on a
+    single (T, D) track — the FULL fused vocoder (cepstrum matmul codec
+    decode, V/UV gating, synthesis, high-pass) runs as one GSPMD program,
+    so a single long utterance scales across chips without leaving the
+    coded domain.  Frames pad to a multiple of the mesh size with silent
+    frames (vuv 0, zero noise -> zero output) and trim back, and the
+    noise draw matches the batched kernel's (B=1 row), so numerics are
+    bit-near the single-device path (>40 dB SNR, reduction order)."""
+    if mesh is None:
+        from ensemble_svs_with_interactions_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+
+    hop = int(fs * frame_period / 1000.0)
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        get_cheaptrick_fft_size,
+    )
+
+    fft_size = get_cheaptrick_fft_size(fs)
+    arrs = [jnp.asarray(a, jnp.float32) for a in (mgc, lf0, vuv, bap)]
+    T = int(arrs[1].shape[0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # same stream as the batched kernel's B=1 noise row -> testable parity
+    noise = jax.random.normal(key, (1, T * hop), dtype=jnp.float32)[0]
+
+    pad = (-T) % n
+    arrs = [jnp.pad(a, ((0, pad), (0, 0))) for a in arrs]
+    noise = jnp.pad(noise, (0, pad * hop))
+
+    wav = _sharded_streams_impl(
+        mesh, axis, fs, hop, fft_size,
+        float(vuv_threshold), float(highpass_cutoff),
+    )(*arrs, noise)
+    return wav[: T * hop]

@@ -832,3 +832,59 @@ def test_fused_cepstrum_decode_matches_composition():
     stop = freqs < 30.0
     atten = np.abs(H_new[:, stop]).max() / np.abs(H_new[:, passband]).max()
     assert atten < 1e-4  # > 80 dB down
+
+
+def test_synthesize_from_streams_time_sharded_matches_single_device():
+    """The sharded CODED-stream vocoder (frames GSPMD-partitioned over the
+    8-device CPU mesh) must be bit-near the batched single-device kernel:
+    same noise stream, >40 dB SNR (cumsum/OLA reduction order)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ensemble_svs_with_interactions_tpu.ops.world import (
+        synthesize_from_streams_time_sharded,
+    )
+    from ensemble_svs_with_interactions_tpu.ops.world.codec import (
+        code_aperiodicity,
+        code_spectral_envelope,
+    )
+    from ensemble_svs_with_interactions_tpu.ops.world.synthesis import (
+        synthesize_from_streams,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    fs = 48000
+    t = np.arange(int(1.0 * fs)) / fs
+    f0t = 220 * 2 ** (0.5 * np.sin(2 * np.pi * 0.7 * t) / 12)
+    ph = 2 * np.pi * np.cumsum(f0t) / fs
+    x = sum(np.sin(k * ph) / k for k in range(1, 12))
+    x = (0.4 * x / np.abs(x).max()).astype(np.float64)
+    f0, ta = world.harvest(x, fs, f0_floor=100, f0_ceil=500)
+    sp = world.cheaptrick(x, f0, ta, fs)
+    ap = world.d4c(x, f0, ta, fs)
+    mgc = np.asarray(code_spectral_envelope(jnp.asarray(sp), fs, 60))
+    bap = np.asarray(code_aperiodicity(jnp.asarray(ap), fs))
+    lf0 = np.where(f0 > 0, np.log(np.maximum(f0, 1e-6)), 0)[:, None]
+    vuv = (f0 > 0).astype(np.float32)[:, None]
+    # an odd frame count exercises the silent-frame padding
+    mgc, bap, lf0, vuv = mgc[:-3], bap[:-3], lf0[:-3], vuv[:-3]
+
+    key = jax.random.PRNGKey(11)
+    ref = np.asarray(
+        synthesize_from_streams(
+            mgc, lf0, vuv, bap, fs, key=key, highpass_cutoff=70.0
+        )
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("t",))
+    shd = np.asarray(
+        synthesize_from_streams_time_sharded(
+            mgc, lf0, vuv, bap, fs, key=key, highpass_cutoff=70.0, mesh=mesh
+        )
+    )
+    assert shd.shape == ref.shape
+    err = shd - ref
+    snr = 10 * np.log10(np.sum(ref**2) / max(np.sum(err**2), 1e-30))
+    assert snr > 40.0, snr
