@@ -114,28 +114,31 @@ def sound_to_pitch_ac(
     max_lag = min(int(np.ceil(fs / pitch_floor)) + 1, win_len - 2)
     min_lag = max(2, int(fs / pitch_ceiling))
 
-    # frame extraction centered at i*time_step (zero padding at edges)
+    # frame extraction centered at i*time_step (zero padding at edges);
+    # gathered per chunk below — a whole-track (T, win_len) f64 matrix
+    # would be ~0.7 GB for a 3-minute 48 kHz track
     centers = np.round(timeaxis * fs).astype(np.int64)
-    idx = centers[:, None] + (np.arange(win_len) - win_len // 2)[None, :]
-    valid = (idx >= 0) & (idx < len(x))
-    frames = np.where(valid, x[np.clip(idx, 0, len(x) - 1)], 0.0)
-    frames = frames - frames.mean(axis=1, keepdims=True)
-    local_peak = np.abs(frames).max(axis=1)
+    offsets = (np.arange(win_len) - win_len // 2)[None, :]
+
+    def _gather_frames(sl):
+        idx = centers[sl, None] + offsets
+        valid = (idx >= 0) & (idx < len(x))
+        f = np.where(valid, x[np.clip(idx, 0, len(x) - 1)], 0.0)
+        return f - f.mean(axis=1, keepdims=True)
+
+    local_peak = np.empty(n_frames)
 
     n_cand = max_candidates
     cand_freq = np.zeros((n_frames, n_cand))  # 0 == unvoiced candidate
     cand_str = np.full((n_frames, n_cand), -1e30)
-    # unvoiced candidate (Boersma eq. 23): slot 0
-    intensity = (local_peak / global_peak) * (1.0 + voicing_threshold) / max(
-        silence_threshold, 1e-12
-    )
-    cand_str[:, 0] = voicing_threshold + np.maximum(0.0, 2.0 - intensity)
 
     # normalized ACF in manageable chunks
     chunk = 2048
     for s in range(0, n_frames, chunk):
         e = min(s + chunk, n_frames)
-        r = _normalized_frame_acf(frames[s:e], window, max_lag)
+        frames = _gather_frames(slice(s, e))
+        local_peak[s:e] = np.abs(frames).max(axis=1)
+        r = _normalized_frame_acf(frames, window, max_lag)
         seg = r[:, min_lag : max_lag - 1]
         is_peak = (seg > r[:, min_lag - 1 : max_lag - 2]) & (
             seg >= r[:, min_lag + 1 : max_lag]
@@ -158,6 +161,12 @@ def sound_to_pitch_ac(
             k = len(order)
             cand_freq[s + fi, 1 : 1 + k] = freqs[order]
             cand_str[s + fi, 1 : 1 + k] = strength[order]
+
+    # unvoiced candidate (Boersma eq. 23): slot 0
+    intensity = (local_peak / global_peak) * (1.0 + voicing_threshold) / max(
+        silence_threshold, 1e-12
+    )
+    cand_str[:, 0] = voicing_threshold + np.maximum(0.0, 2.0 - intensity)
 
     # Viterbi path search (Boersma sec. 4; Praat Pitch_pathFinder's
     # 0.01 s time-step correction of the transition costs)
