@@ -165,6 +165,119 @@ def run(batch: int, frames: int, steps: int, netg_override=None,
     return out
 
 
+def run_diffusion(batch: int, frames: int, steps: int):
+    """MXU-utilization reference point: the shipped DiffSinger acoustic
+    config (FFTBlocks encoder 256x4 + DiffNet 20x256, reference dims —
+    configs/acoustic/acoustic_diffusion_melf0.yaml) through the SAME
+    single-track train step the recipe trainers use.
+
+    The flagship multitrack model is biLSTM/AR-scan bound (sequential in
+    T, thin per-step matmuls), so its MFU reflects the model family, not
+    framework overhead; this conv/attention-heavy model shows what the
+    same train-step machinery reaches when the workload is MXU-shaped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ensemble_svs_with_interactions_tpu.parallel import make_mesh, shard_batch
+    from ensemble_svs_with_interactions_tpu.train.loop import (
+        build_optimizer,
+        create_train_step,
+    )
+    from ensemble_svs_with_interactions_tpu.utils.config import (
+        instantiate,
+        load_config,
+    )
+
+    cfg_path = (
+        "ensemble_svs_with_interactions_tpu/configs/acoustic/"
+        "acoustic_diffusion_melf0.yaml"
+    )
+    model_cfg = load_config(cfg_path)
+    module = instantiate(model_cfg["netG"])
+    in_dim = int(model_cfg["netG"]["in_dim"])
+    out_dim = int(model_cfg["netG"]["out_dim"])
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    B = max(batch - batch % n_dev, n_dev)
+    T = frames
+
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "diffusion": jax.random.PRNGKey(2),
+    }
+    variables = module.init(
+        rngs,
+        jnp.zeros((1, 8, in_dim)),
+        jnp.asarray([8]),
+        jnp.zeros((1, 8, out_dim)),
+        train=True,
+    )
+    optimizer = build_optimizer({"name": "Adam", "params": {"lr": 1e-3}})
+    train_step, _ = create_train_step(
+        module, optimizer, dict(model_cfg), pitch_reg_weight=0.0
+    )
+    state = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": optimizer.init(variables["params"]),
+        "step": jnp.asarray(0),
+    }
+
+    rng_np = np.random.default_rng(0)
+    batch_np = {
+        "in_feats": rng_np.uniform(0, 1, (B, T, in_dim)).astype(np.float32),
+        "out_feats": rng_np.normal(size=(B, T, out_dim)).astype(np.float32),
+        "lengths": np.full((B,), T, dtype=np.int32),
+    }
+    sharded = shard_batch(batch_np, mesh)
+    key = jax.random.PRNGKey(0)
+
+    flops_per_step = None
+    try:
+        cost = train_step.lower(state, sharded, key).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            flops_per_step = float(ca["flops"])
+    except Exception:
+        pass
+
+    for _ in range(2):
+        key, sk = jax.random.split(key)
+        state, metrics = train_step(state, sharded, sk)
+    assert np.isfinite(float(metrics["Loss"]))
+
+    step_times = []
+    for _ in range(steps):
+        key, sk = jax.random.split(key)
+        t0 = time.time()
+        state, metrics = train_step(state, sharded, sk)
+        jax.block_until_ready(metrics["Loss"])
+        step_times.append(time.time() - t0)
+    median_step = float(np.median(step_times))
+
+    out = {
+        "model": "diffsinger_melf0 (FFTBlocks 256x4 + DiffNet 20x256)",
+        "steps_per_sec": 1.0 / median_step,
+        "frames_per_sec": B * T / median_step,
+        "median_step_sec": median_step,
+        "batch": B,
+        "frames_per_batch": B * T,
+        "n_devices": n_dev,
+        "final_loss": float(metrics["Loss"]),
+    }
+    if flops_per_step is not None:
+        out["flops_per_step"] = flops_per_step
+        out["tflops_per_sec"] = flops_per_step / median_step / 1e12
+        out["mfu_vs_v5e_bf16_peak"] = (
+            flops_per_step / median_step / V5E_PEAK_FLOPS
+        )
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
@@ -175,6 +288,12 @@ def main(argv=None):
                    help="disable state donation (A/B)")
     p.add_argument("--ab", action="store_true",
                    help="run the f32/amp and donate/no-donate A/B matrix")
+    p.add_argument("--geom-ab", action="store_true",
+                   help="constant-frames batch-geometry sweep "
+                        "(8x2048 / 32x512 / 64x256)")
+    p.add_argument("--diffusion", action="store_true",
+                   help="MXU-shaped reference point: the shipped "
+                        "DiffSinger melf0 model through the same step")
     p.add_argument("--out", default=None,
                    help="also write the JSON to this path (BENCH_TRAIN.json)")
     p.add_argument("--tiny", action="store_true",
@@ -204,6 +323,26 @@ def main(argv=None):
         stats = run(batch=2, frames=64, steps=2, netg_override=netg,
                     use_amp=args.amp, donate=not args.no_donate,
                     cost_analysis=False)
+    elif args.diffusion:
+        stats = run_diffusion(args.batch, args.frames, args.steps)
+    elif args.geom_ab:
+        # Constant-frames geometry sweep: the encoder/decoder scans are
+        # SEQUENTIAL in T, so at fixed frames-per-step (B*T) shorter
+        # sequences mean fewer sequential scan iterations and fatter
+        # per-iteration matmuls on the MXU.  64x256 is the reference's
+        # own AR working point (256-frame random crops,
+        # /root/reference/nnsvs/train_util.py:595 collate_fn_random_segments).
+        arms = {}
+        for B, T in ((8, 2048), (32, 512), (64, 256)):
+            arms[f"{B}x{T}"] = run(B, T, args.steps,
+                                   use_amp=args.amp,
+                                   donate=not args.no_donate)
+        stats = dict(arms["64x256"])
+        stats["geometry_ab"] = {
+            name: {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in arm.items() if k != "all_step_sec"}
+            for name, arm in arms.items()
+        }
     elif args.ab:
         # A/B matrix at recipe dims: measure what use_amp and donation buy
         arms = {}
@@ -225,7 +364,9 @@ def main(argv=None):
                     use_amp=args.amp, donate=not args.no_donate)
 
     result = {
-        "metric": "train_frames_per_sec_flagship_multitrack",
+        "metric": ("train_frames_per_sec_diffsinger_melf0"
+                   if args.diffusion else
+                   "train_frames_per_sec_flagship_multitrack"),
         "value": round(stats["frames_per_sec"], 1),
         "unit": "frames/s",
         "backend": backend,
