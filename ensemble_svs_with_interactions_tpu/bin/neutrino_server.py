@@ -152,6 +152,10 @@ class Handler(BaseHTTPRequestHandler):
                 # model info (reference server.py:84-95): the packed
                 # config plus the engine repr (loads + caches the engine)
                 name = self.path[len("/models/"):]
+                # same id validation as /models/create: a raw
+                # "/models/../x" path must not escape the model root
+                if "/" in name or "\\" in name or name in ("", ".", ".."):
+                    raise FileNotFoundError(f"invalid model id: {name!r}")
                 engine = _engine(name)
                 import yaml
 

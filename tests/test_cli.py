@@ -482,6 +482,17 @@ def test_neutrino_server_mgmt_endpoints(packed, short_lab, tmp_path):
             urllib.request.urlopen(f"{base}/models/ghost")
         assert exc.value.code == 404
 
+        # GET model info must not escape the model root: http.client
+        # sends the path verbatim (no ../ normalization)
+        import http.client
+
+        conn = http.client.HTTPConnection(
+            "127.0.0.1", server.server_address[1]
+        )
+        conn.request("GET", "/models/../outside")
+        assert conn.getresponse().status == 404
+        conn.close()
+
         # upload the packed model as a nested tar.gz
         tarball = tmp_path / "pack.tar.gz"
         with tarfile.open(tarball, "w:gz") as tf:
