@@ -205,7 +205,8 @@ def build_flagship_engine(tmpdir: str):
             "use_world_codec": True, "relative_f0": False,
             "spk_list": [f"spk{i}" for i in range(N_SPK)],
         },
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        str(Path(__file__).parent / "ensemble_svs_with_interactions_tpu"
+            / "recipes" / "_common" / "hed" / "jp_dev_latest.hed"),
         {
             "timelag": {
                 "model_config": tl, "variables": init_timing(tl),
@@ -267,7 +268,8 @@ def main():
         }))
         return 1
 
-    labels_path = Path("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
+    labels_path = (Path(__file__).parent / "tests" / "data" / "nit_song070"
+                   / "nitech_jp_song070_f001_004.lab")
     if not labels_path.exists():
         print(json.dumps({"metric": "rtf", "value": -1, "unit": "ratio",
                           "vs_baseline": 0, "error": "fixture missing"}))

@@ -151,6 +151,7 @@ def run(batch: int, frames: int, steps: int, netg_override=None,
         "all_step_sec": [round(t, 4) for t in step_times],
         "batch_pairs": B,
         "frames_per_batch": B * T,
+        "geometry": f"{B}x{T}",
         "n_devices": n_dev,
         "use_amp": use_amp,
         "donate": donate,
@@ -165,7 +166,8 @@ def run(batch: int, frames: int, steps: int, netg_override=None,
     return out
 
 
-def run_diffusion(batch: int, frames: int, steps: int):
+def run_diffusion(batch: int, frames: int, steps: int,
+                  use_amp: bool = False, donate: bool = True):
     """MXU-utilization reference point: the shipped DiffSinger acoustic
     config (FFTBlocks encoder 256x4 + DiffNet 20x256, reference dims —
     configs/acoustic/acoustic_diffusion_melf0.yaml) through the SAME
@@ -189,9 +191,13 @@ def run_diffusion(batch: int, frames: int, steps: int):
         load_config,
     )
 
+    from pathlib import Path
+
+    import ensemble_svs_with_interactions_tpu as pkg
+
     cfg_path = (
-        "ensemble_svs_with_interactions_tpu/configs/acoustic/"
-        "acoustic_diffusion_melf0.yaml"
+        Path(pkg.__file__).parent
+        / "configs" / "acoustic" / "acoustic_diffusion_melf0.yaml"
     )
     model_cfg = load_config(cfg_path)
     module = instantiate(model_cfg["netG"])
@@ -217,7 +223,8 @@ def run_diffusion(batch: int, frames: int, steps: int):
     )
     optimizer = build_optimizer({"name": "Adam", "params": {"lr": 1e-3}})
     train_step, _ = create_train_step(
-        module, optimizer, dict(model_cfg), pitch_reg_weight=0.0
+        module, optimizer, dict(model_cfg), pitch_reg_weight=0.0,
+        use_amp=use_amp, donate=donate,
     )
     state = {
         "params": variables["params"],
@@ -266,7 +273,10 @@ def run_diffusion(batch: int, frames: int, steps: int):
         "median_step_sec": median_step,
         "batch": B,
         "frames_per_batch": B * T,
+        "geometry": f"{B}x{T}",
         "n_devices": n_dev,
+        "use_amp": use_amp,
+        "donate": donate,
         "final_loss": float(metrics["Loss"]),
     }
     if flops_per_step is not None:
@@ -300,11 +310,14 @@ def main(argv=None):
                    help="CPU-sized smoke run (tiny dims, 2 steps)")
     args = p.parse_args(argv)
 
+    metric_name = ("train_frames_per_sec_diffsinger_melf0"
+                   if args.diffusion else
+                   "train_frames_per_sec_flagship_multitrack")
     _enable_compilation_cache()
     backend = _probe_accelerator()
     if not backend:
         print(json.dumps({
-            "metric": "train_frames_per_sec_flagship_multitrack",
+            "metric": metric_name,
             "value": -1, "unit": "frames/s",
             "error": "accelerator unreachable (device enumeration timed "
                      "out — TPU tunnel down?)",
@@ -324,7 +337,8 @@ def main(argv=None):
                     use_amp=args.amp, donate=not args.no_donate,
                     cost_analysis=False)
     elif args.diffusion:
-        stats = run_diffusion(args.batch, args.frames, args.steps)
+        stats = run_diffusion(args.batch, args.frames, args.steps,
+                              use_amp=args.amp, donate=not args.no_donate)
     elif args.geom_ab:
         # Constant-frames geometry sweep: the encoder/decoder scans are
         # SEQUENTIAL in T, so at fixed frames-per-step (B*T) shorter
@@ -332,12 +346,19 @@ def main(argv=None):
         # per-iteration matmuls on the MXU.  64x256 is the reference's
         # own AR working point (256-frame random crops,
         # /root/reference/nnsvs/train_util.py:595 collate_fn_random_segments).
+        # Headline the arm matching --batch/--frames (the shipped recipe
+        # default) so "--geom-ab --out BENCH_TRAIN.json" never silently
+        # promotes a sweep arm over the default geometry.
+        default_arm = f"{args.batch}x{args.frames}"
+        geoms = [(8, 2048), (32, 512), (64, 256)]
+        if (args.batch, args.frames) not in geoms:
+            geoms.append((args.batch, args.frames))
         arms = {}
-        for B, T in ((8, 2048), (32, 512), (64, 256)):
+        for B, T in geoms:
             arms[f"{B}x{T}"] = run(B, T, args.steps,
                                    use_amp=args.amp,
                                    donate=not args.no_donate)
-        stats = dict(arms["64x256"])
+        stats = dict(arms[default_arm])
         stats["geometry_ab"] = {
             name: {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in arm.items() if k != "all_step_sec"}
@@ -364,9 +385,7 @@ def main(argv=None):
                     use_amp=args.amp, donate=not args.no_donate)
 
     result = {
-        "metric": ("train_frames_per_sec_diffsinger_melf0"
-                   if args.diffusion else
-                   "train_frames_per_sec_flagship_multitrack"),
+        "metric": metric_name,
         "value": round(stats["frames_per_sec"], 1),
         "unit": "frames/s",
         "backend": backend,

@@ -758,6 +758,8 @@ def _materialize_packaged_configs(cfg, recipe_dir: Path):
                 return str(cand)
         return str(path)
 
+    if cfg.get("question_path", None):
+        cfg["question_path"] = resolve(cfg["question_path"])
     for section in ("timelag", "duration", "acoustic", "postfilter", "vocoder"):
         sec = cfg.get(section, None)
         if sec and sec.get("model_config"):

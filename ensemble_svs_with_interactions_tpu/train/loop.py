@@ -246,6 +246,7 @@ def create_train_step(
     stream_weights=None,
     axis: Optional[str] = None,
     use_amp: bool = False,
+    donate: bool = True,
 ):
     """Build a jitted train/eval step for a single-track model.
 
@@ -448,7 +449,11 @@ def create_train_step(
     # Donate the state (params/opt-state buffers are reused in place —
     # halves peak HBM for the largest tensors; callers rebind
     # ``state, metrics = train_step(state, ...)`` immediately).
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+    donate_argnums = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_argnums),
+        jax.jit(eval_step),
+    )
 
 
 # --------------------------------------------------------------------------

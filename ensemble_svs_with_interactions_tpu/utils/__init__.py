@@ -6,6 +6,7 @@ from ensemble_svs_with_interactions_tpu.utils.misc import (  # noqa: F401
     load_utt_list,
     make_non_pad_mask,
     make_pad_mask,
+    packaged_question_path,
     pad_2d,
 )
 from ensemble_svs_with_interactions_tpu.utils.scalers import (  # noqa: F401

@@ -127,3 +127,24 @@ def example_ust_file() -> str:
     return str(
         Path(__file__).parent.parent / "_example_data" / "example_song.ust"
     )
+
+
+def packaged_question_path(name: str = "jp_dev_latest") -> str:
+    """Path to a question set (.hed) bundled with the package.
+
+    The reference ships its question sets as in-tree data under
+    recipes/_common/hed/ (reference recipes/_common/hed/jp_dev_latest.hed);
+    this framework bundles the same data file (with a provenance header)
+    so recipes and users need no external checkout."""
+    from pathlib import Path
+
+    p = (
+        Path(__file__).parent.parent
+        / "recipes"
+        / "_common"
+        / "hed"
+        / f"{name}.hed"
+    )
+    if not p.exists():
+        raise FileNotFoundError(f"no packaged question set named {name!r}: {p}")
+    return str(p)

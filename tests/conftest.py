@@ -42,7 +42,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 TEST_DATA_DIR = pathlib.Path(__file__).parent / "data"
-# Read-only fixtures from the reference repo (labels/hed/wav only, no code).
+# Bundled fixture data (NIT SONG070 labels, CC-BY 3.0 — see COPYING there).
+NIT_DATA_DIR = TEST_DATA_DIR / "nit_song070"
+# Read-only fixtures from the reference repo — ONLY for tests that compare
+# against reference artifacts (torch checkpoints, reference YAMLs); such
+# tests skip cleanly when the checkout is absent.
 REFERENCE_DATA_DIR = pathlib.Path("/root/reference/tests/data")
 
 
@@ -56,6 +60,32 @@ def reference_data_dir():
     if not REFERENCE_DATA_DIR.exists():
         pytest.skip("reference fixture data not available")
     return REFERENCE_DATA_DIR
+
+
+@pytest.fixture(scope="session")
+def fixture_data_dir(tmp_path_factory):
+    """Self-contained stand-in for the old reference tests/data dir:
+    the bundled NIT SONG070 label + a first-party synthesized wav that
+    follows the label's score pitch (voiced harmonics / unvoiced noise),
+    laid out as <dir>/<utt>.lab + <dir>/<utt>.wav."""
+    import shutil
+
+    from scipy.io import wavfile
+
+    from ensemble_svs_with_interactions_tpu.io import hts
+
+    from tests import util
+
+    d = tmp_path_factory.mktemp("nit_fixture")
+    utt = "nitech_jp_song070_f001_004"
+    shutil.copyfile(util.NIT_LAB, d / f"{utt}.lab")
+    binary_dict, numeric_dict = hts.load_question_set(util.HED)
+    labels = hts.load(util.NIT_LAB)
+    wav = util.synth_wav_from_labels(
+        labels, binary_dict, numeric_dict, np.random.default_rng(0), sr=24000
+    )
+    wavfile.write(d / f"{utt}.wav", 24000, wav)
+    return d
 
 
 @pytest.fixture(autouse=True, scope="module")

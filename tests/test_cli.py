@@ -10,35 +10,31 @@ import pytest
 from scipy.io import wavfile
 
 from ensemble_svs_with_interactions_tpu.io import hts
-from tests.util import build_tiny_packed_model
+from tests.util import HED, NIT_LAB, build_tiny_packed_model
 
 SR = 24000
 
 
 @pytest.fixture(scope="module")
 def packed(tmp_path_factory, ):
-    import pathlib
-
-    if not pathlib.Path("/root/reference/tests/data").exists():
-        pytest.skip("reference fixtures unavailable")
     return build_tiny_packed_model(tmp_path_factory.mktemp("packed"))
 
 
 @pytest.fixture(scope="module")
 def short_lab(tmp_path_factory):
-    labels = hts.load("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
+    labels = hts.load(NIT_LAB)
     n = next(i for i, e in enumerate(labels.end_times) if e > 6e7)
     p = tmp_path_factory.mktemp("lab") / "test.lab"
     labels[: max(n, 10)].save(p)
     return p
 
 
-def test_anasyn_cli(tmp_path, reference_data_dir):
+def test_anasyn_cli(tmp_path, fixture_data_dir):
     from ensemble_svs_with_interactions_tpu.bin.anasyn import main
 
     out = tmp_path / "anasyn.wav"
     rc = main([
-        str(reference_data_dir / "nitech_jp_song070_f001_004.wav"),
+        str(fixture_data_dir / "nitech_jp_song070_f001_004.wav"),
         str(out), "--sample-rate", str(SR), "--use-codec", "--mgc-order", "24",
         "--f0-floor", "150", "--f0-ceil", "700",
     ])
@@ -246,8 +242,7 @@ def test_pitch_augmentation(tmp_path):
     np.save(root / "out_acoustic" / "utt1-feats.npy", y)
     rc = main([
         str(root), "100",
-        "--question-path",
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        "--question-path", HED,
         "--acoustic-lf0-idx", "60",
     ])
     assert rc == 0
@@ -328,7 +323,7 @@ def _pack_tiny_multitrack(out_dir):
         out_dir,
         {"sample_rate": 24000, "frame_period": 5, "feature_type": "world",
          "use_world_codec": True, "relative_f0": False},
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        HED,
         {
             "timelag": {
                 "model_config": timing_cfg, "variables": timing_vars,
@@ -351,7 +346,7 @@ def _pack_tiny_multitrack(out_dir):
     )
 
 
-def test_synthesis_multitrack_cli(tmp_path, reference_data_dir):
+def test_synthesis_multitrack_cli(tmp_path):
     """Pairwise multitrack synthesis: wav + feature + timing dumps."""
     from ensemble_svs_with_interactions_tpu.bin.synthesis_multitrack import main
     from ensemble_svs_with_interactions_tpu.io import hts
@@ -359,7 +354,7 @@ def test_synthesis_multitrack_cli(tmp_path, reference_data_dir):
     packed = tmp_path / "packed_mt"
     _pack_tiny_multitrack(packed)
 
-    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    labels = hts.load(NIT_LAB)
     n = next(i for i, e in enumerate(labels.end_times) if e > 4e7)
     lab_dir = tmp_path / "lab"
     lab_dir.mkdir()

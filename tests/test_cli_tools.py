@@ -12,19 +12,17 @@ from flax import serialization
 from scipy.io import wavfile
 
 from ensemble_svs_with_interactions_tpu.io import hts
-from tests.util import build_tiny_packed_model
+from tests.util import NIT_LAB, build_tiny_packed_model
 
 
 @pytest.fixture(scope="module")
 def packed(tmp_path_factory):
-    if not pathlib.Path("/root/reference/tests/data").exists():
-        pytest.skip("reference fixtures unavailable")
     return build_tiny_packed_model(tmp_path_factory.mktemp("packed"))
 
 
 @pytest.fixture(scope="module")
 def short_lab(tmp_path_factory):
-    labels = hts.load("/root/reference/tests/data/nitech_jp_song070_f001_004.lab")
+    labels = hts.load(NIT_LAB)
     n = next(i for i, e in enumerate(labels.end_times) if e > 6e7)
     p = tmp_path_factory.mktemp("lab") / "test.lab"
     labels[: max(n, 10)].save(p)

@@ -11,19 +11,19 @@ from ensemble_svs_with_interactions_tpu.data import (
 )
 from ensemble_svs_with_interactions_tpu.data.data_source import logmelfilterbank
 
-HED = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
+from tests.util import HED
 
 
 @pytest.fixture
-def utt_list(tmp_path, reference_data_dir):
+def utt_list(tmp_path, fixture_data_dir):
     p = tmp_path / "utt_list.txt"
     p.write_text("nitech_jp_song070_f001_004\n")
     return p
 
 
-def test_musical_linguistic_source(utt_list, reference_data_dir):
+def test_musical_linguistic_source(utt_list, fixture_data_dir):
     src = MusicalLinguisticSource(
-        utt_list, str(reference_data_dir), HED, add_frame_features=False
+        utt_list, str(fixture_data_dir), HED, add_frame_features=False
     )
     files = src.collect_files()
     assert len(files) == 1
@@ -33,16 +33,16 @@ def test_musical_linguistic_source(utt_list, reference_data_dir):
     assert (feats[:, 50:53] > 3).all()  # log(30 Hz) ~ 3.4
 
 
-def test_duration_source(utt_list, reference_data_dir):
-    src = DurationFeatureSource(utt_list, str(reference_data_dir))
+def test_duration_source(utt_list, fixture_data_dir):
+    src = DurationFeatureSource(utt_list, str(fixture_data_dir))
     feats = src.collect_features(src.collect_files()[0])
     assert feats.shape[1] == 1
     assert (feats > 0).all()
 
 
-def test_timelag_source(utt_list, reference_data_dir):
+def test_timelag_source(utt_list, fixture_data_dir):
     src = TimeLagFeatureSource(
-        utt_list, str(reference_data_dir), str(reference_data_dir)
+        utt_list, str(fixture_data_dir), str(fixture_data_dir)
     )
     score, align = src.collect_files()
     lag = src.collect_features(score[0], align[0])
@@ -51,11 +51,11 @@ def test_timelag_source(utt_list, reference_data_dir):
 
 
 @pytest.mark.parametrize("relative_f0", [False, True])
-def test_world_acoustic_source(utt_list, reference_data_dir, relative_f0):
+def test_world_acoustic_source(utt_list, fixture_data_dir, relative_f0):
     src = WORLDAcousticSource(
         utt_list,
-        str(reference_data_dir),
-        str(reference_data_dir),
+        str(fixture_data_dir),
+        str(fixture_data_dir),
         HED,
         f0_extractor="dio",
         sample_rate=24000,
@@ -86,14 +86,14 @@ def test_logmelfilterbank():
     assert np.isfinite(mel).all()
 
 
-def test_world_acoustic_source_parselmouth_mode(utt_list, reference_data_dir):
+def test_world_acoustic_source_parselmouth_mode(utt_list, fixture_data_dir):
     """The parselmouth-style extractor (praat AC + score-informed range,
     reference data_source.py:313-338) needs explicit floor/ceil and
     produces a well-formed feature matrix."""
     src = WORLDAcousticSource(
         utt_list,
-        str(reference_data_dir),
-        str(reference_data_dir),
+        str(fixture_data_dir),
+        str(fixture_data_dir),
         HED,
         f0_extractor="parselmouth",
         f0_floor=120,
@@ -113,7 +113,7 @@ def test_world_acoustic_source_parselmouth_mode(utt_list, reference_data_dir):
     import pytest as _pytest
 
     bad = WORLDAcousticSource(
-        utt_list, str(reference_data_dir), str(reference_data_dir), HED,
+        utt_list, str(fixture_data_dir), str(fixture_data_dir), HED,
         f0_extractor="parselmouth", sample_rate=24000, mgc_order=24,
         f0_floor=None, f0_ceil=None,
     )
@@ -148,7 +148,7 @@ def test_worldacousticsource_accepts_subphone_features(tmp_path):
         utt_list=str(tmp_path / "nonexistent.list"),
         wav_root=str(tmp_path),
         label_root=str(tmp_path),
-        question_path="/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        question_path=HED,
         subphone_features="none",
         res_type="kaiser_best",
     )

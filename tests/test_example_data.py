@@ -14,7 +14,9 @@ from ensemble_svs_with_interactions_tpu.frontend.musicxml import (
 )
 from ensemble_svs_with_interactions_tpu.io import hts
 
-HED = Path("/root/reference/recipes/_common/hed/jp_dev_latest.hed")
+from ensemble_svs_with_interactions_tpu.utils import packaged_question_path
+
+HED = Path(packaged_question_path())
 
 
 def test_packaged_example_score():

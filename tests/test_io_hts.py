@@ -5,19 +5,19 @@ import pytest
 
 from ensemble_svs_with_interactions_tpu.frontend import merlin
 from ensemble_svs_with_interactions_tpu.io import hts
+from tests.util import HED, NIT_LAB
 
 
 @pytest.fixture
-def dev_hed_path(reference_data_dir):
-    p = reference_data_dir.parent.parent / "recipes/_common/hed/jp_dev_latest.hed"
-    if not p.exists():
-        pytest.skip("dev hed not available")
-    return p
+def dev_hed_path():
+    import pathlib
+
+    return pathlib.Path(HED)
 
 
 @pytest.fixture
-def fixture_labels(reference_data_dir):
-    return hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+def fixture_labels():
+    return hts.load(NIT_LAB)
 
 
 def test_load_labels(fixture_labels):

@@ -16,7 +16,9 @@ from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
 from ensemble_svs_with_interactions_tpu.io import hts
 
 XML = Path("/root/reference/nnsvs/_example_data/haruga_kita.xml")
-HED = Path("/root/reference/recipes/_common/hed/jp_dev_latest.hed")
+from ensemble_svs_with_interactions_tpu.utils import packaged_question_path
+
+HED = Path(packaged_question_path())
 
 pytestmark = pytest.mark.skipif(
     not XML.exists(), reason="reference example data unavailable"

@@ -11,47 +11,14 @@ from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
 from ensemble_svs_with_interactions_tpu.io import hts
 
 SR = 24000
-HED = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
-FIXTURES = [
-    "/root/reference/tests/data/nitech_jp_song070_f001_004.lab",
-    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_007.lab",
-    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_010.lab",
-]
-
-
-def _trim(labels, seconds):
-    n = len(labels)
-    for i, e in enumerate(labels.end_times):
-        if e > seconds * 1e7:
-            n = i
-            break
-    return labels[: max(n, 10)]
-
-
-def _synth_wav_from_labels(labels, binary_dict, numeric_dict, rng):
-    """Harmonic signal following the score pitch (fast deterministic corpus)."""
-    feats = fe.linguistic_features(
-        labels, binary_dict, numeric_dict, add_frame_features=True,
-        subphone_features="coarse_coding",
-    )
-    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
-    midi = feats[:, pitch_idx]
-    f0 = np.where(midi > 0, 440.0 * 2 ** ((midi - 69) / 12), 0.0)
-    hop = SR * 5 // 1000
-    f0_samples = np.repeat(f0, hop)
-    phase = 2 * np.pi * np.cumsum(f0_samples) / SR
-    voiced = f0_samples > 0
-    x = 0.25 * np.sin(phase) + 0.12 * np.sin(2 * phase) + 0.05 * np.sin(3 * phase)
-    x = np.where(voiced, x, 0.003 * rng.standard_normal(len(x)))
-    return (x * 32767).astype(np.int16)
+from tests.util import FIXTURE_LABS as FIXTURES
+from tests.util import HED, synth_wav_from_labels, trim_labels
 
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     import pathlib
 
-    if not pathlib.Path(HED).exists():
-        pytest.skip("reference fixtures unavailable")
     root = tmp_path_factory.mktemp("corpus")
     (root / "lab").mkdir()
     (root / "wav").mkdir()
@@ -59,10 +26,10 @@ def corpus(tmp_path_factory):
     rng = np.random.default_rng(0)
     utt_ids = []
     for path in FIXTURES:
-        labels = _trim(hts.load(path), 8.0)
+        labels = trim_labels(hts.load(path), 8.0)
         utt = pathlib.Path(path).stem
         labels.save(root / "lab" / f"{utt}.lab")
-        wav = _synth_wav_from_labels(labels, binary_dict, numeric_dict, rng)
+        wav = synth_wav_from_labels(labels, binary_dict, numeric_dict, rng, sr=SR)
         wavfile.write(root / "wav" / f"{utt}.wav", SR, wav)
         utt_ids.append(utt)
     (root / "utt_list.txt").write_text("\n".join(utt_ids) + "\n")

@@ -18,12 +18,8 @@ from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
 from ensemble_svs_with_interactions_tpu.io import hts
 
 SR = 24000
-HED = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
-FIXTURES = [
-    "/root/reference/tests/data/nitech_jp_song070_f001_004.lab",
-    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_007.lab",
-    "/root/reference/tests/data/label_phone_align/nitech_jp_song070_f001_010.lab",
-]
+from tests.util import FIXTURE_LABS as FIXTURES
+from tests.util import HED, synth_wav_from_labels, trim_labels
 SPKS = ["alto", "soprano"]
 PKG = "ensemble_svs_with_interactions_tpu"
 
@@ -38,41 +34,12 @@ PACKAGED_RECIPE = (
 )
 
 
-def _trim(labels, seconds):
-    n = len(labels)
-    for i, e in enumerate(labels.end_times):
-        if e > seconds * 1e7:
-            n = i
-            break
-    return labels[: max(n, 10)]
-
-
-def _synth_wav(labels, binary_dict, numeric_dict, rng):
-    feats = fe.linguistic_features(
-        labels, binary_dict, numeric_dict, add_frame_features=True,
-        subphone_features="coarse_coding",
-    )
-    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
-    midi = feats[:, pitch_idx]
-    f0 = np.where(midi > 0, 440.0 * 2 ** ((midi - 69) / 12), 0.0)
-    hop = SR * 5 // 1000
-    f0s = np.repeat(f0, hop)
-    phase = 2 * np.pi * np.cumsum(f0s) / SR
-    x = np.where(f0s > 0, 0.3 * np.sin(phase) + 0.1 * np.sin(2 * phase),
-                 0.003 * rng.standard_normal(len(f0s)))
-    # tail padding: per-singer alignment shifts can extend past the score
-    x = np.concatenate([x, np.zeros(int(0.3 * SR))])
-    return (x * 32767).astype(np.int16)
-
-
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     """jaCappella-layout corpus: <root>/<spk>/<song>_{aligned,score}.lab +
     <song>.wav, 2 singers x 3 songs (song-level splits need >= 3)."""
     import pathlib
 
-    if not pathlib.Path(HED).exists():
-        pytest.skip("reference fixtures unavailable")
     root = tmp_path_factory.mktemp("jacappella")
     binary_dict, numeric_dict = hts.load_question_set(HED)
     rng = np.random.default_rng(0)
@@ -80,7 +47,7 @@ def corpus(tmp_path_factory):
         (root / spk).mkdir()
         for fi, path in enumerate(FIXTURES):
             song = f"song{fi}"
-            score = _trim(hts.load(path), 8.0)
+            score = trim_labels(hts.load(path), 8.0)
             # per-singer alignment: score times shifted by one frame
             aligned = hts.full_to_mono(score.copy())
             shift = 50000 * (si + 1)
@@ -89,7 +56,7 @@ def corpus(tmp_path_factory):
             aligned.start_times[0] = score.start_times[0]
             score.save(root / spk / f"{song}_score.lab")
             aligned.save(root / spk / f"{song}_aligned.lab")
-            wav = _synth_wav(score, binary_dict, numeric_dict, rng)
+            wav = synth_wav_from_labels(score, binary_dict, numeric_dict, rng, sr=SR, tail_seconds=0.3)
             if spk == "soprano":
                 # high-bit-depth PCM (scipy reads 24-bit wavs as int32):
                 # data prep must normalize any integer dtype, not just int16

@@ -12,6 +12,7 @@ from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.svs import SPSVS
 from ensemble_svs_with_interactions_tpu.utils.config import instantiate
 from ensemble_svs_with_interactions_tpu.utils.packing import pack_model
+from tests.util import HED, NIT_LAB
 from ensemble_svs_with_interactions_tpu.utils.scalers import (
     MinMaxScaler,
     StandardScaler,
@@ -40,12 +41,7 @@ def _out_scaler(dim, lf0_slice):
 
 @pytest.fixture(scope="module")
 def packed_model_dir(tmp_path_factory):
-    reference_data = "/root/reference/tests/data"
-    import pathlib
-
-    if not pathlib.Path(reference_data).exists():
-        pytest.skip("reference fixtures unavailable")
-    hed = "/root/reference/recipes/_common/hed/jp_dev_latest.hed"
+    hed = HED
 
     out = tmp_path_factory.mktemp("packed_model")
     key = jax.random.PRNGKey(0)
@@ -146,8 +142,8 @@ def engine(packed_model_dir):
 
 
 @pytest.fixture
-def short_labels(reference_data_dir):
-    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+def short_labels():
+    labels = hts.load(NIT_LAB)
     # use a ~7 second prefix to keep the test fast
     n = 0
     for i, e in enumerate(labels.end_times):
@@ -257,9 +253,7 @@ def test_svs_with_packed_neural_vocoder(tmp_path):
     engine = SPSVS(model_dir)
     assert engine.vocoder is not None
     assert engine.default_vocoder_type == "usfgan"
-    labels = hts.load(
-        "/root/reference/tests/data/nitech_jp_song070_f001_004.lab"
-    )[:12]
+    labels = hts.load(NIT_LAB)[:12]
     wav, sr = engine.svs(labels, vocoder_type="auto")
     assert sr == 24000
     assert len(wav) > 1000

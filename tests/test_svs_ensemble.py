@@ -13,14 +13,18 @@ import pytest
 
 from ensemble_svs_with_interactions_tpu.io import hts
 from ensemble_svs_with_interactions_tpu.svs import SPSVS
-from tests.util import build_tiny_multitrack_packed_model, build_tiny_packed_model
+from tests.util import (
+    NIT_LAB,
+    build_tiny_multitrack_packed_model,
+    build_tiny_packed_model,
+)
 
 SR = 24000
 
 
 @pytest.fixture
-def short_labels(reference_data_dir):
-    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+def short_labels():
+    labels = hts.load(NIT_LAB)
     n = 0
     for i, e in enumerate(labels.end_times):
         if e > 7 * 1e7:
@@ -212,10 +216,10 @@ def test_svs_ensemble_mesh_padding(st_engine, short_labels, monkeypatch):
         assert np.sqrt(((a - b) ** 2).mean()) < 1e-4
 
 
-def test_segmented_synthesis(st_engine, reference_data_dir):
+def test_segmented_synthesis(st_engine):
     """segmented_synthesis splits long songs on rests and concatenates the
     per-segment waveforms (reference svs.py segment_labels path)."""
-    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    labels = hts.load(NIT_LAB)
     # ~12 s prefix: enough to contain internal rests
     n = 0
     for i, e in enumerate(labels.end_times):
@@ -235,11 +239,11 @@ def test_segmented_synthesis(st_engine, reference_data_dir):
         assert abs(len(wav_seg) - len(wav_full)) < sr
 
 
-def test_svs_streaming(st_engine, reference_data_dir):
+def test_svs_streaming(st_engine):
     """svs_streaming yields one chunk per rest-delimited segment, in
     order, and pipelining must not change the numerics: the chunks are
     identical to a serial per-segment render via the same stage APIs."""
-    labels = hts.load(reference_data_dir / "nitech_jp_song070_f001_004.lab")
+    labels = hts.load(NIT_LAB)
     n = 0
     for i, e in enumerate(labels.end_times):
         if e > 12 * 1e7:

@@ -16,7 +16,7 @@ import pytest
 REFERENCE = Path("/root/reference")
 
 pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference checkout unavailable"
+    not (REFERENCE / "nnsvs").exists(), reason="reference checkout unavailable"
 )
 
 
@@ -1072,9 +1072,9 @@ def _build_torch_pack_tarball(ref_models, tmp_path):
 
     src = tmp_path / "tiny_pack"
     src.mkdir()
-    shutil.copyfile(
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed", src / "qst.hed"
-    )
+    from tests.util import HED as _HED
+
+    shutil.copyfile(_HED, src / "qst.hed")
     (src / "config.yaml").write_text(
         yaml.safe_dump(
             {
@@ -1201,9 +1201,9 @@ def test_download_and_port_end_to_end(ref_models, tmp_path, monkeypatch):
         from ensemble_svs_with_interactions_tpu.io import hts
         from ensemble_svs_with_interactions_tpu.svs import SPSVS
 
-        labels = hts.load(
-            "/root/reference/tests/data/nitech_jp_song070_f001_004.lab"
-        )
+        from tests.util import NIT_LAB
+
+        labels = hts.load(NIT_LAB)
         n = next(i for i, e in enumerate(labels.end_times) if e > 4e7)
         engine = SPSVS(out)
         wav, sr = engine.svs(labels[: max(n, 10)], vocoder_type="world")

@@ -15,7 +15,9 @@ from ensemble_svs_with_interactions_tpu.frontend.ust import (
 )
 from ensemble_svs_with_interactions_tpu.io import hts
 
-HED = Path("/root/reference/recipes/_common/hed/jp_dev_latest.hed")
+from ensemble_svs_with_interactions_tpu.utils import packaged_question_path
+
+HED = Path(packaged_question_path())
 
 UST = """[#VERSION]
 UST Version1.2

@@ -1,10 +1,61 @@
 """Shared model-testing harness (pattern from reference tests/util.py:6-48)."""
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ensemble_svs_with_interactions_tpu.base import PredictionType
+from ensemble_svs_with_interactions_tpu.utils import packaged_question_path
+
+# Self-contained fixture data: bundled NIT SONG070 labels (CC-BY 3.0 data,
+# see tests/data/nit_song070/COPYING) + the packaged question set.  No
+# /root/reference checkout is needed to run the suite.
+TESTS_DIR = pathlib.Path(__file__).parent
+NIT_DATA_DIR = TESTS_DIR / "data" / "nit_song070"
+NIT_LAB = NIT_DATA_DIR / "nitech_jp_song070_f001_004.lab"
+FIXTURE_LABS = [
+    str(NIT_LAB),
+    str(NIT_DATA_DIR / "label_phone_align" / "nitech_jp_song070_f001_007.lab"),
+    str(NIT_DATA_DIR / "label_phone_align" / "nitech_jp_song070_f001_010.lab"),
+]
+HED = packaged_question_path()
+
+
+def trim_labels(labels, seconds):
+    """First `seconds` of an HTS label sequence (min 10 segments)."""
+    n = len(labels)
+    for i, e in enumerate(labels.end_times):
+        if e > seconds * 1e7:
+            n = i
+            break
+    return labels[: max(n, 10)]
+
+
+def synth_wav_from_labels(labels, binary_dict, numeric_dict, rng, sr=24000,
+                          tail_seconds=0.0):
+    """Deterministic first-party singing stand-in: harmonics following the
+    score pitch on voiced phones, low-level noise elsewhere (int16)."""
+    from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
+    from ensemble_svs_with_interactions_tpu.io import hts
+
+    feats = fe.linguistic_features(
+        labels, binary_dict, numeric_dict, add_frame_features=True,
+        subphone_features="coarse_coding",
+    )
+    pitch_idx = hts.get_pitch_index(binary_dict, numeric_dict)
+    midi = feats[:, pitch_idx]
+    f0 = np.where(midi > 0, 440.0 * 2 ** ((midi - 69) / 12), 0.0)
+    hop = sr * 5 // 1000
+    f0_samples = np.repeat(f0, hop)
+    phase = 2 * np.pi * np.cumsum(f0_samples) / sr
+    voiced = f0_samples > 0
+    x = 0.25 * np.sin(phase) + 0.12 * np.sin(2 * phase) + 0.05 * np.sin(3 * phase)
+    x = np.where(voiced, x, 0.003 * rng.standard_normal(len(x)))
+    if tail_seconds:
+        x = np.concatenate([x, np.zeros(int(tail_seconds * sr))])
+    return (x * 32767).astype(np.int16)
 
 
 def make_batch(B=2, T=32, in_dim=82, seed=0):
@@ -163,7 +214,7 @@ def build_tiny_multitrack_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3):
         {"sample_rate": sr, "frame_period": 5, "feature_type": "world",
          "use_world_codec": True, "relative_f0": False,
          "spk_list": ["spk0", "spk1"]},
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        HED,
         {
             "timelag": {
                 "model_config": timing, "variables": init_timing(timing),
@@ -242,7 +293,7 @@ def build_tiny_packed_model(out_dir, sr=24000, mgc_dim=8, bap_dim=3,
         out_dir,
         {"sample_rate": sr, "frame_period": 5, "feature_type": "world",
          "use_world_codec": True, "relative_f0": False},
-        "/root/reference/recipes/_common/hed/jp_dev_latest.hed",
+        HED,
         {
             "timelag": {
                 "model_config": timing, "variables": init(timing, 82),
