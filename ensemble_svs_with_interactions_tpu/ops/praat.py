@@ -65,18 +65,6 @@ def _normalized_frame_acf(frames: np.ndarray, window: np.ndarray, max_lag: int):
     return acf / wacf[None, :]
 
 
-def _parabolic_refine(r: np.ndarray, peaks: np.ndarray):
-    """Parabolic interpolation of ACF peak positions and values."""
-    rm = r[peaks - 1]
-    r0 = r[peaks]
-    rp = r[peaks + 1]
-    denom = 2.0 * r0 - rm - rp
-    shift = np.where(np.abs(denom) > 1e-30, 0.5 * (rp - rm) / np.where(denom == 0, 1.0, denom), 0.0)
-    shift = np.clip(shift, -0.5, 0.5)
-    val = r0 + 0.25 * (rp - rm) * shift
-    return peaks + shift, val
-
-
 def sound_to_pitch_ac(
     x: np.ndarray,
     fs: int,
@@ -143,24 +131,47 @@ def sound_to_pitch_ac(
         is_peak = (seg > r[:, min_lag - 1 : max_lag - 2]) & (
             seg >= r[:, min_lag + 1 : max_lag]
         )
-        for fi in range(e - s):
-            peaks = np.nonzero(is_peak[fi])[0] + min_lag
-            if len(peaks) == 0:
-                continue
-            lags, vals = _parabolic_refine(r[fi], peaks)
-            # Boersma: reflect improbable >1 strengths back below 1
-            vals = np.where(vals > 1.0, 1.0 / np.where(vals == 0, 1.0, vals), vals)
-            freqs = fs / lags
-            ok = (freqs >= pitch_floor) & (freqs <= pitch_ceiling)
-            if not ok.any():
-                continue
-            freqs, vals = freqs[ok], vals[ok]
-            # R = r - octave_cost * log2(pitch_floor * tau); tau = 1/freq
-            strength = vals - octave_cost * np.log2(pitch_floor / freqs)
-            order = np.argsort(strength)[::-1][: n_cand - 1]
-            k = len(order)
-            cand_freq[s + fi, 1 : 1 + k] = freqs[order]
-            cand_str[s + fi, 1 : 1 + k] = strength[order]
+        # peak refinement + per-frame top-k, vectorized across the whole
+        # chunk at only the actual local maxima (this was the last
+        # per-frame Python hot loop in data prep): parabolic refinement on
+        # the flat (frame, lag) peak coordinates, then a lexsort-grouped
+        # rank to scatter each frame's strongest candidates into slots.
+        fi, li = np.nonzero(is_peak)
+        if len(fi) == 0:
+            continue
+        idx = li + min_lag
+        rm = r[fi, idx - 1]
+        r0 = r[fi, idx]
+        rp = r[fi, idx + 1]
+        denom = 2.0 * r0 - rm - rp
+        shift = np.where(
+            np.abs(denom) > 1e-30,
+            0.5 * (rp - rm) / np.where(denom == 0, 1.0, denom),
+            0.0,
+        )
+        shift = np.clip(shift, -0.5, 0.5)
+        vals = r0 + 0.25 * (rp - rm) * shift
+        # Boersma: reflect improbable >1 strengths back below 1
+        vals = np.where(vals > 1.0, 1.0 / np.where(vals == 0, 1.0, vals), vals)
+        freqs = fs / (idx + shift)
+        ok = (freqs >= pitch_floor) & (freqs <= pitch_ceiling)
+        fi, freqs, vals = fi[ok], freqs[ok], vals[ok]
+        if len(fi) == 0:
+            continue
+        # R = r - octave_cost * log2(pitch_floor * tau); tau = 1/freq
+        strength = vals - octave_cost * np.log2(pitch_floor / freqs)
+        # strongest-first within each frame; candidate slot order is
+        # irrelevant to the Viterbi pass
+        order = np.lexsort((-strength, fi))
+        fi_s, str_s, frq_s = fi[order], strength[order], freqs[order]
+        first = np.r_[True, fi_s[1:] != fi_s[:-1]]
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(fi_s)), 0)
+        )
+        rank = np.arange(len(fi_s)) - group_start
+        keep = rank < n_cand - 1
+        cand_freq[s + fi_s[keep], 1 + rank[keep]] = frq_s[keep]
+        cand_str[s + fi_s[keep], 1 + rank[keep]] = str_s[keep]
 
     # unvoiced candidate (Boersma eq. 23): slot 0
     intensity = (local_peak / global_peak) * (1.0 + voicing_threshold) / max(

@@ -200,6 +200,84 @@ def test_world_spectral_codec_matches_literal_transcription(fs):
     np.testing.assert_allclose(dec, dec_oracle, rtol=1e-9, atol=1e-12)
 
 
+def _code_aperiodicity_oracle(ap, fs):
+    """Literal transcription of WORLD codec.cpp CodeAperiodicity: the whole
+    spectrum to dB, then interp1Q (uniform-grid linear interpolation with a
+    zero last-segment slope) at the band centers k*3000 Hz."""
+    fft_size = (ap.shape[-1] - 1) * 2
+    n = world.get_num_aperiodicities(fs)
+    centers = 3000.0 * np.arange(1, n + 1)
+    shift = fs / fft_size
+    out = np.zeros((len(ap), n))
+    for t in range(len(ap)):
+        log_ap = 20.0 * np.log10(np.maximum(ap[t], 1e-12))
+        for j, xq in enumerate(centers):
+            base = int(np.floor(xq / shift))
+            frac = xq / shift - base
+            delta = (
+                log_ap[base + 1] - log_ap[base]
+                if base + 1 <= fft_size // 2
+                else 0.0
+            )
+            out[t, j] = log_ap[base] + delta * frac
+    return out
+
+
+def _decode_aperiodicity_oracle(coded, fs, fft_size):
+    """Literal transcription of WORLD codec.cpp DecodeAperiodicity /
+    GetAperiodicity: anchor axis [0, 3000, ..., n*3000, fs/2] with -60 dB
+    at DC and -kMySafeGuardMinimum dB (~0) at nyquist, interp1 over the
+    FFT-bin frequencies, then dB -> linear."""
+    n = world.get_num_aperiodicities(fs)
+    half = fft_size // 2
+    freq = np.arange(half + 1) * fs / fft_size
+    coarse_axis = np.concatenate([3000.0 * np.arange(0, n + 1), [fs / 2.0]])
+    out = np.zeros((len(coded), half + 1))
+    for t in range(len(coded)):
+        coarse = np.concatenate([[-60.0], coded[t], [-1e-12]])
+        out[t] = 10.0 ** (_interp1_literal(coarse_axis, coarse, freq) / 20.0)
+    return out
+
+
+@pytest.mark.parametrize("fs", [44100, 48000])
+def test_world_aperiodicity_codec_matches_literal_transcription(fs):
+    """Pins the aperiodicity codec against the codec.cpp transcription at
+    BOTH 48 kHz (band centers exactly on FFT bins) and 44.1 kHz (centers
+    between bins — exercises the two-neighbour dB-domain blend in
+    code_aperiodicity and the non-uniform anchor interp in decode).
+    Reference decode sites are rate-generic (reference nnsvs/gen.py
+    pyworld.decode_aperiodicity calls)."""
+    rng = np.random.default_rng(1)
+    fft_size = world.get_cheaptrick_fft_size(fs)
+    half = fft_size // 2 + 1
+    n = world.get_num_aperiodicities(fs)
+    assert n == 5  # min(15000, fs/2-3000)/3000 at both rates
+    # smooth plausible aperiodicity in (safe_guard, 1]
+    from scipy.ndimage import gaussian_filter1d
+
+    raw = gaussian_filter1d(rng.uniform(-40.0, -1.0, size=(4, half)), 20, axis=1)
+    ap = np.clip(10.0 ** (raw / 20.0), 1e-12, 1.0 - 1e-12)
+
+    # at 44.1 kHz the centers must NOT land on bins (the case under test)
+    pos = 3000.0 * np.arange(1, n + 1) * fft_size / fs
+    if fs == 44100:
+        assert not np.allclose(pos, np.round(pos))
+    else:
+        assert np.allclose(pos, np.round(pos))
+
+    coded = np.asarray(world.code_aperiodicity(ap, fs))
+    oracle = _code_aperiodicity_oracle(ap, fs)
+    np.testing.assert_allclose(coded, oracle, rtol=0, atol=1e-10)
+
+    dec = np.asarray(world.decode_aperiodicity(coded, fs, fft_size))
+    dec_oracle = _decode_aperiodicity_oracle(coded, fs, fft_size)
+    np.testing.assert_allclose(dec, dec_oracle, rtol=1e-9, atol=1e-12)
+
+    # roundtrip: re-coding the decoded envelope recovers the band values
+    recoded = np.asarray(world.code_aperiodicity(dec, fs))
+    np.testing.assert_allclose(recoded, coded, atol=0.36)
+
+
 def test_world_spectral_codec_scale_pins():
     """coded[0] is the mel-grid mean of the log envelope and the k>=1
     scale is sqrt(2)/N — the normalization WORLD's own decode inverts."""
