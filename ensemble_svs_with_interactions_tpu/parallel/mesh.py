@@ -76,3 +76,18 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     """Device_put a dict of (B, ...) numpy arrays, batch-sharded."""
     sharding = batch_sharding(mesh, axis)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Device_put every leaf of a pytree replicated over the mesh.
+
+    Checkpoint-restore companion for the DP layout: params / opt_state are
+    replicated (PartitionSpec()), so a host pytree read back by
+    ``train.loop.load_checkpoint`` re-enters the mesh with one call and the
+    next ``train_step`` continues the optimizer trajectory bitwise
+    (reference equivalent: rank-0 ``save_checkpoint`` + ``_resume``,
+    train_util.py:1290-1384 — there every DDP rank reloads the same file)."""
+    sharding = replicate(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
