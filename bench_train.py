@@ -16,10 +16,12 @@ step the recipe trainers run (train/multitrack.py), sharded over all
 available devices (reference equivalent: one DDP rank pair,
 /root/reference/nnsvs/bin/train_acoustic_multitrack.py:493-637).
 
-Batch geometry defaults to the recipe's working point: batch_max_frames
-32000 per step (B pairs x T frames), frames/s counts MAIN-TRACK frames
-(B*T per step) — the step also trains the sub-track pass, so total
-model throughput is 2x this.
+Batch geometry defaults to the recipe's working point: 64 pairs x
+256-frame random crops (16384 frames per step — the packaged recipe's
+use_random_segments geometry; --geom-ab sweeps it against the
+full-length rows).  frames/s counts MAIN-TRACK frames (B*T per step) —
+the step also trains the sub-track pass, so total model throughput is
+2x this.
 
 Usage:  python bench_train.py [--steps N] [--batch B] [--frames T]
         [--tiny]           # CPU-sized smoke (used by the test suite)
@@ -291,8 +293,11 @@ def run_diffusion(batch: int, frames: int, steps: int,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--frames", type=int, default=2048)
+    # defaults mirror the SHIPPED recipe geometry: 256-frame random crops
+    # at 64 pairs/step (use_random_segments in the packaged multitrack
+    # recipe; geometry_ab measured it ~2.2x the 8x2048 full-length row)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--frames", type=int, default=256)
     p.add_argument("--amp", action="store_true", help="bf16 fwd/bwd (use_amp)")
     p.add_argument("--no-donate", action="store_true",
                    help="disable state donation (A/B)")

@@ -433,6 +433,35 @@ def stage11_evaluate_timing(cfg, work):
 
         evaluate_timing.main(argv)
     logger.info("stage 11: timing dumps at %s", out_dir)
+    _write_quality_json(cfg, work)
+
+
+def _write_quality_json(cfg, work):
+    """Aggregate each phase's end-of-training dev metrics into
+    ``<work>/QUALITY.json`` — the objective-quality artifact (MGC-MCD /
+    BAP-MCD / VUV% / F0-RMSE from train/metrics.py, the reference's
+    per-epoch ObjEval_* numbers at train_util.py:1821-1893).  The recipe
+    e2e tests assert committed bounds on these, so a model/codec/vocoder
+    change that degrades output FAILS CI instead of passing on shapes."""
+    import json
+
+    quality = {}
+    for phase in ("timelag", "duration", "acoustic"):
+        p = work / "exp" / phase / "dev_metrics.json"
+        if p.exists():
+            quality[phase] = json.loads(p.read_text())
+    if not quality:
+        logger.warning("stage 11: no dev_metrics.json found under %s",
+                       work / "exp")
+        return
+    out = work / "QUALITY.json"
+    out.write_text(json.dumps(quality, indent=1))
+    ac = quality.get("acoustic", {}).get("best", {})
+    logger.info(
+        "stage 11: QUALITY.json at %s (acoustic best: %s)",
+        out,
+        {k: round(v, 4) for k, v in ac.items() if k.startswith("ObjEval")},
+    )
 
 
 def stage8_postfilter_features(cfg, work):

@@ -241,13 +241,20 @@ class BucketedBatchIterator:
         batch_multiple: int = 1,
         shuffle: bool = True,
         seed: int = 0,
+        length_cap: Optional[int] = None,
     ):
         self.dataset = dataset
         self.time_multiple = time_multiple
         self.batch_multiple = batch_multiple
         self.shuffle = shuffle
+        self.length_cap = length_cap
         self.rng = np.random.default_rng(seed)
         lengths = dataset.lengths()
+        if length_cap is not None:
+            # random crops cap the realized item length, so the token
+            # budget packs many more items per batch (the fat-batch
+            # geometry lever, docs/performance.md "Training throughput")
+            lengths = np.minimum(np.asarray(lengths), length_cap)
         self.batches = batch_by_size(
             lengths,
             max_tokens=max_tokens,
@@ -269,6 +276,13 @@ class BucketedBatchIterator:
             ys = [it[1] for it in items]
             xs = [x[: min(len(x), len(y))] for x, y in zip(xs, ys)]
             ys = [y[: min(len(x), len(y))] for x, y in zip(xs, ys)]
+            if self.length_cap is not None:
+                cap = self.length_cap
+                for i, (x, y) in enumerate(zip(xs, ys)):
+                    if len(x) > cap:
+                        start = int(self.rng.integers(len(x) - cap + 1))
+                        xs[i] = x[start : start + cap]
+                        ys[i] = y[start : start + cap]
             in_feats, lengths = pad_batch(
                 xs, self.time_multiple, self.batch_multiple
             )

@@ -235,13 +235,17 @@ class MultiTrackBatchIterator:
         batch_multiple: int = 1,
         shuffle: bool = True,
         seed: int = 0,
+        length_cap: Optional[int] = None,
     ):
         assert sync in ("notes", "frames")
+        # random crops only make sense for frame-synced (acoustic) batches
+        assert length_cap is None or sync == "frames"
         self.dataset = dataset
         self.sync = sync
         self.time_multiple = time_multiple
         self.batch_multiple = batch_multiple
         self.shuffle = shuffle
+        self.length_cap = length_cap
         self.rng = np.random.default_rng(seed)
         from ensemble_svs_with_interactions_tpu.data.dataset import batch_by_size
 
@@ -249,6 +253,12 @@ class MultiTrackBatchIterator:
         # per-track max when onsets are disjoint), so max_tokens bounds the
         # realized padded batch, not the pre-merge one
         sizing = dataset.merged_lengths() if sync == "notes" else dataset.lengths()
+        if length_cap is not None:
+            # with random crops the REALIZED item length is capped, so the
+            # token budget packs many more (short) items per batch — this
+            # is what turns segment_length=256 into the fat-batch geometry
+            # the MXU wants (docs/performance.md "Training throughput")
+            sizing = np.minimum(np.asarray(sizing), length_cap)
         self.batches = batch_by_size(
             sizing,
             max_tokens=max_tokens,
@@ -281,6 +291,13 @@ class MultiTrackBatchIterator:
                     mx1, my1 = _padto(it["x1"]), _padto(it["y1"])
                     m0 = np.arange(n) < len(it["x0"])
                     m1 = np.arange(n) < len(it["x1"])
+                    if self.length_cap is not None and n > self.length_cap:
+                        # ONE window across both tracks keeps the pairwise
+                        # interaction losses frame-aligned
+                        start = int(self.rng.integers(n - self.length_cap + 1))
+                        sl = slice(start, start + self.length_cap)
+                        mx0, my0, mx1, my1 = mx0[sl], my0[sl], mx1[sl], my1[sl]
+                        m0, m1 = m0[sl], m1[sl]
                 xs0.append(mx0)
                 ys0.append(my0)
                 ms0.append(m0)

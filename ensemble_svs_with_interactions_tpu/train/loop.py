@@ -176,6 +176,24 @@ def load_checkpoint(path, template: TrainState) -> TrainState:
     )
 
 
+def write_dev_metrics(out_dir, best_epoch, best_metrics, final_metrics):
+    """Persist end-of-training dev metrics (incl. ObjEval_* distortions —
+    MGC-MCD / BAP-MCD / VUV% / F0-RMSE, reference train_util.py:1821-1893)
+    as ``dev_metrics.json`` next to the checkpoints.  Recipe stage 11
+    aggregates these into the run's QUALITY.json so objective quality is a
+    CI-checkable artifact, not just a log line."""
+    import json
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "best_epoch": int(best_epoch),
+        "best": {k: float(v) for k, v in (best_metrics or {}).items()},
+        "final": {k: float(v) for k, v in (final_metrics or {}).items()},
+    }
+    (out_dir / "dev_metrics.json").write_text(json.dumps(payload, indent=1))
+
+
 def load_params_shape_filtered(path, template_variables) -> Any:
     """Partial restore: copy only params whose path+shape match the template
     (reference _resume train_util.py:1360-1384 — enables warm-starting

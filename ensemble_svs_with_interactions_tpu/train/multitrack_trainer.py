@@ -27,6 +27,7 @@ from ensemble_svs_with_interactions_tpu.train.loop import (
     load_params_shape_filtered,
     save_checkpoint,
     TrainState,
+    write_dev_metrics,
 )
 from ensemble_svs_with_interactions_tpu.train.multitrack import (
     _stream_to_point,
@@ -172,6 +173,8 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
     )
     nepochs = int(config.train.get("nepochs", 10))
     best_dev = float("inf")
+    best_epoch = 0
+    best_metrics: Dict[str, float] = {}
     rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
     last_metrics: Dict[str, float] = {}
 
@@ -192,6 +195,18 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
     # time padding must stay divisible by the AR reduction factor
     while time_multiple % reduction != 0:
         time_multiple += 1
+
+    # fixed-length random crops (reference collate_fn_random_segments,
+    # train_util.py:595-633) — the measured 2x training-throughput lever
+    # for the AR flagship: at constant frames-per-step, shorter sequences
+    # mean fewer sequential scan iterations and fatter per-iteration
+    # matmuls on the MXU (docs/performance.md "Training throughput").
+    # The iterator crops ONE window across both tracks (interaction
+    # losses stay frame-aligned) and sizes batches by the capped length.
+    use_random_segments = bool(config.data.get("use_random_segments", False))
+    segment_length = int(config.data.get("segment_length", 256))
+    # keep the static crop shape divisible by the AR reduction/pad multiple
+    segment_length = -(-segment_length // time_multiple) * time_multiple
 
     for epoch in range(1, nepochs + 1):
         weights = {
@@ -216,11 +231,16 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                 batch_multiple=n_dev,
                 shuffle=train,
                 seed=epoch,
+                length_cap=(
+                    segment_length
+                    if (train and is_acoustic and use_random_segments)
+                    else None
+                ),
             )
             epoch_metrics: Dict[str, list] = {}
             rendered_this_epoch = False
 
-            def _host_pipeline(it=it):
+            def _host_pipeline(it=it, train=train):
                 # batch construction + transforms + the async H2D enqueue,
                 # run on the prefetch thread so they overlap step dispatch
                 for batch in it:
@@ -316,6 +336,8 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                 dev_loss = means.get("Loss", float("inf"))
                 is_best = dev_loss < best_dev
                 best_dev = min(best_dev, dev_loss)
+                if is_best:
+                    best_epoch, best_metrics = epoch, means
                 save_checkpoint(
                     out_dir,
                     TrainState(
@@ -330,4 +352,5 @@ def train_multitrack_model(config: Config, is_acoustic: bool) -> Dict[str, float
                 )
                 last_metrics = means
     writer.close()
+    write_dev_metrics(out_dir, best_epoch, best_metrics, last_metrics)
     return last_metrics

@@ -32,6 +32,7 @@ from ensemble_svs_with_interactions_tpu.train.loop import (
     load_params_shape_filtered,
     save_checkpoint,
     TrainState,
+    write_dev_metrics,
 )
 from ensemble_svs_with_interactions_tpu.train.losses import (
     compute_pitch_regularization_weight,
@@ -205,33 +206,14 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     decay_size = int(config.train.get("pitch_reg_decay_size", 25))
 
     # fixed-length random crops for AR acoustic models (reference
-    # collate_fn_random_segments, train_util.py:595-633) — also gives the
-    # jit a single static time shape
+    # collate_fn_random_segments, train_util.py:595-633): the iterator
+    # crops item-wise AND sizes batches by the capped length, so
+    # segment_length=256 yields the fat-batch geometry the MXU wants
+    # (docs/performance.md "Training throughput") with one static shape.
     use_random_segments = bool(config.data.get("use_random_segments", False))
     segment_length = int(config.data.get("segment_length", 256))
-    seg_rng = np.random.default_rng(int(config.get("seed", 1234)) + 1)
-
-    def _random_segments(batch):
-        # crop AFTER batching (the reference's collate_fn_random_segments
-        # operates on batches formed from FULL lengths — cropping before
-        # bucketing would collapse everything into a few giant batches)
-        x, y, lengths = batch["in_feats"], batch["out_feats"], batch["lengths"]
-        B, T = x.shape[0], x.shape[1]
-        seg = segment_length
-        if T <= seg:
-            return batch
-        new_x = np.zeros((B, seg, x.shape[2]), x.dtype)
-        new_y = np.zeros((B, seg, y.shape[2]), y.dtype)
-        new_len = np.minimum(lengths, seg)
-        for i in range(B):
-            L = int(lengths[i])
-            start = int(seg_rng.integers(max(L - seg, 0) + 1))
-            e = min(start + seg, L)
-            new_x[i, : e - start] = x[i, start:e]
-            new_y[i, : e - start] = y[i, start:e]
-        out = dict(batch)
-        out["in_feats"], out["out_feats"], out["lengths"] = new_x, new_y, new_len
-        return out
+    _tm = int(config.data.get("time_multiple", 32))
+    segment_length = -(-segment_length // _tm) * _tm
 
     writer = MetricsWriter(
         out_dir,
@@ -243,6 +225,8 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
     )
     nepochs = int(config.train.get("nepochs", 10))
     best_dev_loss = float("inf")
+    best_epoch = 0
+    best_metrics: Dict[str, float] = {}
     rng = jax.random.PRNGKey(int(config.get("seed", 1234)))
     step = 0
     last_metrics: Dict[str, float] = {}
@@ -257,6 +241,9 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                 batch_multiple=n_dev,
                 shuffle=train,
                 seed=epoch,
+                length_cap=(
+                    segment_length if (train and use_random_segments) else None
+                ),
             )
             epoch_metrics: Dict[str, list] = {}
             rendered_this_epoch = False
@@ -265,8 +252,6 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                 # batch construction + transforms + the async H2D enqueue,
                 # run on the prefetch thread so they overlap step dispatch
                 for batch in it:
-                    if train and use_random_segments:
-                        batch = _random_segments(batch)
                     if is_acoustic and pitch_reg_weight > 0 and in_lf0_idx >= 0:
                         lf0_denorm = (
                             batch["in_feats"][:, :, in_lf0_idx]
@@ -332,10 +317,16 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                             pred_point = _stream_to_point(tuple(pred_out))
                     out_dim_total = sum(config.model.stream_sizes)
                     if (
-                        out_scaler is not None
+                        is_acoustic
+                        and out_scaler is not None
                         and pred_point is not None
                         and pred_point.shape[-1] == out_dim_total
                     ):
+                        # distortions assume (mgc, lf0, vuv, bap) stream
+                        # semantics — acoustic models only (the reference
+                        # computes ObjEval_* only in its acoustic eval,
+                        # train_util.py:1821); timelag/duration streams
+                        # would yield meaningless MCD/inf-F0 numbers
                         pred_out = pred_point
                         dist = M.compute_distortions(
                             pred_out,
@@ -389,6 +380,8 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                 dev_loss = means.get("Loss", float("inf"))
                 is_best = dev_loss < best_dev_loss
                 best_dev_loss = min(best_dev_loss, dev_loss)
+                if is_best:
+                    best_epoch, best_metrics = epoch, means
                 save_checkpoint(
                     out_dir,
                     TrainState(
@@ -403,4 +396,5 @@ def train_model(config: Config, is_acoustic: bool = False) -> Dict[str, float]:
                 )
                 last_metrics = means
     writer.close()
+    write_dev_metrics(out_dir, best_epoch, best_metrics, last_metrics)
     return last_metrics

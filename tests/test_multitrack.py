@@ -456,3 +456,95 @@ def test_merged_lengths_match_actual_merge(tmp_path):
         assert predicted[k] == len(mx0), (k, predicted[k], len(mx0))
     # self-pairs merge to the track length; the cross pair expands
     assert predicted.max() > ds.lengths().max()
+
+
+def test_multitrack_iterator_length_cap(tmp_path):
+    """length_cap crops ONE window across both tracks (interaction losses
+    need frame-aligned crops) AND re-sizes batches by the capped length,
+    so short crops pack fat batches (the 64x256 geometry lever)."""
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    D = 3
+    # frame index in feature 0 makes window alignment checkable
+    for spk in ("alto", "soprano"):
+        for seg, T in (("seg1", 100), ("seg2", 120)):
+            base = np.arange(T, dtype=np.float32)[:, None] * np.ones((1, D))
+            np.save(in_dir / f"{spk}_{seg}-feats.npy", base.astype(np.float32))
+            np.save(out_dir / f"{spk}_{seg}-feats.npy",
+                    (base + 0.5).astype(np.float32))
+    ds = MultiTrackFeatsDataset(in_dir, out_dir, ["alto", "soprano"])
+    it = MultiTrackBatchIterator(
+        ds, sync="frames", max_tokens=512, time_multiple=8,
+        shuffle=False, seed=0, length_cap=16,
+    )
+    batches = list(it)
+    assert batches
+    # capped sizing packs many pairs per batch (full lengths would allow
+    # at most 512/100=5 items; capped allows 512/16=32)
+    assert max(b["in_feats0"].shape[0] for b in batches) > 5
+    for b in batches:
+        assert b["in_feats0"].shape[1] == 16
+        for i in range(len(b["lengths"])):
+            L = int(b["lengths"][i])
+            if L == 0:
+                continue
+            # same window across all four tensors; frame ids contiguous
+            f = b["in_feats0"][i, :L, 0]
+            assert np.all(np.diff(f) == 1.0)
+            np.testing.assert_array_equal(b["out_feats0"][i, :L, 0], f + 0.5)
+            np.testing.assert_array_equal(b["in_feats1"][i, :L, 0], f)
+            np.testing.assert_array_equal(b["out_feats1"][i, :L, 0], f + 0.5)
+
+
+def test_multitrack_acoustic_training_random_segments(multitrack_dumps, tmp_path):
+    """use_random_segments trains the multitrack acoustic model on fixed
+    short crops (the 64x256-style geometry the recipe ships)."""
+    from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
+        train_multitrack_model,
+    )
+
+    in_dir, out_dir = multitrack_dumps
+    D = 17
+    scaler_prefix = str(tmp_path / "out_acoustic_scaler")
+    np.save(f"{scaler_prefix}_mean.npy", np.zeros(D, np.float64))
+    np.save(f"{scaler_prefix}_var.npy", np.ones(D, np.float64))
+    np.save(f"{scaler_prefix}_scale.npy", np.ones(D, np.float64))
+    cfg = _wrap(
+        {
+            "seed": 1,
+            "verbose": 0,
+            "data": {
+                "train_no_dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
+                "spk_names": ["alto", "soprano"],
+                "batch_max_frames": 2000,
+                "time_multiple": 8,
+                "use_random_segments": True,
+                "segment_length": 16,
+                "out_scaler_prefix": scaler_prefix,
+                "sample_rate": 24000,
+            },
+            "model": {
+                "netG": _tiny_multitrack_acoustic_netG(),
+                "stream_sizes": [10, 1, 1, 5],
+                "has_dynamic_features": [False, False, False, False],
+                "num_windows": 1,
+            },
+            "train": {
+                "out_dir": str(tmp_path / "exp_mt_seg"),
+                "nepochs": 1,
+                "pitch_reg_weight": 1.0,
+                "logf0_diff_weight": 1.0,
+                "mgc_diff_weight": 1.0,
+                "sub_require_grad": False,
+                "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}}},
+            },
+        }
+    )
+    metrics = train_multitrack_model(cfg, is_acoustic=True)
+    assert np.isfinite(metrics["Loss"])
+    assert "Loss_LogF0_Interaction" in metrics
+    assert (tmp_path / "exp_mt_seg" / "best_loss.ckpt").exists()
+    assert (tmp_path / "exp_mt_seg" / "dev_metrics.json").exists()

@@ -227,3 +227,21 @@ def test_full_recipe(corpus, tmp_path):
     assert sr == SR
     assert len(x) > SR  # at least 1 second
     assert np.abs(x.astype(np.int64)).max() > 0
+
+    # stage 11 + objective-quality gate: QUALITY.json aggregates the best
+    # checkpoint's dev-set distortions (ObjEval_* reference formulas);
+    # committed bounds for this deterministic mini-recipe make quality
+    # regressions a CI failure, not a silent drift.
+    import json as _json
+
+    assert main([str(recipe_path), "--stage", "11", "--stop-stage", "11"]) == 0
+    quality = _json.loads((work / "QUALITY.json").read_text())
+    # Calibrated ceilings: the seeded 2-epoch mini-recipe measured
+    # MGC 23.7 dB / VUV 0.287 / F0 4.65 Hz (2026-08-20); bounds sit
+    # ~30-40% above so seed jitter passes but a real regression fails.
+    ac = quality["acoustic"]["best"]
+    assert ac["ObjEval_MGC_MCD"] < 30.0, ac
+    assert ac["ObjEval_VUV_ERR"] < 0.45, ac
+    assert ac["ObjEval_F0_RMSE"] < 40.0, ac
+    for phase in ("timelag", "duration"):
+        assert np.isfinite(quality[phase]["best"]["Loss"]), quality[phase]

@@ -260,6 +260,25 @@ def test_multitrack_recipe(corpus, tmp_path):
     assert (work / "timing_eval").exists()
     assert len(list((work / "timing_eval").rglob("*.npy"))) >= 2
 
+    # objective-quality regression gate: stage 11 emitted QUALITY.json
+    # with the dev-set distortions of the best checkpoint (reference
+    # ObjEval_* formulas, train_util.py:1821-1893).  The bounds are
+    # committed CI ceilings for THIS deterministic mini-recipe (seeded
+    # corpus + seeded training): a model/codec regression that degrades
+    # output quality fails here even while every shape test stays green.
+    # Calibrated ceilings: the seeded 2-epoch mini-recipe measured
+    # MGC 16.2 dB / BAP 6.6 / VUV 0.157 / F0 12.7 Hz (2026-08-20);
+    # bounds sit ~30-40% above so seed jitter passes but a real
+    # regression (model/codec/extractor) fails CI.
+    quality = json.loads((work / "QUALITY.json").read_text())
+    ac = quality["acoustic"]["best"]
+    assert ac["ObjEval_MGC_MCD"] < 22.0, ac
+    assert ac["ObjEval_BAP_MCD"] < 10.0, ac
+    assert ac["ObjEval_VUV_ERR"] < 0.35, ac
+    assert ac["ObjEval_F0_RMSE"] < 40.0, ac
+    for phase in ("timelag", "duration"):
+        assert np.isfinite(quality[phase]["best"]["Loss"]), quality[phase]
+
 
 def test_packaged_recipe_config_resolves():
     """The shipped jaCappella recipe must resolve out of the box: every
