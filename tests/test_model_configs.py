@@ -159,6 +159,10 @@ def _check_vocoder_config(cfg):
 
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: str(p.relative_to(CONF_ROOT)))
 def test_shipped_config_contract(path):
+    # NOTE (suite-diet, measured 2026-08-20): running these eagerly via
+    # jax.disable_jit() was tried and is a net LOSS (27 tests: 397 s
+    # eager vs ~300 s jitted — the AR scans and vocoder conv stacks cost
+    # more as Python loops than their XLA compiles). Keep jitted.
     cfg = load_config(path)
     if "model" in cfg and "generator" in (cfg.get("model") or {}):
         _check_vocoder_config(cfg)

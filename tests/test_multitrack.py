@@ -357,7 +357,7 @@ def test_multitrack_acoustic_training(multitrack_dumps, tmp_path):
             },
             "train": {
                 "out_dir": str(tmp_path / "exp_mt_ac"),
-                "nepochs": 2,
+                "nepochs": 1,  # suite diet: epoch 2 repeated identical assertions
                 "pitch_reg_weight": 1.0,
                 "logf0_diff_weight": "exponential",
                 "mgc_diff_weight": 1.0,

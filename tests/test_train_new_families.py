@@ -42,7 +42,7 @@ def _train_cfg(in_dir, out_dir, exp, netG, ss):
         "model": {"netG": netG, "stream_sizes": ss,
                   "has_dynamic_features": [False] * len(ss),
                   "num_windows": 1},
-        "train": {"out_dir": str(exp), "nepochs": 2,
+        "train": {"out_dir": str(exp), "nepochs": 1,  # diet: loss-finite asserts only
                   "optim": {"optimizer": {"name": "Adam",
                                           "params": {"lr": 0.01}},
                             "clip_norm": 5.0}},
