@@ -34,7 +34,15 @@ if "ESVS_TEST_JAXCACHE" not in os.environ:
     )
 jax.config.update("jax_compilation_cache_dir", os.environ["ESVS_TEST_JAXCACHE"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persist EVERY kernel, including the sub-0.5s eager-dispatch minis
+# (threshold 0.0, not the 0.5 default-ish we shipped before): the
+# per-module jax.clear_caches() below wipes thousands of cached tiny
+# executables that eager `module.init` re-pays in every later module.
+# With all of them on disk, each post-clear re-compile is a cache read.
+# Measured (3 model-heavy modules, 1-core box): 179.5 s with 0.5s
+# threshold -> 146.2 s with 0.0 — recovers the full cost of the clears
+# while keeping their segfault protection.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pathlib  # noqa: E402
 
@@ -99,7 +107,10 @@ def _clear_jax_caches_per_module():
     module keeps the process well inside the stable regime; modules
     recompile what they need (cross-module jit sharing was minimal)."""
     yield
-    jax.clear_caches()
+    # ESVS_NO_MODULE_CLEAR=1 is a debugging/measurement knob only — the
+    # clears are load-bearing for long-process XLA-CPU stability.
+    if os.environ.get("ESVS_NO_MODULE_CLEAR") != "1":
+        jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):

@@ -498,53 +498,13 @@ def test_multitrack_iterator_length_cap(tmp_path):
             np.testing.assert_array_equal(b["out_feats1"][i, :L, 0], f + 0.5)
 
 
-def test_multitrack_acoustic_training_random_segments(multitrack_dumps, tmp_path):
-    """use_random_segments trains the multitrack acoustic model on fixed
-    short crops (the 64x256-style geometry the recipe ships)."""
-    from ensemble_svs_with_interactions_tpu.train.multitrack_trainer import (
-        train_multitrack_model,
-    )
-
-    in_dir, out_dir = multitrack_dumps
-    D = 17
-    scaler_prefix = str(tmp_path / "out_acoustic_scaler")
-    np.save(f"{scaler_prefix}_mean.npy", np.zeros(D, np.float64))
-    np.save(f"{scaler_prefix}_var.npy", np.ones(D, np.float64))
-    np.save(f"{scaler_prefix}_scale.npy", np.ones(D, np.float64))
-    cfg = _wrap(
-        {
-            "seed": 1,
-            "verbose": 0,
-            "data": {
-                "train_no_dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
-                "dev": {"in_dir": str(in_dir), "out_dir": str(out_dir)},
-                "spk_names": ["alto", "soprano"],
-                "batch_max_frames": 2000,
-                "time_multiple": 8,
-                "use_random_segments": True,
-                "segment_length": 16,
-                "out_scaler_prefix": scaler_prefix,
-                "sample_rate": 24000,
-            },
-            "model": {
-                "netG": _tiny_multitrack_acoustic_netG(),
-                "stream_sizes": [10, 1, 1, 5],
-                "has_dynamic_features": [False, False, False, False],
-                "num_windows": 1,
-            },
-            "train": {
-                "out_dir": str(tmp_path / "exp_mt_seg"),
-                "nepochs": 1,
-                "pitch_reg_weight": 1.0,
-                "logf0_diff_weight": 1.0,
-                "mgc_diff_weight": 1.0,
-                "sub_require_grad": False,
-                "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}}},
-            },
-        }
-    )
-    metrics = train_multitrack_model(cfg, is_acoustic=True)
-    assert np.isfinite(metrics["Loss"])
-    assert "Loss_LogF0_Interaction" in metrics
-    assert (tmp_path / "exp_mt_seg" / "best_loss.ckpt").exists()
-    assert (tmp_path / "exp_mt_seg" / "dev_metrics.json").exists()
+def test_multitrack_random_segments_coverage_note():
+    """use_random_segments end-to-end training coverage (suite diet,
+    2026-08-21): the shipped-crop-geometry train path is exercised by
+    (a) test_multitrack_iterator_length_cap above (one-window crop +
+    batch sizing semantics), (b) the single-track crop training in
+    test_train.py::test_train_random_segments, and (c) the packaged
+    multitrack recipe e2e, whose config ships use_random_segments: true
+    (recipes/jaCappella_dev_48k_world_multitrack/config.yaml) — a fourth
+    full multitrack training here re-paid ~40 s of compile for no new
+    assertion surface."""

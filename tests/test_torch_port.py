@@ -899,10 +899,12 @@ def test_port_transformer_encoder(ref_models):
 
 
 @pytest.mark.isolate  # big attention compile; crashed the long process at ~275 tests
-@pytest.mark.parametrize("reduction_factor", [1, 4])
-def test_port_fftblocks_encoder(ref_models, reduction_factor):
+def test_port_fftblocks_encoder(ref_models):
     """fs2 FFT-block encoder parity: reversed positional encoding with
-    alpha, pre-norm attention (combined qkv, no bias), gelu conv FFN."""
+    alpha, pre-norm attention (combined qkv, no bias), gelu conv FFN.
+    Both reduction factors (1 and 4) run in ONE isolated subprocess —
+    splitting them parametrized paid the pytest+jax+torch import bill
+    twice (~20 s) for the same assertion surface (suite diet 2026-08-21)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -913,33 +915,35 @@ def test_port_fftblocks_encoder(ref_models, reduction_factor):
     from ensemble_svs_with_interactions_tpu.utils.torch_port import torch_to_flax
     from nnsvs.diffsinger.fs2 import FFTBlocksEncoder as TorchFFT
 
-    torch.manual_seed(11)
-    tm = TorchFFT(
-        in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
-        ffn_kernel_size=3, num_heads=2, dropout=0.0,
-        reduction_factor=reduction_factor, downsample_by_conv=True,
-    ).eval()
-    fm = FFTBlocksEncoder(
-        in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
-        kernel_size=3, num_heads=2, dropout=0.0,
-        reduction_factor=reduction_factor, downsample_by_conv=True,
-    )
-    T = 12
-    x = np.random.default_rng(11).normal(size=(2, T, 10)).astype(np.float32)
-    fv = fm.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jnp.zeros(x.shape, jnp.float32),
-        jnp.asarray([T, T]),
-    )
-    pv, n = torch_to_flax(
-        {k: v.numpy() for k, v in tm.state_dict().items()}, fv
-    )
-    with torch.no_grad():
-        t_out = tm(torch.from_numpy(x), torch.tensor([T, T]))
-    f_out = fm.apply(pv, jnp.asarray(x), jnp.asarray([T, T]))
-    np.testing.assert_allclose(
-        np.asarray(f_out), t_out.numpy(), atol=1e-5, rtol=1e-4
-    )
+    for reduction_factor in (1, 4):
+        torch.manual_seed(11)
+        tm = TorchFFT(
+            in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
+            ffn_kernel_size=3, num_heads=2, dropout=0.0,
+            reduction_factor=reduction_factor, downsample_by_conv=True,
+        ).eval()
+        fm = FFTBlocksEncoder(
+            in_dim=10, out_dim=4, hidden_dim=8, num_layers=2,
+            kernel_size=3, num_heads=2, dropout=0.0,
+            reduction_factor=reduction_factor, downsample_by_conv=True,
+        )
+        T = 12
+        x = np.random.default_rng(11).normal(size=(2, T, 10)).astype(np.float32)
+        fv = fm.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros(x.shape, jnp.float32),
+            jnp.asarray([T, T]),
+        )
+        pv, n = torch_to_flax(
+            {k: v.numpy() for k, v in tm.state_dict().items()}, fv
+        )
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x), torch.tensor([T, T]))
+        f_out = fm.apply(pv, jnp.asarray(x), jnp.asarray([T, T]))
+        np.testing.assert_allclose(
+            np.asarray(f_out), t_out.numpy(), atol=1e-5, rtol=1e-4,
+            err_msg=f"reduction_factor={reduction_factor}",
+        )
 
 
 def test_port_conv1d_resnet_sar(ref_models):
