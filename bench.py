@@ -47,11 +47,16 @@ def _enable_compilation_cache():
     pipeline compile.  Cache entries are keyed by HLO hash, so kernel
     changes invalidate naturally."""
     import jax
+    import os
 
+    # Under the test suite (CPU smoke runs), share the suite's per-run
+    # cache instead of polluting the TPU bench cache with CPU kernels.
+    cache_dir = os.environ.get("ESVS_TEST_JAXCACHE", "/tmp/esvs-jaxcache")
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/esvs-jaxcache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0 if "ESVS_TEST_JAXCACHE" in os.environ else 1.0)
     except Exception:
         pass  # older jax without these flags: compile as usual
 

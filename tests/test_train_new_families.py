@@ -181,6 +181,13 @@ def _spawn(family, tmp_path):
         "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
         "os.environ.setdefault('PALLAS_AXON_POOL_IPS','');"
         "import jax; jax.config.update('jax_platforms','cpu');"
+        # share the suite's per-run persistent kernel cache (conftest
+        # sets the env var; this fresh process bypasses conftest) — the
+        # two cascade families reuse many identical tiny kernels
+        "cache=os.environ.get('ESVS_TEST_JAXCACHE');"
+        "cache and (jax.config.update('jax_compilation_cache_dir',cache),"
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes',-1),"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0));"
         "import sys; sys.path.insert(0, '.');"
         "from tests import test_train_new_families as m;"
         f"m._run_{family}(sys.argv[1]); print('{family}_OK')"

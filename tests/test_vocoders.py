@@ -611,6 +611,13 @@ import os
 os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 import jax
 jax.config.update("jax_platforms", "cpu")
+# share the suite's per-run persistent kernel cache (conftest sets the
+# env var; this fresh process bypasses conftest)
+if os.environ.get("ESVS_TEST_JAXCACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["ESVS_TEST_JAXCACHE"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import sys
 sys.path.insert(0, ".")
 import numpy as np
