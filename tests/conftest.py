@@ -27,10 +27,19 @@ jax.config.update("jax_platforms", "cpu")
 # A fresh dir per top-level run — never the TPU bench cache — so entries
 # compiled for another machine's CPU features can't poison the run.
 if "ESVS_TEST_JAXCACHE" not in os.environ:
+    import atexit
+    import shutil
     import tempfile
 
     os.environ["ESVS_TEST_JAXCACHE"] = tempfile.mkdtemp(
         prefix="esvs-test-jaxcache-"
+    )
+    # The creating (top-level) process removes the dir when the run ends
+    # — a full run writes ~600 MB of kernels, which would otherwise pile
+    # up in /tmp forever. Children that inherited the var skip this, and
+    # they always finish before the parent's test returns.
+    atexit.register(
+        shutil.rmtree, os.environ["ESVS_TEST_JAXCACHE"], ignore_errors=True
     )
 jax.config.update("jax_compilation_cache_dir", os.environ["ESVS_TEST_JAXCACHE"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
