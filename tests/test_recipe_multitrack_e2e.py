@@ -14,12 +14,7 @@ import pytest
 import yaml
 from scipy.io import wavfile
 
-from ensemble_svs_with_interactions_tpu.frontend import merlin as fe
-from ensemble_svs_with_interactions_tpu.io import hts
-
 SR = 24000
-from tests.util import FIXTURE_LABS as FIXTURES
-from tests.util import HED, synth_wav_from_labels, trim_labels
 SPKS = ["alto", "soprano"]
 PKG = "ensemble_svs_with_interactions_tpu"
 
@@ -37,105 +32,23 @@ PACKAGED_RECIPE = (
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     """jaCappella-layout corpus: <root>/<spk>/<song>_{aligned,score}.lab +
-    <song>.wav, 2 singers x 3 songs (song-level splits need >= 3)."""
-    import pathlib
+    <song>.wav, 2 singers x 3 songs (song-level splits need >= 3).
+    Shared builder (tests/util.py) so tools/quality_seed_variance.py
+    calibrates on the SAME corpus this test gates."""
+    from tests.util import build_synthetic_jacappella_corpus
 
     root = tmp_path_factory.mktemp("jacappella")
-    binary_dict, numeric_dict = hts.load_question_set(HED)
-    rng = np.random.default_rng(0)
-    for si, spk in enumerate(SPKS):
-        (root / spk).mkdir()
-        for fi, path in enumerate(FIXTURES):
-            song = f"song{fi}"
-            score = trim_labels(hts.load(path), 8.0)
-            # per-singer alignment: score times shifted by one frame
-            aligned = hts.full_to_mono(score.copy())
-            shift = 50000 * (si + 1)
-            aligned.start_times = [t + shift for t in aligned.start_times]
-            aligned.end_times = [t + shift for t in aligned.end_times]
-            aligned.start_times[0] = score.start_times[0]
-            score.save(root / spk / f"{song}_score.lab")
-            aligned.save(root / spk / f"{song}_aligned.lab")
-            wav = synth_wav_from_labels(score, binary_dict, numeric_dict, rng, sr=SR, tail_seconds=0.3)
-            if spk == "soprano":
-                # high-bit-depth PCM (scipy reads 24-bit wavs as int32):
-                # data prep must normalize any integer dtype, not just int16
-                wav = (wav.astype(np.int64) << 16).astype(np.int32)
-            wavfile.write(root / spk / f"{song}.wav", SR, wav)
-    return root
-
-
-def _model_configs(conf_dir):
-    conf_dir.mkdir(parents=True, exist_ok=True)
-    timing = {
-        "netG": {
-            "_target_": f"{PKG}.models.MultiTrackVariancePredictor",
-            "in_dim": 82, "out_dim": 1, "hidden_dim": 8, "num_layers": 1,
-            "kernel_size": 3, "use_mdn": True, "num_gaussians": 2,
-            "num_speaker": 2, "spk_embed_dim": 4,
-        },
-        "stream_sizes": [1],
-        "has_dynamic_features": [False],
-        "num_windows": 1,
-    }
-    ss = [8, 1, 1, 3]
-    enc_out = 8
-    dec = {"in_dim": enc_out + 2, "ff_hidden_dim": 8, "conv_hidden_dim": 8,
-           "lstm_hidden_dim": 4, "num_lstm_layers": 1}
-    acoustic = {
-        "netG": {
-            "_target_": f"{PKG}.models.acoustic.MultiTrackMultistreamSeparateF0ParametricModel",
-            "in_dim": 86, "out_dim": sum(ss), "stream_sizes": ss,
-            "reduction_factor": 4,
-            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": ss[0],
-            "in_lf0_min": None, "in_lf0_max": None,
-            "out_lf0_mean": None, "out_lf0_scale": None,
-            "encoder": {
-                "_target_": f"{PKG}.models.MultiTrackLSTMEncoder",
-                "in_dim": 86, "hidden_dim": 4, "out_dim": enc_out,
-                "num_layers": 1, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
-                "embed_dim": 8,
-            },
-            "lf0_model": {
-                "_target_": f"{PKG}.models.acoustic.MultiTrackBiLSTMResF0NonAttentiveDecoder",
-                "in_dim": 86, "out_dim": 1, "ff_hidden_dim": 8,
-                "conv_hidden_dim": 8, "lstm_hidden_dim": 4,
-                "num_lstm_layers": 1, "decoder_layers": 1,
-                "decoder_hidden_dim": 8, "prenet_layers": 0,
-                "prenet_hidden_dim": 4, "prenet_dropout": 0.5,
-                "scaled_tanh": True, "zoneout": 0.0, "reduction_factor": 4,
-                "downsample_by_conv": True, "in_lf0_idx": 51,
-                "out_lf0_idx": 0, "in_lf0_min": None, "in_lf0_max": None,
-                "out_lf0_mean": None, "out_lf0_scale": None,
-                "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 8,
-            },
-            "mgc_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
-                          "out_dim": ss[0]},
-            "vuv_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
-                          "out_dim": 1},
-            "bap_model": {"_target_": f"{PKG}.models.FFConvLSTM", **dec,
-                          "out_dim": ss[3]},
-            "speaker_embedding": {
-                "_target_": f"{PKG}.models.SpeakerEmbedding",
-                "num_embeddings": 2, "embedding_dim": 8,
-            },
-        },
-        "stream_sizes": ss,
-        "has_dynamic_features": [False, False, False, False],
-        "num_windows": 1,
-    }
-    for name, cfg in (("timelag", timing), ("duration", timing),
-                      ("acoustic", acoustic)):
-        with open(conf_dir / f"{name}.yaml", "w") as f:
-            yaml.safe_dump(cfg, f)
+    return build_synthetic_jacappella_corpus(root, spks=SPKS, sr=SR)
 
 
 def test_multitrack_recipe(corpus, tmp_path):
     from ensemble_svs_with_interactions_tpu.bin.run_recipe import main
 
+    from tests.util import write_multitrack_mini_model_configs
+
     work = tmp_path / "work"
     conf = tmp_path / "conf"
-    _model_configs(conf)
+    write_multitrack_mini_model_configs(conf)
     data_dir = work / "data"
 
     # Base = the PACKAGED full recipe (the YAML users run); the test
@@ -148,71 +61,14 @@ def test_multitrack_recipe(corpus, tmp_path):
         merge,
     )
 
+    from tests.util import multitrack_mini_recipe_overrides
+
     base = load_config(PACKAGED_RECIPE)
-    train_common = {
-        "nepochs": 2,
-        "use_amp": False,  # CPU CI; the recipe default targets accelerators
-        "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}},
-                  "lr_scheduler": {"name": "StepLR",
-                                   "params": {"step_size": 20, "gamma": 0.5}}},
-    }
-    mt_data = {"spk_names": SPKS}
-    overrides = {
-        "verbose": 0,
-        "work_dir": str(work),
-        "question_path": HED,
-        "spk_list": SPKS,
-        "data_prep": {
-            "corpus_root": str(corpus),
-            "out_dir": str(data_dir),
-            "spk_list": SPKS,
-            "dev_songs": ["song1"],
-            "eval_songs": ["song2"],
-        },
-        "data": {"lists_dir": str(data_dir / "lists")},
-        "features": {
-            "n_jobs": 1,
-            "timelag": {
-                "label_phone_score_dir": str(data_dir / "timelag/label_phone_score"),
-                "label_phone_align_dir": str(data_dir / "timelag/label_phone_align"),
-            },
-            "duration": {"label_dir": str(data_dir / "duration/label_phone_align")},
-            "acoustic": {
-                "wav_dir": str(data_dir / "acoustic/wav"),
-                "label_dir": str(data_dir / "acoustic/label_phone_align"),
-                "params": {
-                    "sample_rate": SR,  # 24 kHz CI fixtures (recipe: 48k)
-                    "f0_floor": 120,
-                    "f0_ceil": 700,
-                    "mgc_order": 7,  # CI size (recipe: 59)
-                },
-            },
-        },
-        "timelag": {
-            "model_config": str(conf / "timelag.yaml"),
-            "train": train_common, "data": mt_data,
-        },
-        "duration": {
-            "model_config": str(conf / "duration.yaml"),
-            "train": train_common, "data": mt_data,
-        },
-        "acoustic": {
-            "model_config": str(conf / "acoustic.yaml"),
-            # the packaged recipe ships the reference's checked-in
-            # myconfig_notuseIL weights (0.0); CI turns the paper's
-            # interaction losses ON to exercise them
-            "train": {**train_common, "pitch_reg_weight": 1.0,
-                      "logf0_diff_weight": 1.0, "mgc_diff_weight": 1.0},
-            "data": {**mt_data, "time_multiple": 32},
-        },
-        "synthesis": {
-            "label_dir": str(data_dir / "acoustic/label_phone_score"),
-        },
-        "timing_eval": {
-            "score_label_dir": str(data_dir / "acoustic/label_phone_score"),
-            "align_label_dir": str(data_dir / "acoustic/label_phone_align"),
-        },
-    }
+    # override dict shared with tools/quality_seed_variance.py — the
+    # calibration and the gate must run the same recipe
+    overrides = multitrack_mini_recipe_overrides(
+        corpus, work, conf, data_dir, spks=SPKS, sr=SR
+    )
     recipe = merge(base, overrides)
     recipe_path = tmp_path / "recipe.yaml"
     with open(recipe_path, "w") as f:

@@ -58,6 +58,204 @@ def synth_wav_from_labels(labels, binary_dict, numeric_dict, rng, sr=24000,
     return (x * 32767).astype(np.int16)
 
 
+def build_synthetic_jacappella_corpus(root, spks=("alto", "soprano"),
+                                      sr=24000):
+    """jaCappella-layout corpus: <root>/<spk>/<song>_{aligned,score}.lab +
+    <song>.wav, len(spks) singers x 3 songs (song-level splits need >= 3).
+    Deterministic (rng seed 0) — shared by the multitrack recipe e2e test
+    and tools/quality_seed_variance.py so both gate the SAME corpus."""
+    from scipy.io import wavfile
+
+    from ensemble_svs_with_interactions_tpu.io import hts
+
+    binary_dict, numeric_dict = hts.load_question_set(HED)
+    rng = np.random.default_rng(0)
+    for si, spk in enumerate(spks):
+        (root / spk).mkdir(parents=True, exist_ok=True)
+        for fi, path in enumerate(FIXTURE_LABS):
+            song = f"song{fi}"
+            score = trim_labels(hts.load(path), 8.0)
+            # per-singer alignment: score times shifted by one frame
+            aligned = hts.full_to_mono(score.copy())
+            shift = 50000 * (si + 1)
+            aligned.start_times = [t + shift for t in aligned.start_times]
+            aligned.end_times = [t + shift for t in aligned.end_times]
+            aligned.start_times[0] = score.start_times[0]
+            score.save(root / spk / f"{song}_score.lab")
+            aligned.save(root / spk / f"{song}_aligned.lab")
+            wav = synth_wav_from_labels(
+                score, binary_dict, numeric_dict, rng, sr=sr,
+                tail_seconds=0.3,
+            )
+            if spk == "soprano":
+                # high-bit-depth PCM (scipy reads 24-bit wavs as int32):
+                # data prep must normalize any integer dtype, not just
+                # int16
+                wav = (wav.astype(np.int64) << 16).astype(np.int32)
+            wavfile.write(root / spk / f"{song}.wav", sr, wav)
+    return root
+
+
+def write_multitrack_mini_model_configs(conf_dir, pkg=None):
+    """CI-size multitrack model configs (timelag/duration/acoustic) used
+    by the recipe e2e test and the seed-variance calibration tool."""
+    import yaml
+
+    pkg = pkg or "ensemble_svs_with_interactions_tpu"
+    conf_dir.mkdir(parents=True, exist_ok=True)
+    timing = {
+        "netG": {
+            "_target_": f"{pkg}.models.MultiTrackVariancePredictor",
+            "in_dim": 82, "out_dim": 1, "hidden_dim": 8, "num_layers": 1,
+            "kernel_size": 3, "use_mdn": True, "num_gaussians": 2,
+            "num_speaker": 2, "spk_embed_dim": 4,
+        },
+        "stream_sizes": [1],
+        "has_dynamic_features": [False],
+        "num_windows": 1,
+    }
+    ss = [8, 1, 1, 3]
+    enc_out = 8
+    dec = {"in_dim": enc_out + 2, "ff_hidden_dim": 8, "conv_hidden_dim": 8,
+           "lstm_hidden_dim": 4, "num_lstm_layers": 1}
+    acoustic = {
+        "netG": {
+            "_target_": (
+                f"{pkg}.models.acoustic."
+                "MultiTrackMultistreamSeparateF0ParametricModel"
+            ),
+            "in_dim": 86, "out_dim": sum(ss), "stream_sizes": ss,
+            "reduction_factor": 4,
+            "in_rest_idx": 0, "in_lf0_idx": 51, "out_lf0_idx": ss[0],
+            "in_lf0_min": None, "in_lf0_max": None,
+            "out_lf0_mean": None, "out_lf0_scale": None,
+            "encoder": {
+                "_target_": f"{pkg}.models.MultiTrackLSTMEncoder",
+                "in_dim": 86, "hidden_dim": 4, "out_dim": enc_out,
+                "num_layers": 1, "in_ph_start_idx": 3, "in_ph_end_idx": 50,
+                "embed_dim": 8,
+            },
+            "lf0_model": {
+                "_target_": (
+                    f"{pkg}.models.acoustic."
+                    "MultiTrackBiLSTMResF0NonAttentiveDecoder"
+                ),
+                "in_dim": 86, "out_dim": 1, "ff_hidden_dim": 8,
+                "conv_hidden_dim": 8, "lstm_hidden_dim": 4,
+                "num_lstm_layers": 1, "decoder_layers": 1,
+                "decoder_hidden_dim": 8, "prenet_layers": 0,
+                "prenet_hidden_dim": 4, "prenet_dropout": 0.5,
+                "scaled_tanh": True, "zoneout": 0.0, "reduction_factor": 4,
+                "downsample_by_conv": True, "in_lf0_idx": 51,
+                "out_lf0_idx": 0, "in_lf0_min": None, "in_lf0_max": None,
+                "out_lf0_mean": None, "out_lf0_scale": None,
+                "in_ph_start_idx": 3, "in_ph_end_idx": 50, "embed_dim": 8,
+            },
+            "mgc_model": {"_target_": f"{pkg}.models.FFConvLSTM", **dec,
+                          "out_dim": ss[0]},
+            "vuv_model": {"_target_": f"{pkg}.models.FFConvLSTM", **dec,
+                          "out_dim": 1},
+            "bap_model": {"_target_": f"{pkg}.models.FFConvLSTM", **dec,
+                          "out_dim": ss[3]},
+            "speaker_embedding": {
+                "_target_": f"{pkg}.models.SpeakerEmbedding",
+                "num_embeddings": 2, "embedding_dim": 8,
+            },
+        },
+        "stream_sizes": ss,
+        "has_dynamic_features": [False, False, False, False],
+        "num_windows": 1,
+    }
+    for name, cfg in (("timelag", timing), ("duration", timing),
+                      ("acoustic", acoustic)):
+        with open(conf_dir / f"{name}.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+
+def multitrack_mini_recipe_overrides(corpus, work, conf, data_dir,
+                                     spks=("alto", "soprano"), sr=24000,
+                                     seed=None):
+    """The recipe e2e test's override dict on top of the PACKAGED
+    jaCappella recipe (paths, corpus knobs, CI-size configs, 2 epochs).
+    ``seed`` overrides the recipe's training/data-prep seed (used by the
+    seed-variance calibration)."""
+    spks = list(spks)
+    train_common = {
+        "nepochs": 2,
+        "use_amp": False,  # CPU CI; the recipe default targets accelerators
+        "optim": {"optimizer": {"name": "Adam", "params": {"lr": 0.002}},
+                  "lr_scheduler": {"name": "StepLR",
+                                   "params": {"step_size": 20,
+                                              "gamma": 0.5}}},
+    }
+    mt_data = {"spk_names": spks}
+    overrides = {
+        "verbose": 0,
+        "work_dir": str(work),
+        "question_path": str(HED),
+        "spk_list": spks,
+        "data_prep": {
+            "corpus_root": str(corpus),
+            "out_dir": str(data_dir),
+            "spk_list": spks,
+            "dev_songs": ["song1"],
+            "eval_songs": ["song2"],
+        },
+        "data": {"lists_dir": str(data_dir / "lists")},
+        "features": {
+            "n_jobs": 1,
+            "timelag": {
+                "label_phone_score_dir": str(
+                    data_dir / "timelag/label_phone_score"
+                ),
+                "label_phone_align_dir": str(
+                    data_dir / "timelag/label_phone_align"
+                ),
+            },
+            "duration": {
+                "label_dir": str(data_dir / "duration/label_phone_align")
+            },
+            "acoustic": {
+                "wav_dir": str(data_dir / "acoustic/wav"),
+                "label_dir": str(data_dir / "acoustic/label_phone_align"),
+                "params": {
+                    "sample_rate": sr,  # 24 kHz CI fixtures (recipe: 48k)
+                    "f0_floor": 120,
+                    "f0_ceil": 700,
+                    "mgc_order": 7,  # CI size (recipe: 59)
+                },
+            },
+        },
+        "timelag": {
+            "model_config": str(conf / "timelag.yaml"),
+            "train": train_common, "data": mt_data,
+        },
+        "duration": {
+            "model_config": str(conf / "duration.yaml"),
+            "train": train_common, "data": mt_data,
+        },
+        "acoustic": {
+            "model_config": str(conf / "acoustic.yaml"),
+            # the packaged recipe ships the reference's checked-in
+            # myconfig_notuseIL weights (0.0); CI turns the paper's
+            # interaction losses ON to exercise them
+            "train": {**train_common, "pitch_reg_weight": 1.0,
+                      "logf0_diff_weight": 1.0, "mgc_diff_weight": 1.0},
+            "data": {**mt_data, "time_multiple": 32},
+        },
+        "synthesis": {
+            "label_dir": str(data_dir / "acoustic/label_phone_score"),
+        },
+        "timing_eval": {
+            "score_label_dir": str(data_dir / "acoustic/label_phone_score"),
+            "align_label_dir": str(data_dir / "acoustic/label_phone_align"),
+        },
+    }
+    if seed is not None:
+        overrides["seed"] = int(seed)
+    return overrides
+
+
 def make_batch(B=2, T=32, in_dim=82, seed=0):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(size=(B, T, in_dim)).astype(np.float32))
