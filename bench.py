@@ -252,7 +252,10 @@ NOMINAL = {
     "rtt_ms": 28.0,          # null-jit round trip
     "h2d_mbps": 57.0,        # dependent-jit upload, 8 MB
     "d2h_mbps": 23.0,        # np.asarray fetch, 8 MB
-    "host_gemm_ms": 35.0,    # 384x384 f32 numpy matmul x8 (calibrated idle)
+    "host_gemm_ms": 11.0,    # 384x384 f32 numpy matmul x8 (idle box
+                             # 2026-08-21: 10.4-11.0 ms over 5 trials;
+                             # measured 22.9 ms under one concurrent
+                             # CPU-bound job — the probe sees contention)
     "rtf": 0.030,            # warm flagship median, nominal tunnel
 }
 
@@ -282,26 +285,29 @@ def _probe_conditions() -> dict:
         a *= 1.0 / max(1.0, float(abs(a[0, 0])))  # keep finite
     probes["host_gemm_ms"] = (time.perf_counter() - t0) * 1e3
 
-    # null-jit round trip (median of 5)
+    # null-jit round trip (median of 5).  Barrier = REAL value fetch:
+    # block_until_ready on the axon backend can return at enqueue-ack for
+    # compute outputs (measured: it reported 5 ms for a 190 ms train
+    # step), while np.asarray must wait for the bytes.
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros(())
-    f(x).block_until_ready()  # compile
+    np.asarray(f(x))  # compile
     ts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        f(x).block_until_ready()
+        np.asarray(f(x))
         ts.append(time.perf_counter() - t0)
     rtt = float(np.median(ts))
     probes["rtt_ms"] = rtt * 1e3
 
     # H2D: jnp.asarray enqueues asynchronously and lies about cost
-    # (CLAUDE.md), so time a dependent jit that must consume the upload
+    # (CLAUDE.md), so time a dependent jit whose scalar result we fetch
     MB = 8
     host = np.ones((MB * 1024 * 1024 // 4,), np.float32)
     g = jax.jit(jnp.sum)
-    g(jnp.asarray(host)).block_until_ready()  # compile
+    np.asarray(g(jnp.asarray(host)))  # compile
     t0 = time.perf_counter()
-    g(jnp.asarray(host)).block_until_ready()
+    np.asarray(g(jnp.asarray(host)))
     h2d = time.perf_counter() - t0
     probes["h2d_mbps"] = MB / max(h2d - rtt, 1e-6)
 

@@ -42,20 +42,45 @@ sys.path.insert(0, str(REPO))
 IN_DIM = 86
 
 
-def timed_calls(fn, args, reps: int, inner: int = 4):
-    """Median over ``reps`` of [dispatch ``inner`` back-to-back calls,
-    block once] / inner."""
+_RTT_EST = [0.0]
+
+
+def _fetch_barrier(out):
+    """Force completion with a REAL device_get of one output leaf —
+    block_until_ready lies over the axon tunnel (async enqueue;
+    measured: it reported 5 ms for a step that takes 194 ms wall)."""
     import jax
 
-    outs = [fn(*args) for _ in range(2)]  # compile + warm
-    jax.block_until_ready(outs)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(inner)]
-        jax.block_until_ready(outs)
-        ts.append((time.perf_counter() - t0) / inner)
-    return float(np.median(ts))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def timed_calls(fn, args, reps: int, inner: int = 4):
+    """Median over ``reps`` of [dispatch ``inner`` back-to-back calls,
+    fetch one scalar of the last] / inner, minus the fetch round trip.
+
+    Adaptive inner: the tunnel fetch RTT is 40-80 ms with ±20 ms jitter,
+    so a kernel must accumulate >= ~5x the RTT of device time per sample
+    or the subtraction returns noise (first attempt measured a 54 ms
+    biLSTM at 0.0 and a smaller one at 54 ms)."""
+
+    def sample(inner):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(inner)]
+            _fetch_barrier(outs[-1])
+            ts.append((time.perf_counter() - t0 - _RTT_EST[0]) / inner)
+        return float(max(np.median(ts), 0.0))
+
+    for _ in range(2):  # compile + warm
+        _fetch_barrier(fn(*args))
+    est = sample(inner)
+    rtt = _RTT_EST[0]
+    if rtt > 0 and est * inner < 5 * rtt:
+        inner = int(min(128, max(16, np.ceil(5 * rtt / max(est, 1e-4)))))
+        est = sample(inner)
+    return est
 
 
 def main(argv=None):
@@ -145,6 +170,17 @@ def main(argv=None):
 
     prof = {"geometry": f"{B}x{T}", "n_devices": n_dev, "reps": reps}
 
+    # estimate the fetch round trip once (subtracted from every sample)
+    null = jax.jit(lambda x: x + 1.0)
+    _fetch_barrier(null(jnp.zeros(())))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _fetch_barrier(null(jnp.zeros(())))
+        rtts.append(time.perf_counter() - t0)
+    _RTT_EST[0] = float(np.median(rtts))
+    prof["fetch_rtt_sec"] = round(_RTT_EST[0], 5)
+
     # 1. full step — can't chain (state not donated here), so dispatch the
     # SAME state repeatedly; XLA executes each fully (no caching of
     # results across distinct executions)
@@ -203,6 +239,18 @@ def main(argv=None):
         reps, inner,
     )
     prof["bwd_plus_update_sec"] = prof["full_step_sec"] - prof["fwd_only_sec"]
+
+    # same loss under value_and_grad but WITHOUT clip/Adam/apply_updates:
+    # separates the composite backward from the optimizer tail
+    grad_fn = jax.jit(jax.grad(fwd_only))
+    prof["fwd_bwd_no_opt_sec"] = timed_calls(
+        grad_fn,
+        (state["params"], state["batch_stats"], sharded, weights, key),
+        reps, inner,
+    )
+    prof["optimizer_tail_sec"] = (
+        prof["full_step_sec"] - prof["fwd_bwd_no_opt_sec"]
+    )
 
     # 3. submodules standalone at the same geometry
     sub_cfgs = {
@@ -276,18 +324,19 @@ def main(argv=None):
         sum(v for k, v in prof.items() if k.endswith("_fwdbwd_sec"))
     )
 
-    # 4. inter-step host gap: blocked-each-step vs chained dispatch
+    # 4. inter-step host gap: fetch-each-step vs chained dispatch with one
+    # final fetch (the trainer's steady state fetches metrics per step)
     K = max(reps, 3)
     t0 = time.perf_counter()
     for _ in range(K):
         _, metrics = train_step(state, sharded, weights, key)
-        jax.block_until_ready(metrics["Loss"])
+        _fetch_barrier(metrics["Loss"])
     blocked = (time.perf_counter() - t0) / K
     t0 = time.perf_counter()
     ms = [train_step(state, sharded, weights, key)[1]["Loss"] for _ in range(K)]
-    jax.block_until_ready(ms)
+    _fetch_barrier(ms[-1])
     chained = (time.perf_counter() - t0) / K
-    prof["step_blocked_each_sec"] = blocked
+    prof["step_fetch_each_sec"] = blocked
     prof["step_chained_sec"] = chained
     prof["host_gap_sec_per_step"] = blocked - chained
 
