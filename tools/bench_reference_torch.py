@@ -334,10 +334,16 @@ def main(argv=None):
     jax_sec, jax_all = timed(
         lambda: jax.block_until_ready(j_full(fv, jx0, jx1, jlen)), args.runs
     )
-    jax.block_until_ready(j_main(fv, jx0, jx1, jlen))
-    jmain_sec, jmain_all = timed(
-        lambda: jax.block_until_ready(j_main(fv, jx0, jx1, jlen)), args.runs
-    )
+    if args.tiny:
+        # suite smoke: skip the inference_main arm — it costs a second
+        # CPU compile and the committed full-dims artifact carries it
+        jmain_sec, jmain_all = jax_sec, jax_all
+    else:
+        jax.block_until_ready(j_main(fv, jx0, jx1, jlen))
+        jmain_sec, jmain_all = timed(
+            lambda: jax.block_until_ready(j_main(fv, jx0, jx1, jlen)),
+            args.runs,
+        )
 
     audio_sec = T * 0.005
     result = {
