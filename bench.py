@@ -311,14 +311,18 @@ def _probe_conditions() -> dict:
     h2d = time.perf_counter() - t0
     probes["h2d_mbps"] = MB / max(h2d - rtt, 1e-6)
 
-    # D2H: fetch the same-size device array
-    dev = jax.device_put(host)
-    dev.block_until_ready()
-    np.asarray(dev)  # warm path
+    # D2H: fetch a device-PRODUCED array that has never been fetched
+    # (fetching the same Array twice reads jax's cached host copy — the
+    # first probe version measured 110 GB/s through a ~23 MB/s tunnel).
+    # A dependent-scalar fetch proves the array is materialized on
+    # device without pulling its bytes.
+    prod = jax.jit(lambda x: x * 2.0)
+    dev = prod(jnp.asarray(host))
+    np.asarray(jnp.sum(dev))
     t0 = time.perf_counter()
     np.asarray(dev)
     d2h = time.perf_counter() - t0
-    probes["d2h_mbps"] = MB / max(d2h, 1e-6)
+    probes["d2h_mbps"] = MB / max(d2h - rtt, 1e-6)
 
     degraded = []
     if probes["rtt_ms"] > 2.5 * NOMINAL["rtt_ms"]:
