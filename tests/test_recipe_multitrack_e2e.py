@@ -122,16 +122,23 @@ def test_multitrack_recipe(corpus, tmp_path):
     # committed CI ceilings for THIS deterministic mini-recipe (seeded
     # corpus + seeded training): a model/codec regression that degrades
     # output quality fails here even while every shape test stays green.
-    # Calibrated ceilings: the seeded 2-epoch mini-recipe measured
-    # MGC 16.2 dB / BAP 6.6 / VUV 0.157 / F0 12.7 Hz (2026-08-20);
-    # bounds sit ~30-40% above so seed jitter passes but a real
-    # regression (model/codec/extractor) fails CI.
+    # Ceilings derived from the committed 5-seed variance table
+    # (SEED_VARIANCE.json, tools/quality_seed_variance.py, 2026-08-21):
+    #   MGC  mean 16.523  std 0.0052  -> mean+3sigma 16.538
+    #   BAP  mean  6.604  std 0.0008  -> mean+3sigma  6.607
+    #   VUV  mean 0.1573  std 0.0     (bit-identical across all 5 seeds)
+    #   F0   mean 12.819  std 0.0123  -> mean+3sigma 12.856
+    # Seed spread is below measurement resolution at 2 epochs, so raw
+    # mean+3sigma would flag harmless environment-level nondeterminism
+    # (BLAS/XLA version bumps); the committed ceilings are
+    # mean+3sigma plus a 2% robustness floor — a real >2-3% quality
+    # regression still fails, vs the old ~30-40% slack.
     quality = json.loads((work / "QUALITY.json").read_text())
     ac = quality["acoustic"]["best"]
-    assert ac["ObjEval_MGC_MCD"] < 22.0, ac
-    assert ac["ObjEval_BAP_MCD"] < 10.0, ac
-    assert ac["ObjEval_VUV_ERR"] < 0.35, ac
-    assert ac["ObjEval_F0_RMSE"] < 40.0, ac
+    assert ac["ObjEval_MGC_MCD"] < 16.9, ac
+    assert ac["ObjEval_BAP_MCD"] < 6.74, ac
+    assert ac["ObjEval_VUV_ERR"] < 0.161, ac
+    assert ac["ObjEval_F0_RMSE"] < 13.2, ac
     for phase in ("timelag", "duration"):
         assert np.isfinite(quality[phase]["best"]["Loss"]), quality[phase]
 
