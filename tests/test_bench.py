@@ -14,7 +14,11 @@ def _cpu_env():
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU registration
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # opt level 0: these smokes assert plumbing and finite losses, not
+    # kernel quality; the XLA CPU optimization pipeline was ~30% of the
+    # tiny train-step smoke's 120 s (suite diet, 2026-08-21)
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                        "--xla_backend_optimization_level=0")
     return env
 
 
@@ -76,3 +80,19 @@ def test_bench_reference_torch_tiny_smoke():
     assert data["parity_vs_torch_f64_oracle"] <= max(
         5e-4, 3.0 * data["reference_own_f32_vs_f64"]
     )
+
+
+def test_bench_probe_conditions_cpu():
+    """bench._probe_conditions returns all probe keys and a verdict; on
+    CPU the 'tunnel' probes are near-instant so the shape of the result
+    is what's under test (the TPU numbers are validated operationally)."""
+    sys.path.insert(0, str(REPO_ROOT))
+    import bench
+
+    p = bench._probe_conditions()
+    for key in ("rtt_ms", "h2d_mbps", "d2h_mbps", "host_gemm_ms"):
+        assert p[key] > 0, p
+    assert p["conditions"] in ("nominal", "degraded")
+    assert isinstance(p["degraded"], list)
+    assert set(bench.NOMINAL) >= {"rtt_ms", "h2d_mbps", "d2h_mbps",
+                                  "host_gemm_ms", "rtf"}

@@ -110,6 +110,10 @@ def _shrink_vocoder(node):
                 node[k] = [list(d)[:2] for d in list(v)[:1]]
             elif k in ("periods", "fft_sizes", "hop_sizes", "win_lengths"):
                 node[k] = list(v)[:1]
+            elif k in ("upsample_scales", "upsample_kernel_sizes") and len(v) > 2:
+                # suite diet: 2 upsample stages exercise the chain; the
+                # full 240x ladder only multiplies compile time
+                node[k] = list(v)[:2]
             else:
                 _shrink_vocoder(v)
 

@@ -178,7 +178,8 @@ def _spawn(family, tmp_path):
 
     code = (
         "import os;"
-        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8 "
+        "--xla_backend_optimization_level=0';"
         "os.environ.setdefault('PALLAS_AXON_POOL_IPS','');"
         "import jax; jax.config.update('jax_platforms','cpu');"
         # share the suite's per-run persistent kernel cache (conftest
