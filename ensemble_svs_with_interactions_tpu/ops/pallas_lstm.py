@@ -96,6 +96,219 @@ def lstm_recurrence(xw, w_h, chunk: int = 256, interpret: bool = False):
     )(xw, w_h)
 
 
+def _lstm_fwd_kernel(xw_ref, wh_ref, y_ref, cseq_ref, h_ref, c_ref):
+    """Forward kernel that ALSO streams out the cell-state sequence —
+    the residual the backward kernel needs (gates are recomputed in the
+    reverse pass from xw and h, so only (B, T, H) extra HBM is spent
+    instead of the (B, T, 4H) gate tensor)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    Tc = xw_ref.shape[1]
+    H = h_ref.shape[1]
+
+    def body(t, carry):
+        h, c = carry
+        gates = xw_ref[:, t, :] + jnp.dot(
+            h, wh_ref[:], preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        y_ref[:, t, :] = h
+        cseq_ref[:, t, :] = c
+        return (h, c)
+
+    h, c = jax.lax.fori_loop(0, Tc, body, (h_ref[:], c_ref[:]))
+    h_ref[:] = h
+    c_ref[:] = c
+
+
+def _lstm_bwd_kernel(
+    xw_ref, wh_ref, hprev_ref, c_ref, cprev_ref, dy_ref,
+    dxw_ref, dwh_ref, dh_ref, dc_ref,
+):
+    """Reverse-time BPTT over one chunk (grid iterates chunks last-to-
+    first via the reversed index map).  Gates are recomputed from
+    xw_t + h_{t-1} W_h — one extra VMEM matmul per step in exchange for
+    not storing (B, T, 4H) activations (HBM is the scarce resource).
+
+    carries (VMEM scratch): dh (grad into h_t from the future), dc
+    (grad into c_t from the future), and the (H, 4H) dW_h accumulator.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        # the (H, 4H) output block maps to the same location every grid
+        # step, so it stays VMEM-resident: accumulate into it directly
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+
+    Tc = xw_ref.shape[1]
+    H = dh_ref.shape[1]
+    wh = wh_ref[:]
+
+    def body(k, carry):
+        t = Tc - 1 - k
+        dh_next, dc_next, dwh = carry
+        hprev = hprev_ref[:, t, :]
+        gates = xw_ref[:, t, :] + jnp.dot(
+            hprev, wh, preferred_element_type=jnp.float32
+        )
+        i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+        tanh_c = jnp.tanh(c_ref[:, t, :])
+        cprev = cprev_ref[:, t, :]
+
+        dh = dy_ref[:, t, :] + dh_next
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_next
+        dzi = dc * g * i * (1.0 - i)
+        dzf = dc * cprev * f * (1.0 - f)
+        dzg = dc * i * (1.0 - g * g)
+        dzo = dh * tanh_c * o * (1.0 - o)
+        dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=1)
+        dxw_ref[:, t, :] = dz
+        dwh = dwh + jnp.dot(
+            hprev.T, dz, preferred_element_type=jnp.float32
+        )
+        dh_prev = jnp.dot(dz, wh.T, preferred_element_type=jnp.float32)
+        dc_prev = dc * f
+        return (dh_prev, dc_prev, dwh)
+
+    dh, dc, dwh = jax.lax.fori_loop(
+        0, Tc, body, (dh_ref[:], dc_ref[:], dwh_ref[:])
+    )
+    dh_ref[:] = dh
+    dc_ref[:] = dc
+    dwh_ref[:] = dwh
+
+
+def _recurrence_fwd_pallas(xw, w_h, chunk, interpret):
+    B, T, H4 = xw.shape
+    H = H4 // 4
+    grid = (T // chunk,)
+    return pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (B, chunk, H4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (B, chunk, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (B, chunk, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, w_h)
+
+
+def _recurrence_bwd_pallas(xw, w_h, h_seq, c_seq, dy, chunk, interpret):
+    B, T, H4 = xw.shape
+    H = H4 // 4
+    n = T // chunk
+    grid = (n,)
+    rev = lambda i: (0, n - 1 - i, 0)  # noqa: E731 — reverse-time chunks
+    zrow = jnp.zeros((B, 1, H), xw.dtype)
+    hprev = jnp.concatenate([zrow, h_seq[:, :-1]], axis=1)
+    cprev = jnp.concatenate([zrow, c_seq[:, :-1]], axis=1)
+    seq_spec = pl.BlockSpec((B, chunk, H), rev, memory_space=pltpu.VMEM)
+    dxw, dwh = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, chunk, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            seq_spec,  # hprev
+            seq_spec,  # c
+            seq_spec,  # cprev
+            seq_spec,  # dy
+        ],
+        out_specs=[
+            pl.BlockSpec((B, chunk, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H4), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, w_h, hprev, c_seq, cprev, dy)
+    return dxw, dwh
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_recurrence_trainable(xw, w_h, chunk: int = 256,
+                              interpret: bool = False):
+    """Differentiable pallas LSTM recurrence: forward emits h (and saves
+    c for the reverse pass); the custom VJP runs the reverse-time BPTT
+    kernel (gates recomputed, dW_h accumulated in VMEM).  Returns
+    (B, T, H) hidden states like :func:`lstm_recurrence`."""
+    h_seq, _ = _recurrence_fwd_pallas(xw, w_h, chunk, interpret)
+    return h_seq
+
+
+def _lstm_trainable_fwd(xw, w_h, chunk, interpret):
+    h_seq, c_seq = _recurrence_fwd_pallas(xw, w_h, chunk, interpret)
+    return h_seq, (xw, w_h, h_seq, c_seq)
+
+
+def _lstm_trainable_bwd(chunk, interpret, res, dy):
+    xw, w_h, h_seq, c_seq = res
+    dxw, dwh = _recurrence_bwd_pallas(
+        xw, w_h, h_seq, c_seq, dy, chunk, interpret
+    )
+    return dxw, dwh
+
+
+lstm_recurrence_trainable.defvjp(_lstm_trainable_fwd, _lstm_trainable_bwd)
+
+
+def lstm_layer_pallas_trainable(x, cell_params, chunk: int = 256,
+                                interpret: bool = False):
+    """Differentiable pallas LSTM layer (same contract as
+    :func:`lstm_layer_pallas`): input projection as one large XLA matmul,
+    recurrence + BPTT in pallas.  Gradients flow to ``x`` and every
+    cell parameter (dW_x/db fall out of the dxw matmul via XLA)."""
+    w_x, w_h, b = extract_flax_lstm_weights(cell_params)
+    T = x.shape[1]
+    chunk = min(chunk, T)
+    pad = (-T) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    xw = jnp.einsum("btc,ch->bth", x, w_x) + b[None, None, :]
+    ys = lstm_recurrence_trainable(xw, w_h, chunk, interpret)
+    return ys[:, :T] if pad else ys
+
+
 def extract_flax_lstm_weights(cell_params):
     """Concatenate flax OptimizedLSTMCell params into (W_x, W_h, b).
 

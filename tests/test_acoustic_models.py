@@ -108,3 +108,48 @@ def test_predict_lf0_with_residual_bounds():
     denorm = np.asarray(lf0_pred) * 0.23 + 5.9
     score = np.asarray(in_feats[:, :, IN_LF0_IDX])[..., None] * 1.5 + 5.0
     assert np.allclose(denorm, score + np.asarray(lf0_res), atol=1e-5)
+
+
+def test_ar_decoder_residual_self_consistent_no_scaled_tanh():
+    """With scaled_tanh=False the returned lf0_residual must satisfy
+    outs_lf0 = (score_denorm + residual - mean) / scale — i.e. be the
+    residual the outputs were actually built from.  Guards OUR correct
+    semantics: the reference's scaled_tanh=False path returns a VIEW of
+    the in-place-mutated output tensor, so it returns the normalized
+    prediction as "residual" (reference acoustic_models/tacotron_f0.py:
+    204-218 aliasing; see PARITY.md "AR parity under chaos")."""
+    from ensemble_svs_with_interactions_tpu.models.acoustic import (
+        BiLSTMResF0NonAttentiveDecoder,
+    )
+
+    B, T, IN = 1, 12, 10
+    kw = dict(
+        in_dim=IN, ff_hidden_dim=7, conv_hidden_dim=6, lstm_hidden_dim=4,
+        num_lstm_layers=1, out_dim=1, decoder_layers=1,
+        decoder_hidden_dim=9, prenet_layers=0, prenet_dropout=0.0,
+        zoneout=0.0, reduction_factor=1, downsample_by_conv=False,
+        scaled_tanh=False, in_lf0_idx=5, out_lf0_idx=0,
+        in_lf0_min=5.0, in_lf0_max=6.5, out_lf0_mean=5.9,
+        out_lf0_scale=0.23,
+    )
+    model = BiLSTMResF0NonAttentiveDecoder(**kw)
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=(B, T, IN)) * 0.3).astype(np.float32)
+    x[:, :, 5] = rng.uniform(0.3, 0.7, (B, T)).astype(np.float32)
+    y = (rng.normal(size=(B, T, 1)) * 0.1).astype(np.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "prenet": jax.random.PRNGKey(2), "zoneout": jax.random.PRNGKey(3)},
+        jnp.asarray(x), jnp.asarray([T]), jnp.asarray(y), train=True,
+    )
+    outs, res = model.apply(
+        v, jnp.asarray(x), jnp.asarray([T]), jnp.asarray(y),
+        rngs={"prenet": jax.random.PRNGKey(9),
+              "zoneout": jax.random.PRNGKey(10)},
+    )
+    denorm = x[:, :, 5:6] * (6.5 - 5.0) + 5.0
+    implied_res = np.asarray(outs)[..., :1] * 0.23 + 5.9 - denorm
+    np.testing.assert_allclose(np.asarray(res), implied_res, atol=1e-4)
+    # and without the tanh bound, residuals are NOT clamped to the
+    # 600-cent ratio by construction (they're the raw head output)
+    assert res.shape == (B, T, 1)

@@ -50,6 +50,7 @@ def main(argv=None) -> int:
 
     from ensemble_svs_with_interactions_tpu.ops.pallas_lstm import (
         lstm_recurrence,
+        lstm_recurrence_trainable,
     )
 
     @partial(jax.jit, static_argnames=("unroll",))
@@ -87,6 +88,18 @@ def main(argv=None) -> int:
     def pallas_forward(x, Wi, Wh, b, chunk):
         xw = x @ Wi + b
         return lstm_recurrence(xw, Wh, chunk=chunk, interpret=False)
+
+    @partial(jax.jit, static_argnames=("chunk",))
+    def pallas_fwdbwd(x, Wi, Wh, b, chunk):
+        # custom-VJP kernel (reverse-time BPTT in pallas, gates
+        # recomputed); same loss/grad surface as xla_scan_fwdbwd
+        def loss(params):
+            Wi_, Wh_, b_ = params
+            xw = x @ Wi_ + b_
+            ys = lstm_recurrence_trainable(xw, Wh_, chunk, False)
+            return jnp.mean(ys * ys)
+
+        return jax.value_and_grad(loss)((Wi, Wh, b))
 
     @jax.jit
     def _scalarize(out):
@@ -143,6 +156,7 @@ def main(argv=None) -> int:
 
         t_xla_f = timed(xla_scan_forward, x, Wi, Wh, b)
         t_xla_fb = timed(xla_scan_fwdbwd, x, Wi, Wh, b)
+        err = fb_err = ""
         try:
             if args.cpu:
                 raise RuntimeError("pallas TPU kernel; skipped on CPU smoke")
@@ -150,6 +164,13 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001 — record and move on
             t_pal_f = None
             err = str(e).splitlines()[0][:80]
+        try:
+            if args.cpu:
+                raise RuntimeError("pallas TPU kernel; skipped on CPU smoke")
+            t_pal_fb = timed(pallas_fwdbwd, x, Wi, Wh, b, chunk)
+        except Exception as e:  # noqa: BLE001
+            t_pal_fb = None
+            fb_err = str(e).splitlines()[0][:80]
         rows.append({
             "B": B, "T": T, "H": H, "chunk": chunk,
             "xla_fwd_ms": round(t_xla_f * 1e3, 3),
@@ -158,15 +179,20 @@ def main(argv=None) -> int:
                               if t_pal_f is not None else None),
             "pallas_vs_xla_fwd": (round(t_pal_f / t_xla_f, 3)
                                   if t_pal_f is not None else err),
+            "pallas_fwdbwd_ms": (round(t_pal_fb * 1e3, 3)
+                                 if t_pal_fb is not None else None),
+            "pallas_vs_xla_fwdbwd": (round(t_pal_fb / t_xla_fb, 3)
+                                     if t_pal_fb is not None else fb_err),
         })
         print(json.dumps(rows[-1]), flush=True)
 
-    print("\n| B | T | H | XLA fwd (ms) | XLA fwd+bwd (ms) | pallas fwd (ms) | pallas/XLA fwd |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| B | T | H | XLA fwd (ms) | XLA fwd+bwd (ms) | pallas fwd (ms) | pallas/XLA fwd | pallas fwd+bwd (ms) | pallas/XLA fwd+bwd |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['B']} | {r['T']} | {r['H']} | {r['xla_fwd_ms']} | "
               f"{r['xla_fwdbwd_ms']} | {r['pallas_fwd_ms']} | "
-              f"{r['pallas_vs_xla_fwd']} |")
+              f"{r['pallas_vs_xla_fwd']} | {r['pallas_fwdbwd_ms']} | "
+              f"{r['pallas_vs_xla_fwdbwd']} |")
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"backend": jax.default_backend(), "rows": rows}, f,
