@@ -88,44 +88,64 @@ def reverse_padded(x, lengths):
 class _MaskedLSTMLayer(nn.Module):
     """Single-direction LSTM over (B, T, C), outputs zeroed at pad steps.
 
-    The recurrence runs as an ``nn.scan`` of OptimizedLSTMCell (XLA's
-    fused scan measured faster than the pallas kernel at these sizes);
-    set ESVS_ENABLE_PALLAS_LSTM=1 to opt into the pallas recurrence
-    (ops/pallas_lstm.py).  Both paths share the same parameter tree and
-    are bit-identical on valid steps.
+    Two device paths sharing one parameter tree, bit-identical on valid
+    steps: the pallas recurrence with its custom-VJP BPTT kernel
+    (ops/pallas_lstm.py — the TRAINING default at H<=256), and XLA's
+    fused scan with hoisted input projections (the inference default and
+    the H>512 fallback).  ESVS_ENABLE_PALLAS_LSTM=1/0 forces either.
     """
 
     hidden_dim: int
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, train: bool = False):
         B = x.shape[0]
         cell = nn.OptimizedLSTMCell(self.hidden_dim)
 
         import os
 
-        # The pallas recurrence measured ~1.7x SLOWER end-to-end than XLA's
-        # fused scan on the v5e ensemble bench (RTF 0.094 vs 0.057) — XLA
-        # pipelines the per-step matmuls better at these sizes.  Keep the
-        # kernel opt-in for larger hidden sizes / future tuning.
+        # Policy (measured, PALLAS_LSTM_SWEEP.json + bench_train A/B):
+        # TRAINING defaults to the pallas kernel — its custom-VJP
+        # reverse-time BPTT beats XLA's scan fwd+bwd 1.2-1.9x at every
+        # H<=256 training shape and lifted the flagship step +9.3%
+        # (84.3k -> 92.1k frames/s).  INFERENCE keeps XLA's scan (B=4-12
+        # with T in the thousands measured 1.7x slower under pallas).
+        # ESVS_ENABLE_PALLAS_LSTM=1/0 forces either way.
+        env = os.environ.get("ESVS_ENABLE_PALLAS_LSTM", "").lower()
+        # default ON only for single-device training: GSPMD partitioning
+        # of the custom-call is unverified on multi-chip meshes (not
+        # testable on this 1-chip box) — set =1 to force it there once
+        # verified on real hardware
+        wanted = (
+            (train and jax.device_count() == 1)
+            if env == ""
+            else env in ("1", "true", "yes")
+        )
         use_pallas = (
-            os.environ.get("ESVS_ENABLE_PALLAS_LSTM", "0").lower()
-            in ("1", "true", "yes")
+            wanted
             and jax.default_backend() != "cpu"
-            and x.shape[1] % 128 == 0
-            # pallas block must fit VMEM: xw chunk + y chunk + weights
-            and B * 128 * 4 * self.hidden_dim * 4 < 6 * 1024 * 1024
+            # the VMEM wall: above H=256 the trainable kernel's batch
+            # block shrinks to 4 (the resident W_h/dW_h pair is 8.4 MB
+            # at H=512) and the per-step matmuls starve the MXU —
+            # measured 2.3-2.7x SLOWER than XLA there, vs 1.2-1.9x
+            # FASTER at H<=256 (PALLAS_LSTM_SWEEP.json)
+            and self.hidden_dim <= 256
         )
         if use_pallas:
+            # the TRAINABLE kernel (custom VJP: reverse-time BPTT in
+            # pallas) so the opt-in works under jax.grad too; it auto-
+            # pads T and picks a VMEM-fitting (chunk, batch-block).  At
+            # the 64x256 training shapes with H<=128 it measured 1.3-1.9x
+            # faster than XLA's scan fwd+bwd (docs/performance.md).
             from ensemble_svs_with_interactions_tpu.ops.pallas_lstm import (
-                lstm_layer_pallas,
+                lstm_layer_pallas_trainable,
             )
 
             carry0 = cell.initialize_carry(
                 jax.random.PRNGKey(0), (B, x.shape[-1])
             )
             _ = cell(carry0, x[:, 0])  # materialize params (shared naming)
-            ys = lstm_layer_pallas(x, cell.variables["params"], chunk=128)
+            ys = lstm_layer_pallas_trainable(x, cell.variables["params"])
             return ys * mask.astype(ys.dtype)[:, :, None]
 
         # Input projections hoisted OUT of the recurrence: x @ Wi for all
@@ -195,11 +215,13 @@ class LSTM(nn.Module):
 
         h = x
         for layer in range(self.num_layers):
-            fwd = _MaskedLSTMLayer(self.hidden_dim, name=f"l{layer}_fwd")(h, mask)
+            fwd = _MaskedLSTMLayer(self.hidden_dim, name=f"l{layer}_fwd")(
+                h, mask, train=train
+            )
             if self.bidirectional:
                 h_rev = reverse_padded(h, lengths)
                 bwd = _MaskedLSTMLayer(self.hidden_dim, name=f"l{layer}_bwd")(
-                    h_rev, mask
+                    h_rev, mask, train=train
                 )
                 bwd = reverse_padded(bwd, lengths)
                 h = jnp.concatenate([fwd, bwd], axis=-1)

@@ -100,10 +100,15 @@ def _lstm_fwd_kernel(xw_ref, wh_ref, y_ref, cseq_ref, h_ref, c_ref):
     """Forward kernel that ALSO streams out the cell-state sequence —
     the residual the backward kernel needs (gates are recomputed in the
     reverse pass from xw and h, so only (B, T, H) extra HBM is spent
-    instead of the (B, T, 4H) gate tensor)."""
-    step = pl.program_id(0)
+    instead of the (B, T, 4H) gate tensor).
 
-    @pl.when(step == 0)
+    Grid is (B/B_blk, T/chunk), batch OUTER: batch rows are independent,
+    so blocking B is what keeps the streamed working set inside scoped
+    VMEM at large H — the sequential carry resets at each batch block's
+    first time chunk."""
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
@@ -143,14 +148,19 @@ def _lstm_bwd_kernel(
     carries (VMEM scratch): dh (grad into h_t from the future), dc
     (grad into c_t from the future), and the (H, 4H) dW_h accumulator.
     """
-    step = pl.program_id(0)
+    b_step = pl.program_id(0)
+    t_step = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(t_step == 0)
     def _():
         dh_ref[:] = jnp.zeros_like(dh_ref)
         dc_ref[:] = jnp.zeros_like(dc_ref)
+
+    @pl.when((b_step == 0) & (t_step == 0))
+    def _():
         # the (H, 4H) output block maps to the same location every grid
         # step, so it stays VMEM-resident: accumulate into it directly
+        # (across time chunks AND batch blocks)
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
 
     Tc = xw_ref.shape[1]
@@ -159,7 +169,7 @@ def _lstm_bwd_kernel(
 
     def body(k, carry):
         t = Tc - 1 - k
-        dh_next, dc_next, dwh = carry
+        dh_next, dc_next = carry
         hprev = hprev_ref[:, t, :]
         gates = xw_ref[:, t, :] + jnp.dot(
             hprev, wh, preferred_element_type=jnp.float32
@@ -179,40 +189,52 @@ def _lstm_bwd_kernel(
         dzo = dh * tanh_c * o * (1.0 - o)
         dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=1)
         dxw_ref[:, t, :] = dz
-        dwh = dwh + jnp.dot(
-            hprev.T, dz, preferred_element_type=jnp.float32
+        # accumulate dW_h by read-modify-write ON THE REF: carrying the
+        # (H, 4H) accumulator through fori_loop allocates in/out stack
+        # copies (2 x 4.2 MB at H=512 — the OOM).  dot_general with
+        # explicit contraction dims avoids materializing wh.T too.
+        dwh_ref[:] = dwh_ref[:] + jax.lax.dot_general(
+            hprev, dz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        dh_prev = jnp.dot(dz, wh.T, preferred_element_type=jnp.float32)
+        dh_prev = jax.lax.dot_general(
+            dz, wh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         dc_prev = dc * f
-        return (dh_prev, dc_prev, dwh)
+        return (dh_prev, dc_prev)
 
-    dh, dc, dwh = jax.lax.fori_loop(
-        0, Tc, body, (dh_ref[:], dc_ref[:], dwh_ref[:])
+    dh, dc = jax.lax.fori_loop(
+        0, Tc, body, (dh_ref[:], dc_ref[:])
     )
     dh_ref[:] = dh
     dc_ref[:] = dc
-    dwh_ref[:] = dwh
 
 
-def _recurrence_fwd_pallas(xw, w_h, chunk, interpret):
+def _recurrence_fwd_pallas(xw, w_h, chunk, b_blk, interpret):
     B, T, H4 = xw.shape
     H = H4 // 4
-    grid = (T // chunk,)
+    grid = (B // b_blk, T // chunk)
     return pl.pallas_call(
         _lstm_fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (B, chunk, H4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (b_blk, chunk, H4), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (B, chunk, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (b_blk, chunk, H), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (B, chunk, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (b_blk, chunk, H), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
@@ -220,71 +242,110 @@ def _recurrence_fwd_pallas(xw, w_h, chunk, interpret):
             jax.ShapeDtypeStruct((B, T, H), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((b_blk, H), jnp.float32),
+            pltpu.VMEM((b_blk, H), jnp.float32),
         ],
         interpret=interpret,
     )(xw, w_h)
 
 
-def _recurrence_bwd_pallas(xw, w_h, h_seq, c_seq, dy, chunk, interpret):
+def _recurrence_bwd_pallas(xw, w_h, h_seq, c_seq, dy, chunk, b_blk,
+                           interpret):
     B, T, H4 = xw.shape
     H = H4 // 4
     n = T // chunk
-    grid = (n,)
-    rev = lambda i: (0, n - 1 - i, 0)  # noqa: E731 — reverse-time chunks
+    grid = (B // b_blk, n)
+    # reverse-time chunks within each batch block
+    rev = lambda b, t: (b, n - 1 - t, 0)  # noqa: E731
     zrow = jnp.zeros((B, 1, H), xw.dtype)
     hprev = jnp.concatenate([zrow, h_seq[:, :-1]], axis=1)
     cprev = jnp.concatenate([zrow, c_seq[:, :-1]], axis=1)
-    seq_spec = pl.BlockSpec((B, chunk, H), rev, memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((b_blk, chunk, H), rev, memory_space=pltpu.VMEM)
     dxw, dwh = pl.pallas_call(
         _lstm_bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, chunk, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b_blk, chunk, H4), rev, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
             seq_spec,  # hprev
             seq_spec,  # c
             seq_spec,  # cprev
             seq_spec,  # dy
         ],
         out_specs=[
-            pl.BlockSpec((B, chunk, H4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b_blk, chunk, H4), rev, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, H4), jnp.float32),
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((b_blk, H), jnp.float32),
+            pltpu.VMEM((b_blk, H), jnp.float32),
         ],
         interpret=interpret,
     )(xw, w_h, hprev, c_seq, cprev, dy)
     return dxw, dwh
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def lstm_recurrence_trainable(xw, w_h, chunk: int = 256,
+def trainable_auto_blocks(B: int, H: int, T: int,
+                          budget: int = 10 * 1024 * 1024):
+    """(chunk, b_blk) whose pallas working set fits the scoped VMEM
+    budget for the TRAINABLE path.  The backward kernel is the binding
+    constraint: it streams 12H f32 per (batch-row, step) — inputs
+    xw(4H) + hprev/c/cprev/dy(H each) and the dxw(4H) output —
+    double-buffered for grid pipelining, plus the resident W_h/dW_h
+    (H,4H) pair and the (b_blk,H) carries.  Batch rows are independent,
+    so b_blk shrinks (outer grid axis) until the time chunk can hold
+    Mosaic's minimum 8 sublanes.  The v5e scoped-vmem limit is 16 MB;
+    half is left for the compiler (measured: a 16.13 MB request is
+    rejected at 16.00 MB)."""
+    b_blk = 1 << (int(B).bit_length() - 1)  # largest power of two <= B
+    b_blk = min(b_blk, B)
+    while True:
+        resident = 2 * H * 4 * H * 4 + 4 * b_blk * H * 4
+        per_step = 2 * b_blk * 12 * H * 4
+        chunk = max(1, (budget - resident) // per_step)
+        chunk = 1 << (int(chunk).bit_length() - 1)
+        chunk = min(chunk, T)
+        if chunk >= 8 or b_blk <= 1:
+            break
+        b_blk //= 2
+    # grid needs b_blk to divide B: fall back to a divisor
+    while B % b_blk:
+        b_blk //= 2
+    return chunk, max(b_blk, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def lstm_recurrence_trainable(xw, w_h, chunk: int = 256, b_blk: int = 8,
                               interpret: bool = False):
     """Differentiable pallas LSTM recurrence: forward emits h (and saves
     c for the reverse pass); the custom VJP runs the reverse-time BPTT
     kernel (gates recomputed, dW_h accumulated in VMEM).  Returns
     (B, T, H) hidden states like :func:`lstm_recurrence`."""
-    h_seq, _ = _recurrence_fwd_pallas(xw, w_h, chunk, interpret)
+    h_seq, _ = _recurrence_fwd_pallas(xw, w_h, chunk, b_blk, interpret)
     return h_seq
 
 
-def _lstm_trainable_fwd(xw, w_h, chunk, interpret):
-    h_seq, c_seq = _recurrence_fwd_pallas(xw, w_h, chunk, interpret)
+def _lstm_trainable_fwd(xw, w_h, chunk, b_blk, interpret):
+    h_seq, c_seq = _recurrence_fwd_pallas(xw, w_h, chunk, b_blk, interpret)
     return h_seq, (xw, w_h, h_seq, c_seq)
 
 
-def _lstm_trainable_bwd(chunk, interpret, res, dy):
+def _lstm_trainable_bwd(chunk, b_blk, interpret, res, dy):
     xw, w_h, h_seq, c_seq = res
     dxw, dwh = _recurrence_bwd_pallas(
-        xw, w_h, h_seq, c_seq, dy, chunk, interpret
+        xw, w_h, h_seq, c_seq, dy, chunk, b_blk, interpret
     )
     return dxw, dwh
 
@@ -292,20 +353,38 @@ def _lstm_trainable_bwd(chunk, interpret, res, dy):
 lstm_recurrence_trainable.defvjp(_lstm_trainable_fwd, _lstm_trainable_bwd)
 
 
-def lstm_layer_pallas_trainable(x, cell_params, chunk: int = 256,
+def lstm_layer_pallas_trainable(x, cell_params, chunk: int | None = None,
+                                b_blk: int | None = None,
                                 interpret: bool = False):
     """Differentiable pallas LSTM layer (same contract as
     :func:`lstm_layer_pallas`): input projection as one large XLA matmul,
     recurrence + BPTT in pallas.  Gradients flow to ``x`` and every
-    cell parameter (dW_x/db fall out of the dxw matmul via XLA)."""
+    cell parameter (dW_x/db fall out of the dxw matmul via XLA).
+    ``chunk=None`` picks the largest VMEM-fitting (chunk, b_blk)."""
     w_x, w_h, b = extract_flax_lstm_weights(cell_params)
     T = x.shape[1]
+    B = x.shape[0]
+    if chunk is None or b_blk is None:
+        auto_c, auto_b = trainable_auto_blocks(B, w_h.shape[0], T)
+        chunk = auto_c if chunk is None else chunk
+        b_blk = auto_b if b_blk is None else b_blk
     chunk = min(chunk, T)
+    while B % b_blk:
+        b_blk //= 2
     pad = (-T) % chunk
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    xw = jnp.einsum("btc,ch->bth", x, w_x) + b[None, None, :]
-    ys = lstm_recurrence_trainable(xw, w_h, chunk, interpret)
+    # the kernel refs are f32 (and an LSTM recurrence should carry f32
+    # under AMP anyway — the bf16-carry scan was a measured quality bug,
+    # CLAUDE.md); inputs/params may arrive bf16 from amp_cast
+    in_dtype = x.dtype
+    xw = (jnp.einsum("btc,ch->bth", x, w_x) + b[None, None, :]).astype(
+        jnp.float32
+    )
+    ys = lstm_recurrence_trainable(
+        xw, w_h.astype(jnp.float32), chunk, b_blk, interpret
+    )
+    ys = ys.astype(in_dtype)
     return ys[:, :T] if pad else ys
 
 

@@ -51,6 +51,7 @@ def main(argv=None) -> int:
     from ensemble_svs_with_interactions_tpu.ops.pallas_lstm import (
         lstm_recurrence,
         lstm_recurrence_trainable,
+        trainable_auto_blocks,
     )
 
     @partial(jax.jit, static_argnames=("unroll",))
@@ -89,14 +90,14 @@ def main(argv=None) -> int:
         xw = x @ Wi + b
         return lstm_recurrence(xw, Wh, chunk=chunk, interpret=False)
 
-    @partial(jax.jit, static_argnames=("chunk",))
-    def pallas_fwdbwd(x, Wi, Wh, b, chunk):
+    @partial(jax.jit, static_argnames=("chunk", "b_blk"))
+    def pallas_fwdbwd(x, Wi, Wh, b, chunk, b_blk):
         # custom-VJP kernel (reverse-time BPTT in pallas, gates
         # recomputed); same loss/grad surface as xla_scan_fwdbwd
         def loss(params):
             Wi_, Wh_, b_ = params
             xw = x @ Wi_ + b_
-            ys = lstm_recurrence_trainable(xw, Wh_, chunk, False)
+            ys = lstm_recurrence_trainable(xw, Wh_, chunk, b_blk, False)
             return jnp.mean(ys * ys)
 
         return jax.value_and_grad(loss)((Wi, Wh, b))
@@ -164,15 +165,17 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001 — record and move on
             t_pal_f = None
             err = str(e).splitlines()[0][:80]
+        fb_chunk, fb_bblk = trainable_auto_blocks(B, H, T)
         try:
             if args.cpu:
                 raise RuntimeError("pallas TPU kernel; skipped on CPU smoke")
-            t_pal_fb = timed(pallas_fwdbwd, x, Wi, Wh, b, chunk)
+            t_pal_fb = timed(pallas_fwdbwd, x, Wi, Wh, b, fb_chunk, fb_bblk)
         except Exception as e:  # noqa: BLE001
             t_pal_fb = None
             fb_err = str(e).splitlines()[0][:80]
         rows.append({
             "B": B, "T": T, "H": H, "chunk": chunk,
+            "fb_chunk": fb_chunk, "fb_bblk": fb_bblk,
             "xla_fwd_ms": round(t_xla_f * 1e3, 3),
             "xla_fwdbwd_ms": round(t_xla_fb * 1e3, 3),
             "pallas_fwd_ms": (round(t_pal_f * 1e3, 3)
